@@ -1,0 +1,127 @@
+"""Model-level unit tests: shapes, determinism, attention-probs API, training
+signal on the ViT-Tiny preset (BASELINE.json config 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitx import ViTConfig, attention_rollout, forward, forward_with_attn, init_params
+from vitx.core.config import get_config
+from vitx.nn.vit import param_count
+from vitx.train import create_train_state, make_train_step
+from vitx.train.step import make_optimizer
+
+
+TINY = get_config("tiny", compute_dtype="float32")
+
+
+def _batch(rng, cfg, batch=2):
+    kx, ky = jax.random.split(jax.random.PRNGKey(rng))
+    x = jax.random.normal(kx, (batch, cfg.image_size, cfg.image_size,
+                               cfg.num_channels), jnp.float32)
+    y = jax.random.randint(ky, (batch,), 0, cfg.num_classes)
+    return {"image": x, "label": y}
+
+
+def test_forward_shapes():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    batch = _batch(1, TINY, batch=3)
+    logits = forward(params, batch["image"], TINY)
+    assert logits.shape == (3, TINY.num_classes)
+    assert logits.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_forward_deterministic():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    batch = _batch(2, TINY)
+    l1 = forward(params, batch["image"], TINY)
+    l2 = forward(params, batch["image"], TINY)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_cls_token_batch_independent():
+    """CLS must be one broadcast vector: per-sample logits cannot depend on
+    batch size (the reference's per-batch-slot CLS param broke this,
+    vit.py:31-33)."""
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    batch = _batch(3, TINY, batch=4)
+    full = forward(params, batch["image"], TINY)
+    first = forward(params, batch["image"][:1], TINY)
+    np.testing.assert_allclose(np.asarray(full[:1]), np.asarray(first),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attention_probs_shape_and_rows_sum_to_one():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    batch = _batch(4, TINY)
+    logits, probs = forward_with_attn(params, batch["image"], TINY)
+    T = TINY.seq_len
+    assert probs.shape == (TINY.depth, 2, TINY.num_heads, T, T)
+    rows = np.asarray(jnp.sum(probs, axis=-1))
+    np.testing.assert_allclose(rows, np.ones_like(rows), rtol=1e-5, atol=1e-5)
+    # instrumented path must produce the same logits as the fast path
+    plain = forward(params, batch["image"], TINY)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attention_rollout():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    batch = _batch(5, TINY)
+    _, probs = forward_with_attn(params, batch["image"], TINY)
+    roll = attention_rollout(probs)
+    assert roll.shape == (2, TINY.num_patches)
+    np.testing.assert_allclose(np.asarray(jnp.sum(roll, axis=-1)),
+                               np.ones(2), rtol=1e-5)
+    assert np.all(np.asarray(roll) >= 0)
+
+
+def test_dropout_active_in_train_mode():
+    cfg = TINY.replace(dropout=0.5)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(6, cfg)
+    rng = jax.random.PRNGKey(7)
+    a = forward(params, batch["image"], cfg, rng=rng, deterministic=False)
+    b = forward(params, batch["image"], cfg,
+                rng=jax.random.PRNGKey(8), deterministic=False)
+    det = forward(params, batch["image"], cfg)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    det2 = forward(params, batch["image"], cfg)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+
+
+def test_param_count_reasonable():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    n = param_count(params)
+    assert 100_000 < n < 5_000_000
+
+
+@pytest.mark.parametrize("head_type,final_norm,mlp_act",
+                         [("standard", True, "gelu"), ("reference", False, "relu")])
+def test_config_variants_run(head_type, final_norm, mlp_act):
+    cfg = TINY.replace(head_type=head_type, final_norm=final_norm,
+                       mlp_act=mlp_act, qkv_bias=(head_type == "standard"))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(9, cfg)
+    logits = forward(params, batch["image"], cfg)
+    assert logits.shape == (2, cfg.num_classes)
+
+
+def test_train_step_reduces_loss():
+    """E2E slice: loss falls when overfitting one batch (SURVEY.md §4)."""
+    cfg = TINY
+    opt = make_optimizer(lr=3e-3)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = make_train_step(cfg, opt)
+    batch = _batch(10, cfg, batch=8)
+    rng = jax.random.PRNGKey(1)
+    first_loss = None
+    for _ in range(30):
+        state, metrics = step(state, batch, rng)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    last_loss = float(metrics["loss"])
+    assert int(state.step) == 30
+    assert last_loss < first_loss * 0.5, (first_loss, last_loss)

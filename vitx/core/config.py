@@ -1,0 +1,191 @@
+"""Model / training configuration.
+
+TPU-native re-design of the reference's config object
+(``src/VisionTransformer/config.py:6-29``). Differences by design:
+
+- Frozen dataclass (hashable → usable as a jit static argument).
+- ``batch_size`` is NOT a model hyperparameter (the reference made it one
+  because its CLS token was allocated per batch slot, ``src/VisionTransformer/
+  vit.py:31-33`` — a bug class this framework removes; CLS is a single
+  ``(1, 1, E)`` vector broadcast over the batch).
+- ``dropout`` is live (the reference stored it but never read it,
+  ``src/VisionTransformer/config.py:26`` vs ``transformer.py:35,53``).
+- Explicit dtype policy: fp32 params, configurable compute dtype (bf16 on TPU).
+- Named presets for the benchmark configs (BASELINE.json) and both reference
+  hyperparameter sets (``src/train.py:126-141`` and ``src/vit.ipynb`` cell 17).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import jax.numpy as jnp
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Hyperparameters of a ViT classifier. Hashable; safe as a static jit arg."""
+
+    # --- shape of the problem ---
+    image_size: int = 224
+    patch_size: int = 16
+    num_channels: int = 3
+    num_classes: int = 1000
+
+    # --- transformer ---
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    # Reference encoder blocks use ReLU (transformer.py:55-60); standard ViT
+    # uses GELU. Parity presets set "relu".
+    mlp_act: str = "gelu"
+    # Reference attention has NO QKV bias (transformer.py:12-17) but DOES have
+    # an output-projection bias (transformer.py:38).
+    qkv_bias: bool = False
+    proj_bias: bool = True
+    dropout: float = 0.0
+
+    # --- classifier head ---
+    # "reference": Linear(E,4E) -> GELU -> LayerNorm(4E) -> Linear(4E,classes)
+    #   (the reference's unusual head, vit.py:69-74).
+    # "standard": LayerNorm(E) -> Linear(E, classes) (vanilla ViT).
+    head_type: str = "reference"
+    # Vanilla ViT has a final encoder LayerNorm; the reference omits it
+    # (vit.py:77-80). Parity presets keep False.
+    final_norm: bool = False
+
+    layer_norm_eps: float = 1e-5  # torch nn.LayerNorm default, for parity
+
+    # --- numerics ---
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+
+    # --- kernels ---
+    # "auto": Pallas flash attention on TPU, jnp reference elsewhere.
+    # "flash" / "reference": force one path.
+    attn_impl: str = "auto"
+    # "auto": Pallas fused patch-embed on TPU, XLA matmul elsewhere.
+    patch_embed_impl: str = "auto"
+
+    # --- initialization ---
+    init_std: float = 0.02  # trunc-normal std for weights / cls / pos embeddings
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.image_size % self.patch_size != 0:
+            raise ValueError(
+                f"image_size {self.image_size} not divisible by patch_size "
+                f"{self.patch_size}"
+            )
+        if self.embed_dim % self.num_heads != 0:
+            raise ValueError(
+                f"embed_dim {self.embed_dim} not divisible by num_heads "
+                f"{self.num_heads}"
+            )
+        if self.mlp_act not in ("gelu", "relu"):
+            raise ValueError(f"unknown mlp_act {self.mlp_act!r}")
+        if self.head_type not in ("reference", "standard"):
+            raise ValueError(f"unknown head_type {self.head_type!r}")
+
+    # -- derived --
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def seq_len(self) -> int:
+        """Tokens through the encoder: patches + 1 CLS."""
+        return self.num_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def mlp_dim(self) -> int:
+        return self.embed_dim * self.mlp_ratio
+
+    def cdtype(self):
+        return _DTYPES[self.compute_dtype]
+
+    def pdtype(self):
+        return _DTYPES[self.param_dtype]
+
+    # -- serialization (fulfils the reference's own JSON-config TODO,
+    #    train.py:124-125) --
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ViTConfig":
+        return cls(**json.loads(s))
+
+    def replace(self, **kw: Any) -> "ViTConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Presets. The five BASELINE.json benchmark configs plus both hyperparameter
+# sets that appear in the reference.
+# ---------------------------------------------------------------------------
+
+PRESETS: dict[str, ViTConfig] = {
+    # BASELINE.json config 1: ViT-Tiny, 64x64, 4 classes (brain-MRI shape).
+    "tiny": ViTConfig(
+        image_size=64, patch_size=8, num_classes=4,
+        embed_dim=64, depth=4, num_heads=4,
+    ),
+    # BASELINE.json config 2: ViT-Small/16 @224.
+    "small16": ViTConfig(
+        image_size=224, patch_size=16, num_classes=4,
+        embed_dim=384, depth=12, num_heads=6,
+    ),
+    # BASELINE.json configs 3/4: ViT-Base/16 @224.
+    "base16": ViTConfig(
+        image_size=224, patch_size=16, num_classes=1000,
+        embed_dim=768, depth=12, num_heads=12,
+    ),
+    # BASELINE.json config 5: ViT-Large/16 @384.
+    "large16_384": ViTConfig(
+        image_size=384, patch_size=16, num_classes=1000,
+        embed_dim=1024, depth=24, num_heads=16,
+    ),
+    # The reference's train.py __main__ config (train.py:126-139): 256x256,
+    # patch 16, embed 4, heads 4, blocks 4, fp32. (Its num_classes=100-on-
+    # CIFAR10 mismatch is not reproduced; we set 10.)
+    "reference_train": ViTConfig(
+        image_size=256, patch_size=16, num_classes=10,
+        embed_dim=4, depth=4, num_heads=4,
+        mlp_act="relu", dropout=0.2,
+        compute_dtype="float32",
+    ),
+    # The reference notebook config (vit.ipynb cells 17, 26): embed 8,
+    # 8 heads, 8 blocks — the only benchmarked config (BASELINE.md).
+    "reference_notebook": ViTConfig(
+        image_size=256, patch_size=16, num_classes=10,
+        embed_dim=8, depth=8, num_heads=8,
+        mlp_act="relu", dropout=0.2,
+        compute_dtype="float32",
+    ),
+}
+
+
+def get_config(name: str, **overrides: Any) -> ViTConfig:
+    """Look up a preset by name, with keyword overrides."""
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    cfg = PRESETS[name]
+    return cfg.replace(**overrides) if overrides else cfg

@@ -1,0 +1,4 @@
+from vitx.nn.vit import init_params, forward, forward_with_attn
+from vitx.nn.rollout import attention_rollout
+
+__all__ = ["init_params", "forward", "forward_with_attn", "attention_rollout"]

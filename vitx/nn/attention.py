@@ -1,0 +1,97 @@
+"""Multi-head self-attention — TPU-native.
+
+The reference computes attention with a Python loop over per-head
+``nn.Linear`` modules and materializes the full (T, T) weight matrix per head
+(``src/VisionTransformer/transformer.py:9-49``). Here the whole multi-head op
+is one fused QKV matmul + either a Pallas flash-attention kernel (TPU fast
+path, O(T) memory) or a jnp reference path (used for parity tests and when
+per-head attention probabilities are requested, mirroring the reference's
+``attention_probs`` API at transformer.py:39,48).
+
+Scaling is the standard ``1/sqrt(head_dim)`` — the reference's Python stack
+*multiplies* by sqrt(head_dim) (transformer.py:24, a bug); its C stack divides
+(``csrc/vit.c:297,206-212``), which is the behavior we keep.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def reference_attention(q, k, v, *, return_probs=False):
+    """Plain XLA attention. q/k/v: (B, H, T, D). Returns (out, probs|None).
+
+    Stable softmax (max-subtracted) in fp32 — the reference C softmax has no
+    max subtraction (csrc/vit.c:215-229) which we deliberately do not copy.
+    """
+    dtype = q.dtype
+    head_dim = q.shape[-1]
+    scale = 1.0 / (head_dim ** 0.5)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1)  # fp32, max-subtracted inside
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    return (out, probs) if return_probs else (out, None)
+
+
+def multi_head_attention(
+    x,
+    wqkv,
+    bqkv,
+    wo,
+    bo,
+    *,
+    num_heads: int,
+    impl: str = "auto",
+    return_probs: bool = False,
+):
+    """Fused multi-head self-attention over tokens.
+
+    Args:
+      x: (B, T, E) activations.
+      wqkv: (E, 3, H, D) combined QKV projection weight.
+      bqkv: (3, H, D) or None.
+      wo: (E, E) output projection; bo: (E,) or None.
+      num_heads: H.
+      impl: "auto" | "flash" | "reference".
+      return_probs: also return (B, H, T, T) attention probabilities
+        (forces the reference path or the instrumented flash variant).
+
+    Returns:
+      (out, probs) — out is (B, T, E); probs is (B, H, T, T) fp32 or None.
+    """
+    B, T, E = x.shape
+    H = num_heads
+    D = E // H
+
+    qkv = jnp.einsum("bte,eshd->sbhtd", x, wqkv.astype(x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bqkv is not None:
+        qkv = qkv + bqkv.astype(x.dtype).reshape(3, 1, H, 1, D)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    use_flash = False
+    if not return_probs:
+        if impl == "flash":
+            use_flash = True
+        elif impl == "auto":
+            use_flash = jax.default_backend() == "tpu" and D >= 64 and T >= 128
+    if use_flash:
+        from vitx.kernels.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v)
+        probs = None
+    else:
+        out, probs = reference_attention(q, k, v, return_probs=return_probs)
+
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, E)
+    out = jnp.einsum("bte,ef->btf", out, wo.astype(x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if bo is not None:
+        out = out + bo.astype(x.dtype)
+    return out, probs

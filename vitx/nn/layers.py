@@ -1,0 +1,55 @@
+"""Small functional building blocks (LayerNorm, MLP, dropout).
+
+Functional equivalents of the reference's ``nn.LayerNorm`` / ``FeedForward``
+modules (``src/VisionTransformer/transformer.py:52-79``), computed in fp32
+regardless of the compute dtype so that bf16 runs stay numerically sound.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(x, scale, bias, *, eps: float = 1e-5):
+    """LayerNorm over the last axis, fp32 internally, returns x.dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def activation(x, name: str):
+    if name == "gelu":
+        # exact (erf) GELU to match torch nn.GELU default for parity tests
+        return jax.nn.gelu(x, approximate=False)
+    if name == "relu":
+        return jax.nn.relu(x)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def mlp(x, w1, b1, w2, b2, *, act: str):
+    """Position-wise MLP: Linear -> act -> Linear.
+
+    The reference's FeedForward (transformer.py:55-60) with the expansion
+    factor folded into the weight shapes.
+    """
+    h = jnp.einsum("...e,ef->...f", x, w1.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    h = h + b1.astype(x.dtype)
+    h = activation(h, act)
+    o = jnp.einsum("...f,fe->...e", h, w2.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return o + b2.astype(x.dtype)
+
+
+def dropout(x, rate: float, rng, *, deterministic: bool):
+    """Inverted dropout. No-op when deterministic or rate == 0."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))

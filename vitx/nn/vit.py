@@ -1,0 +1,252 @@
+"""The Vision Transformer — pure-functional, scan-over-layers, TPU-first.
+
+Capability equivalent of the reference's ``PatchEmbedding`` /
+``TransformerEncoder`` / ``VisionTransformer`` modules
+(``src/VisionTransformer/vit.py:9-80``, ``transformer.py:66-90``), re-designed:
+
+- Params are a plain pytree; block params are stacked along a leading layer
+  axis and the encoder runs as one ``lax.scan`` (one trace/compile of the
+  block regardless of depth).
+- Patchify is a reshape + one big matmul (lowers straight onto the MXU), not
+  a Conv2d (reference: vit.py:20-30). Image layout is NHWC (TPU-native).
+- The CLS token is a single (1, 1, E) parameter broadcast over batch and
+  PREPENDED: the reference sized it per batch slot (vit.py:31-33) and
+  appended it while reading token 0 (vit.py:41 vs :80) — both bugs; the
+  notebook copy (vit.ipynb cell 11) prepends, which is what we match.
+- Attention uses 1/sqrt(head_dim) scaling (see vitx/nn/attention.py) and a
+  Pallas flash kernel on the fast path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vitx.core.config import ViTConfig
+from vitx.nn.attention import multi_head_attention
+from vitx.nn.layers import activation, dropout, layer_norm, mlp
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(rng, shape, std, dtype):
+    return std * jax.random.truncated_normal(rng, -2.0, 2.0, shape, jnp.float32)\
+        .astype(dtype)
+
+
+def init_params(rng, cfg: ViTConfig) -> Params:
+    """Initialize the full parameter pytree (trunc-normal 0.02, zero biases)."""
+    pdt = cfg.pdtype()
+    E, H, D, L, M = (cfg.embed_dim, cfg.num_heads, cfg.head_dim, cfg.depth,
+                     cfg.mlp_dim)
+    P, C = cfg.patch_size, cfg.num_channels
+    std = cfg.init_std
+
+    keys = jax.random.split(rng, 16)
+    k = iter(keys)
+
+    params: Params = {
+        "patch_embed": {
+            "kernel": _trunc_normal(next(k), (P * P * C, E), std, pdt),
+            "bias": jnp.zeros((E,), pdt),
+        },
+        "cls_token": _trunc_normal(next(k), (1, 1, E), std, pdt),
+        "pos_embed": _trunc_normal(next(k), (1, cfg.seq_len, E), std, pdt),
+    }
+
+    def stack_init(key, shape):
+        return _trunc_normal(key, (L,) + shape, std, pdt)
+
+    blocks = {
+        "ln1_scale": jnp.ones((L, E), pdt),
+        "ln1_bias": jnp.zeros((L, E), pdt),
+        "wqkv": stack_init(next(k), (E, 3, H, D)),
+        "wo": stack_init(next(k), (E, E)),
+        "bo": jnp.zeros((L, E), pdt),
+        "ln2_scale": jnp.ones((L, E), pdt),
+        "ln2_bias": jnp.zeros((L, E), pdt),
+        "w1": stack_init(next(k), (E, M)),
+        "b1": jnp.zeros((L, M), pdt),
+        "w2": stack_init(next(k), (M, E)),
+        "b2": jnp.zeros((L, E), pdt),
+    }
+    if cfg.qkv_bias:
+        blocks["bqkv"] = jnp.zeros((L, 3, H, D), pdt)
+    params["blocks"] = blocks
+
+    if cfg.final_norm:
+        params["final_norm"] = {
+            "scale": jnp.ones((E,), pdt),
+            "bias": jnp.zeros((E,), pdt),
+        }
+
+    if cfg.head_type == "reference":
+        # Linear(E,4E) -> GELU -> LayerNorm(4E) -> Linear(4E, classes)
+        # (reference vit.py:69-74, incl. the unusual mid-head LayerNorm).
+        params["head"] = {
+            "w1": _trunc_normal(next(k), (E, 4 * E), std, pdt),
+            "b1": jnp.zeros((4 * E,), pdt),
+            "ln_scale": jnp.ones((4 * E,), pdt),
+            "ln_bias": jnp.zeros((4 * E,), pdt),
+            "w2": _trunc_normal(next(k), (4 * E, cfg.num_classes), std, pdt),
+            "b2": jnp.zeros((cfg.num_classes,), pdt),
+        }
+    else:
+        params["head"] = {
+            "ln_scale": jnp.ones((E,), pdt),
+            "ln_bias": jnp.zeros((E,), pdt),
+            "w": jnp.zeros((E, cfg.num_classes), pdt),
+            "b": jnp.zeros((cfg.num_classes,), pdt),
+        }
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def patch_embed(params: Params, images, cfg: ViTConfig):
+    """(B, H, W, C) images -> (B, N, E) patch tokens.
+
+    Conv2d(stride=patch) (reference vit.py:20-30) expressed as
+    space-to-depth + matmul: one big (B*N, P*P*C) x (P*P*C, E) MXU matmul.
+    """
+    B = images.shape[0]
+    P, g, C, E = cfg.patch_size, cfg.grid_size, cfg.num_channels, cfg.embed_dim
+    x = images.astype(cfg.cdtype())
+    x = x.reshape(B, g, P, g, P, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)          # (B, g, g, P, P, C)
+    x = x.reshape(B, g * g, P * P * C)
+
+    use_pallas = cfg.patch_embed_impl == "pallas" or (
+        cfg.patch_embed_impl == "auto" and jax.default_backend() == "tpu"
+        and False  # flipped on when the Pallas kernel lands
+    )
+    del use_pallas  # XLA path: one matmul, fused by the compiler
+    kernel = params["patch_embed"]["kernel"].astype(x.dtype)
+    tokens = jnp.einsum("bnp,pe->bne", x, kernel,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    return tokens + params["patch_embed"]["bias"].astype(x.dtype)
+
+
+def _encoder_block(x, bp, cfg: ViTConfig, *, rng, deterministic, return_probs):
+    """Pre-LN block: x + MHA(LN1(x)); x + MLP(LN2(x)). (transformer.py:66-79)"""
+    if rng is not None:
+        r_attn, r_mlp = jax.random.split(rng)
+    else:
+        r_attn = r_mlp = None
+
+    h = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], eps=cfg.layer_norm_eps)
+    attn_out, probs = multi_head_attention(
+        h, bp["wqkv"], bp.get("bqkv"), bp["wo"], bp["bo"],
+        num_heads=cfg.num_heads, impl=cfg.attn_impl, return_probs=return_probs,
+    )
+    attn_out = dropout(attn_out, cfg.dropout, r_attn, deterministic=deterministic)
+    x = x + attn_out
+
+    h = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], eps=cfg.layer_norm_eps)
+    mlp_out = mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"], act=cfg.mlp_act)
+    mlp_out = dropout(mlp_out, cfg.dropout, r_mlp, deterministic=deterministic)
+    x = x + mlp_out
+    return x, probs
+
+
+def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
+           deterministic: bool = True, return_probs: bool = False):
+    """Images -> encoder output tokens (B, T, E) [+ per-layer attention probs].
+
+    The encoder is a single lax.scan over the stacked block params — the
+    TPU-native replacement for the reference's nn.Sequential of Blocks
+    (transformer.py:82-90).
+    """
+    cdt = cfg.cdtype()
+    tokens = patch_embed(params, images, cfg)
+    B = tokens.shape[0]
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(cdt),
+                           (B, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, tokens], axis=1)          # CLS prepended
+    x = x + params["pos_embed"].astype(cdt)
+    if rng is not None:
+        rng, r = jax.random.split(rng)
+        x = dropout(x, cfg.dropout, r, deterministic=deterministic)
+
+    if rng is not None:
+        def body(carry, layer_in):
+            bp, r = layer_in
+            y, probs = _encoder_block(
+                carry, bp, cfg, rng=r, deterministic=deterministic,
+                return_probs=return_probs,
+            )
+            return y, (probs if return_probs else None)
+        xs = (params["blocks"], jax.random.split(rng, cfg.depth))
+    else:
+        def body(carry, bp):
+            y, probs = _encoder_block(
+                carry, bp, cfg, rng=None, deterministic=deterministic,
+                return_probs=return_probs,
+            )
+            return y, (probs if return_probs else None)
+        xs = params["blocks"]
+    x, probs = jax.lax.scan(body, x, xs)
+
+    if cfg.final_norm:
+        fn = params["final_norm"]
+        x = layer_norm(x, fn["scale"], fn["bias"], eps=cfg.layer_norm_eps)
+    return (x, probs) if return_probs else (x, None)
+
+
+def classify(params: Params, x, cfg: ViTConfig):
+    """Encoder tokens (B, T, E) -> logits (B, classes), reading the CLS token
+    (token 0 — reference vit.py:80)."""
+    cls = x[:, 0, :]
+    hp = params["head"]
+    if cfg.head_type == "reference":
+        h = jnp.dot(cls, hp["w1"].astype(cls.dtype),
+                    preferred_element_type=jnp.float32).astype(cls.dtype)
+        h = h + hp["b1"].astype(cls.dtype)
+        h = activation(h, "gelu")   # head uses GELU even when blocks use ReLU
+        h = layer_norm(h, hp["ln_scale"], hp["ln_bias"], eps=cfg.layer_norm_eps)
+        logits = jnp.dot(h, hp["w2"].astype(h.dtype),
+                         preferred_element_type=jnp.float32)
+        logits = logits + hp["b2"].astype(jnp.float32)
+    else:
+        h = layer_norm(cls, hp["ln_scale"], hp["ln_bias"], eps=cfg.layer_norm_eps)
+        logits = jnp.dot(h, hp["w"].astype(h.dtype),
+                         preferred_element_type=jnp.float32)
+        logits = logits + hp["b"].astype(jnp.float32)
+    return logits.astype(jnp.float32)
+
+
+def forward(params: Params, images, cfg: ViTConfig, *, rng=None,
+            deterministic: bool = True):
+    """Full model: images (B, H, W, C) -> logits (B, classes), fp32."""
+    x, _ = encode(params, images, cfg, rng=rng, deterministic=deterministic)
+    return classify(params, x, cfg)
+
+
+def forward_with_attn(params: Params, images, cfg: ViTConfig):
+    """Instrumented forward: returns (logits, attn_probs).
+
+    attn_probs is (depth, B, H, T, T) fp32 — the public equivalent of the
+    reference's per-module ``attention_probs`` stash (transformer.py:39,48)
+    used by its notebook for attention-map analysis.
+    """
+    x, probs = encode(params, images, cfg, deterministic=True,
+                      return_probs=True)
+    return classify(params, x, cfg), probs
+
+
+def jit_forward(cfg: ViTConfig):
+    """A jitted forward with the config closed over statically."""
+    return jax.jit(partial(forward, cfg=cfg))

@@ -1,0 +1,115 @@
+"""Jit-compiled train / eval steps.
+
+The TPU-native replacement for the reference's per-batch Python loop
+(``src/train.py:92-99``: forward, CrossEntropyLoss, zero_grad/backward/step,
+then a forced device→host sync via ``loss.item()`` EVERY iteration). Here the
+whole update is ONE donated, jit-compiled function; the host only syncs when
+it reads the metrics it wants to log.
+
+Optimizer: AdamW(lr, weight_decay=1e-4) matching train.py:66,137 defaults,
+built on optax with a configurable schedule.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vitx.core.config import ViTConfig
+from vitx.metrics import confusion_matrix
+from vitx.nn.vit import forward, init_params
+
+
+class TrainState(NamedTuple):
+    """The full training state — a pytree, donated through train_step."""
+    step: jnp.ndarray          # () int32 global step
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
+                   schedule=None, grad_clip: float | None = None):
+    """AdamW (train.py:66 semantics) with optional schedule / grad clipping."""
+    tx = []
+    if grad_clip is not None:
+        tx.append(optax.clip_by_global_norm(grad_clip))
+    lr_or_sched = schedule if schedule is not None else lr
+    tx.append(optax.adamw(lr_or_sched, weight_decay=weight_decay))
+    return optax.chain(*tx)
+
+
+def create_train_state(rng, cfg: ViTConfig, optimizer) -> TrainState:
+    params = init_params(rng, cfg)
+    opt_state = optimizer.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=opt_state)
+
+
+def cross_entropy_loss(logits, labels):
+    """Mean softmax cross-entropy — nn.CrossEntropyLoss parity (train.py:81)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)
+
+
+def loss_fn(params, batch, cfg: ViTConfig, rng):
+    logits = forward(params, batch["image"], cfg, rng=rng,
+                     deterministic=rng is None)
+    loss = cross_entropy_loss(logits, batch["label"])
+    return loss, logits
+
+
+def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer):
+    """One SGD step. batch: {"image": (B,H,W,C), "label": (B,)}."""
+    step_rng = jax.random.fold_in(rng, state.step) if rng is not None else None
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (loss, logits), grads = grad_fn(state.params, batch, cfg, step_rng)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(step=state.step + 1, params=params,
+                           opt_state=opt_state)
+    metrics = {
+        "loss": loss,
+        "accuracy": jnp.mean(
+            (jnp.argmax(logits, axis=-1) == batch["label"]).astype(jnp.float32)
+        ),
+        "grad_norm": optax.global_norm(grads),
+    }
+    return new_state, metrics
+
+
+def eval_step(params, batch, *, cfg: ViTConfig):
+    """Forward + on-device confusion-matrix accumulation for one batch.
+
+    ``batch["mask"]`` (optional, (B,) 0/1) excludes padding rows so ragged
+    final batches can be padded to a static shape without biasing metrics.
+    """
+    logits = forward(params, batch["image"], cfg, deterministic=True)
+    preds = jnp.argmax(logits, axis=-1)
+    labels = batch["label"]
+    if "mask" in batch:
+        # route padded rows to a dummy (pred=0, label=0) then subtract them
+        mask = batch["mask"].astype(jnp.int32)
+        cm = confusion_matrix(preds * mask, labels * mask, cfg.num_classes)
+        pad = jnp.sum(1 - mask)
+        cm = cm.at[0, 0].add(-pad)
+    else:
+        cm = confusion_matrix(preds, labels, cfg.num_classes)
+    loss = cross_entropy_loss(logits, labels)
+    return cm, loss
+
+
+def make_train_step(cfg: ViTConfig, optimizer):
+    """Jitted train step with the state donated (in-place on device)."""
+    return jax.jit(
+        partial(train_step, cfg=cfg, optimizer=optimizer),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(cfg: ViTConfig):
+    return jax.jit(partial(eval_step, cfg=cfg))
