@@ -1,0 +1,72 @@
+"""Metrics parity vs sklearn (the reference's metric oracle, train.py:10,39-42:
+accuracy_score, precision_score/recall_score(average='weighted',
+zero_division=0.0))."""
+
+import jax.numpy as jnp
+import numpy as np
+from sklearn.metrics import accuracy_score, precision_score, recall_score
+
+from vitx.metrics import (
+    accuracy,
+    confusion_matrix,
+    confusion_to_metrics,
+    per_class_accuracy,
+    weighted_precision,
+    weighted_recall,
+)
+
+
+def _case(seed, n=257, num_classes=7, skew=False):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, size=n)
+    if skew:
+        # leave some classes unpredicted / absent to exercise zero_division
+        preds = rng.integers(0, max(2, num_classes // 2), size=n)
+    else:
+        preds = rng.integers(0, num_classes, size=n)
+    return preds, labels, num_classes
+
+
+def test_confusion_matrix_counts():
+    preds, labels, C = _case(0)
+    cm = np.asarray(confusion_matrix(jnp.asarray(preds), jnp.asarray(labels), C))
+    assert cm.sum() == len(preds)
+    for t in range(C):
+        for p in range(C):
+            assert cm[t, p] == np.sum((labels == t) & (preds == p))
+
+
+def test_sklearn_parity():
+    for seed in range(5):
+        for skew in (False, True):
+            preds, labels, C = _case(seed, skew=skew)
+            cm = confusion_matrix(jnp.asarray(preds), jnp.asarray(labels), C)
+            np.testing.assert_allclose(
+                float(accuracy(cm)), accuracy_score(labels, preds), rtol=1e-6)
+            np.testing.assert_allclose(
+                float(weighted_precision(cm)),
+                precision_score(labels, preds, average="weighted",
+                                zero_division=0.0),
+                rtol=1e-6)
+            np.testing.assert_allclose(
+                float(weighted_recall(cm)),
+                recall_score(labels, preds, average="weighted",
+                             zero_division=0.0),
+                rtol=1e-6)
+
+
+def test_per_class_accuracy():
+    preds = jnp.asarray(np.array([0, 0, 1, 1, 2, 2]))
+    labels = jnp.asarray(np.array([0, 1, 1, 1, 0, 2]))
+    cm = confusion_matrix(preds, labels, 4)
+    pca = np.asarray(per_class_accuracy(cm))
+    np.testing.assert_allclose(pca, [0.5, 2 / 3, 1.0, 0.0], rtol=1e-6)
+
+
+def test_confusion_to_metrics_keys():
+    preds, labels, C = _case(3)
+    m = confusion_to_metrics(
+        confusion_matrix(jnp.asarray(preds), jnp.asarray(labels), C))
+    assert set(m) == {"accuracy", "precision_weighted", "recall_weighted",
+                      "per_class_accuracy"}
+    assert m["per_class_accuracy"].shape == (C,)
