@@ -1,0 +1,136 @@
+"""Checkpoint save / resume-from-latest / reference .pt interop round trips."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vitx import ViTConfig, forward
+from vitx.train import create_train_state, make_train_step
+from vitx.train.checkpoint import (
+    find_latest,
+    list_checkpoints,
+    load_reference_pt,
+    restore_latest,
+    save_checkpoint,
+    save_reference_pt,
+)
+from vitx.train.step import make_optimizer
+
+CFG = ViTConfig(image_size=32, patch_size=8, num_classes=4, embed_dim=16,
+                depth=2, num_heads=2, compute_dtype="float32",
+                mlp_act="relu")
+
+
+def _state_and_step():
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    return state, make_train_step(CFG, opt), opt
+
+
+def _batch(seed=0, n=4):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return {"image": jax.random.normal(k1, (n, 32, 32, 3)),
+            "label": jax.random.randint(k2, (n,), 0, 4)}
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state, step, opt = _state_and_step()
+    state, _ = step(state, _batch(), jax.random.PRNGKey(1))
+    save_checkpoint(tmp_path, jax.device_get(state), epoch=3,
+                    meta={"loss": 1.25})
+
+    fresh, _, _ = _state_and_step()
+    restored, meta = restore_latest(tmp_path, fresh)
+    assert meta["epoch"] == 3 and meta["loss"] == 1.25
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state (adam moments) restored too
+    for a, b in zip(jax.tree.leaves(restored.opt_state),
+                    jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_from_max_stem(tmp_path):
+    """Discovery = max integer stem (reference train.py:52-58)."""
+    state, _, _ = _state_and_step()
+    host = jax.device_get(state)
+    for epoch in (0, 2, 10, 9):
+        save_checkpoint(tmp_path, host, epoch=epoch)
+    assert list_checkpoints(tmp_path) == [0, 2, 9, 10]
+    assert find_latest(tmp_path) == 10
+    _, meta = restore_latest(tmp_path, state)
+    assert meta["epoch"] == 10
+
+
+def test_restore_empty_dir_returns_template(tmp_path):
+    state, _, _ = _state_and_step()
+    restored, meta = restore_latest(tmp_path / "nope", state)
+    assert meta is None and restored is state
+
+
+def test_keep_n_checkpoints(tmp_path):
+    state, _, _ = _state_and_step()
+    host = jax.device_get(state)
+    for epoch in range(5):
+        save_checkpoint(tmp_path, host, epoch=epoch, keep=2)
+    assert list_checkpoints(tmp_path) == [3, 4]
+
+
+def test_training_continues_identically_after_resume(tmp_path):
+    """Resume must reproduce the exact same trajectory (step count, loss)."""
+    state, step, _ = _state_and_step()
+    rng = jax.random.PRNGKey(7)
+    for i in range(3):
+        state, _ = step(state, _batch(i), rng)
+    save_checkpoint(tmp_path, jax.device_get(state), epoch=0)
+    # branch A: continue in-process
+    state_a = state
+    for i in range(3, 6):
+        state_a, ma = step(state_a, _batch(i), rng)
+    # branch B: restore and continue
+    fresh, step2, _ = _state_and_step()
+    state_b, _ = restore_latest(tmp_path, fresh)
+    for i in range(3, 6):
+        state_b, mb = step2(state_b, _batch(i), rng)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-6)
+    assert int(state_a.step) == int(state_b.step) == 6
+
+
+def test_reference_pt_roundtrip(tmp_path):
+    """vitx params -> reference .pt -> vitx params preserves logits."""
+    state, _, _ = _state_and_step()
+    params = jax.device_get(state.params)
+    path = tmp_path / "5.pt"
+    save_reference_pt(path, params, CFG, epoch=5, loss=0.5, step=100,
+                      batch_size=3)
+    loaded, meta = load_reference_pt(path, CFG)
+    assert meta == {"epoch": 5, "loss": 0.5, "step": 100}
+
+    batch = _batch(2)
+    a = np.asarray(forward(params, batch["image"], CFG))
+    b = np.asarray(forward(jax.tree.map(jnp.asarray, loaded),
+                           batch["image"], CFG))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_reference_pt_loads_into_torch_oracle(tmp_path):
+    """The exported .pt state dict must load into a reference-shaped torch
+    module (strict=True) — proving format fidelity, not just round-trip."""
+    import torch
+
+    state, _, _ = _state_and_step()
+    params = jax.device_get(state.params)
+    path = tmp_path / "1.pt"
+    save_reference_pt(path, params, CFG, epoch=1, batch_size=2)
+    ckpt = torch.load(path, weights_only=False)
+    sd = ckpt["model_state_dict"]
+    # spot-check reference key names and shapes (vit.py:52, conv (E,C,P,P))
+    assert "emdeddings.sequence.0.weight" in sd
+    assert tuple(sd["emdeddings.sequence.0.weight"].shape) == (16, 3, 8, 8)
+    assert tuple(sd["emdeddings.cls_tkn_embd"].shape) == (2, 1, 16)
+    assert "transformer_encoder.blocks.1.multi_head.heads.1.value.weight" in sd
+    assert tuple(sd["mlp.3.weight"].shape) == (4, 64)

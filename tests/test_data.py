@@ -1,0 +1,132 @@
+"""Data layer tests: folder dataset + stratified split parity, loader
+padding/masking, device preprocessing, synthetic learnability."""
+
+import numpy as np
+import jax
+import pytest
+from PIL import Image
+
+from vitx.data import BatchLoader, FolderDataset, SyntheticDataset
+from vitx.data.pipeline import make_preprocess
+
+
+@pytest.fixture(scope="module")
+def folder_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("brain")
+    rng = np.random.default_rng(0)
+    counts = {"glioma": 10, "meningioma": 7, "none": 13, "pituitary": 5}
+    for cls, n in counts.items():
+        d = root / cls
+        d.mkdir()
+        for i in range(n):
+            arr = rng.integers(0, 255, (40, 30, 3), dtype=np.uint8)
+            mode = "L" if i % 3 == 0 else "RGB"   # mixed modes like real data
+            img = Image.fromarray(arr if mode == "RGB" else arr[:, :, 0],
+                                  mode)
+            img.save(d / f"img_{i:03d}.png")
+    return root
+
+
+def test_folder_dataset_split_stratified(folder_root):
+    train = FolderDataset(folder_root, train=True, image_size=32)
+    test = FolderDataset(folder_root, train=False, image_size=32)
+    total = 10 + 7 + 13 + 5
+    assert len(train) + len(test) == total
+    assert len(test) == round(total * 0.2) or abs(len(test) - total * 0.2) <= 1
+    # stratification: each class appears in test split in ~20% proportion
+    for cls_idx in range(4):
+        n_total = int(np.sum(np.concatenate([train.labels, test.labels])
+                             == cls_idx))
+        n_test = int(np.sum(test.labels == cls_idx))
+        assert 0 <= n_test <= n_total
+    # deterministic split across constructions (random_state=42)
+    train2 = FolderDataset(folder_root, train=True, image_size=32)
+    assert [str(p) for p in train.paths] == [str(p) for p in train2.paths]
+
+
+def test_folder_dataset_matches_sklearn_split(folder_root):
+    """Split indices must be exactly sklearn train_test_split(random_state=42)
+    — the reference's in-dataset split (BrainTumorDataset.py:24-28)."""
+    from sklearn.model_selection import train_test_split
+
+    ds_all_train = FolderDataset(folder_root, train=True)
+    ds_all_test = FolderDataset(folder_root, train=False)
+    labels = np.concatenate([ds_all_train.labels, ds_all_test.labels])
+    n = len(labels)
+
+    # rebuild the canonical (path, label) ordering the dataset uses
+    all_paths, all_labels = [], []
+    for idx, name in enumerate(ds_all_train.classes):
+        for p in sorted((folder_root / name).iterdir()):
+            all_paths.append(p)
+            all_labels.append(idx)
+    idx_tr, idx_te = train_test_split(
+        np.arange(n), test_size=0.2, stratify=np.array(all_labels),
+        random_state=42)
+    expect_train = [str(all_paths[i]) for i in np.sort(idx_tr)]
+    assert [str(p) for p in ds_all_train.paths] == expect_train
+
+
+def test_folder_dataset_rgb_and_resize(folder_root):
+    ds = FolderDataset(folder_root, train=True, image_size=32)
+    img, label = ds.get_example(0)
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    assert 0 <= label < 4
+
+
+def test_loader_pads_final_batch(folder_root):
+    ds = FolderDataset(folder_root, train=True, image_size=32)
+    loader = BatchLoader(ds, batch_size=8)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    for b in batches:
+        assert b["image"].shape == (8, 32, 32, 3)
+        assert b["mask"].shape == (8,)
+    total_real = sum(int(b["mask"].sum()) for b in batches)
+    assert total_real == len(ds)
+    assert batches[-1]["mask"].sum() < 8 or len(ds) % 8 == 0
+
+
+def test_loader_shuffle_deterministic():
+    ds = SyntheticDataset(num_examples=64, image_size=16, num_classes=4)
+    l1 = BatchLoader(ds, 16, shuffle=True, seed=3)
+    l2 = BatchLoader(ds, 16, shuffle=True, seed=3)
+    l1.set_epoch(1)
+    l2.set_epoch(1)
+    b1, b2 = next(iter(l1)), next(iter(l2))
+    np.testing.assert_array_equal(b1["label"], b2["label"])
+    l2.set_epoch(2)
+    b3 = next(iter(l2))
+    assert not np.array_equal(b1["label"], b3["label"])
+
+
+def test_preprocess_normalize_flip_resize():
+    pre = make_preprocess(out_size=16, mean=(0.5, 0.5, 0.5),
+                          std=(0.5, 0.5, 0.5), random_flip=True)
+    u8 = np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3),
+                                           dtype=np.uint8)
+    rng = jax.random.PRNGKey(0)
+    out = pre(u8, rng, train=False)
+    assert out.shape == (4, 16, 16, 3)
+    assert float(out.min()) >= -1.0 - 1e-5 and float(out.max()) <= 1.0 + 1e-5
+    # eval path is deterministic and unflipped
+    out2 = pre(u8, jax.random.PRNGKey(9), train=False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # train path flips some images for some rng
+    outs = [np.asarray(pre(u8, jax.random.PRNGKey(s), train=True))
+            for s in range(4)]
+    assert any(not np.array_equal(o, np.asarray(out)) for o in outs)
+
+
+def test_synthetic_learnable_quickly():
+    """A linear probe separates synthetic classes — sanity that the dataset
+    carries signal (so e2e train tests are meaningful)."""
+    ds = SyntheticDataset(num_examples=256, image_size=16, num_classes=4,
+                          noise=0.1)
+    X = np.stack([ds.get_example(i)[0].reshape(-1) for i in range(len(ds))])
+    y = np.array([ds.get_example(i)[1] for i in range(len(ds))])
+    from sklearn.linear_model import LogisticRegression
+
+    clf = LogisticRegression(max_iter=200).fit(X[:192] / 255.0, y[:192])
+    acc = clf.score(X[192:] / 255.0, y[192:])
+    assert acc > 0.9, acc

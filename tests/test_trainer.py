@@ -1,0 +1,78 @@
+"""End-to-end Trainer tests: tiny train run (loss falls, metrics logged),
+checkpoint/resume mid-run, CLI entry point."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vitx.core.config import ViTConfig
+from vitx.data import BatchLoader, SyntheticDataset
+from vitx.data.pipeline import make_preprocess
+from vitx.train.checkpoint import find_latest
+from vitx.train.loop import Trainer, TrainerConfig
+
+CFG = ViTConfig(image_size=16, patch_size=4, num_classes=4, embed_dim=32,
+                depth=2, num_heads=2, compute_dtype="float32")
+
+
+def _loaders(batch=16):
+    train = SyntheticDataset(num_examples=128, image_size=16, num_classes=4,
+                             noise=0.1)
+    test = SyntheticDataset(num_examples=48, image_size=16, num_classes=4,
+                            noise=0.1, seed=1)
+    return (BatchLoader(train, batch, shuffle=True),
+            BatchLoader(test, batch))
+
+
+def test_trainer_e2e_loss_decreases_and_evaluates(tmp_path):
+    train_loader, eval_loader = _loaders()
+    tcfg = TrainerConfig(epochs=3, lr=3e-3, log_dir=str(tmp_path / "logs"),
+                         checkpoint_dir=str(tmp_path / "ckpt"), log_every=4)
+    pre = make_preprocess(out_size=None, mean=(0.5, 0.5, 0.5),
+                          std=(0.5, 0.5, 0.5))
+    trainer = Trainer(CFG, tcfg, preprocess=pre)
+    history = trainer.fit(train_loader, eval_loader)
+
+    assert len(history) == 3
+    assert history[-1]["epoch_loss_sum"] < history[0]["epoch_loss_sum"]
+    assert "val_accuracy" in history[-1]
+    assert history[-1]["val_accuracy"] > 0.5   # gratings are easy
+    # checkpoints written per epoch
+    assert find_latest(tmp_path / "ckpt") == 2
+    # tensorboard event files (or jsonl fallback) exist
+    logs = os.listdir(tmp_path / "logs")
+    assert logs
+
+
+def test_trainer_resume(tmp_path):
+    train_loader, eval_loader = _loaders()
+    ckpt_dir = str(tmp_path / "ckpt")
+    tcfg1 = TrainerConfig(epochs=2, lr=3e-3, checkpoint_dir=ckpt_dir)
+    t1 = Trainer(CFG, tcfg1)
+    t1.fit(train_loader, eval_loader=None)
+    step_after_2 = int(t1.state.step)
+
+    tcfg2 = TrainerConfig(epochs=4, lr=3e-3, checkpoint_dir=ckpt_dir)
+    t2 = Trainer(CFG, tcfg2)
+    history = t2.fit(train_loader, eval_loader=None)
+    # epochs 0-1 resumed, only 2-3 run
+    assert [h["epoch"] for h in history] == [2, 3]
+    assert int(t2.state.step) == 2 * step_after_2
+
+
+def test_cli_smoke(tmp_path, capsys):
+    from vitx.cli.train import main
+
+    rc = main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "16", "--lr", "1e-3",
+        "--checkpoint-dir", str(tmp_path / "c"),
+        "--compute-dtype", "float32",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    final = json.loads(out[-1])
+    assert "loss" in final and np.isfinite(final["loss"])
+    assert find_latest(tmp_path / "c") == 0

@@ -1,0 +1,97 @@
+"""Training CLI: ``python -m vitx.cli.train --preset tiny --data synthetic``.
+
+Fulfils the reference's own acknowledged TODO (``src/train.py:124-125``
+"converting these fields into command line arguments ... or json format") —
+the reference hard-codes every hyperparameter under ``__main__``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from vitx.core.config import PRESETS, ViTConfig, get_config
+from vitx.data import BatchLoader, CIFAR10, FolderDataset, SyntheticDataset
+from vitx.data.pipeline import make_preprocess
+from vitx.train.loop import Trainer, TrainerConfig
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(
+        prog="vitx.train", description="Train a ViT classifier on TPU")
+    p.add_argument("--preset", default="tiny", choices=sorted(PRESETS),
+                   help="model preset (see vitx.core.config.PRESETS)")
+    p.add_argument("--config-json", default=None,
+                   help="path to a ViTConfig JSON (overrides --preset)")
+    p.add_argument("--data", default="synthetic",
+                   help="'synthetic', 'cifar10:<dir>' or 'folder:<dir>'")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-augment", action="store_true",
+                   help="disable normalization + flips (reference parity)")
+    p.add_argument("--compute-dtype", default=None,
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def make_datasets(spec: str, cfg: ViTConfig, seed: int):
+    if spec == "synthetic":
+        common = dict(image_size=cfg.image_size, num_classes=cfg.num_classes,
+                      num_channels=cfg.num_channels)
+        return (SyntheticDataset(num_examples=2048, seed=seed, **common),
+                SyntheticDataset(num_examples=512, seed=seed + 1, **common))
+    kind, _, path = spec.partition(":")
+    if kind == "cifar10":
+        return CIFAR10(path, train=True), CIFAR10(path, train=False)
+    if kind == "folder":
+        return (FolderDataset(path, train=True, image_size=cfg.image_size),
+                FolderDataset(path, train=False, image_size=cfg.image_size))
+    raise ValueError(f"unknown --data spec {spec!r}")
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.config_json:
+        cfg = ViTConfig.from_json(open(args.config_json).read())
+    else:
+        cfg = get_config(args.preset)
+    if args.compute_dtype:
+        cfg = cfg.replace(compute_dtype=args.compute_dtype)
+
+    train_ds, eval_ds = make_datasets(args.data, cfg, args.seed)
+    n_classes = getattr(train_ds, "num_classes", len(train_ds.classes))
+    if n_classes != cfg.num_classes:
+        cfg = cfg.replace(num_classes=n_classes)
+
+    train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
+                               seed=args.seed)
+    eval_loader = BatchLoader(eval_ds, args.batch_size)
+    pre = make_preprocess(
+        out_size=cfg.image_size,
+        mean=None if args.no_augment else (0.5, 0.5, 0.5),
+        std=None if args.no_augment else (0.5, 0.5, 0.5),
+        random_flip=not args.no_augment)
+
+    tcfg = TrainerConfig(
+        epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,
+        checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
+        eval_every=args.eval_every, log_every=args.log_every, seed=args.seed)
+    trainer = Trainer(cfg, tcfg, preprocess=pre)
+    history = trainer.fit(train_loader, eval_loader)
+    if history:
+        final = history[-1]
+        print(json.dumps({k: v for k, v in final.items()
+                          if isinstance(v, (int, float, str))}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,13 @@
+from vitx.data.folder import FolderDataset
+from vitx.data.cifar import CIFAR10
+from vitx.data.synthetic import SyntheticDataset
+from vitx.data.loader import BatchLoader
+from vitx.data.pipeline import make_preprocess
+
+__all__ = [
+    "FolderDataset",
+    "CIFAR10",
+    "SyntheticDataset",
+    "BatchLoader",
+    "make_preprocess",
+]

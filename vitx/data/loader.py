@@ -1,0 +1,83 @@
+"""Host-side batch loader with threaded decode and static batch shapes.
+
+Replaces the reference's ``DataLoader(batch_size, shuffle=True,
+num_workers=4)`` worker processes (``src/train.py:161-162``) with a
+thread-pool decode (PIL releases the GIL) and double-buffered prefetch.
+Every batch has a STATIC shape — ragged final batches are padded and carry a
+``mask`` so jit never recompiles and eval stays exact (SURVEY §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import queue
+import threading
+
+import numpy as np
+
+
+class BatchLoader:
+    """Iterable over {"image": (B,H,W,C) u8, "label": (B,), "mask": (B,)}."""
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = False,
+                 num_threads: int = 8, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        """Reshuffle per epoch (deterministic in (seed, epoch))."""
+        self._epoch = epoch
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng((self._seed, self._epoch)).shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            yield order[start:start + self.batch_size]
+
+    def _assemble(self, pool, idx):
+        examples = list(pool.map(self.dataset.get_example, idx))
+        images = np.stack([e[0] for e in examples])
+        labels = np.array([e[1] for e in examples], np.int32)
+        pad = self.batch_size - len(idx)
+        mask = np.ones(self.batch_size, np.int32)
+        if pad:
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+            labels = np.concatenate([labels, np.zeros(pad, np.int32)])
+            mask[len(idx):] = 0
+        return {"image": images, "label": labels, "mask": mask}
+
+    def __iter__(self):
+        out: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with cf.ThreadPoolExecutor(self.num_threads) as pool:
+                for idx in self._index_batches():
+                    out.put(self._assemble(pool, idx))
+            out.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = out.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()

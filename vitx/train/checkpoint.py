@@ -1,0 +1,138 @@
+"""Per-epoch checkpoints with resume-from-latest.
+
+Keeps the reference's directory convention — one file per epoch named by the
+integer epoch, newest = max integer stem (``src/train.py:52-58,107-113``) —
+with a TPU-native payload: the full TrainState pytree (params + optimizer
+state + step) serialized as a flat .npz, metadata as embedded JSON. A
+reference-format ``.pt`` import/export shim lives in ``vitx.interop``.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+
+import jax
+import numpy as np
+
+_STEM_RE = re.compile(r"^(\d+)$")
+SUFFIX = ".ckpt"
+
+
+def _flatten(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return leaves, treedef
+
+
+def save_checkpoint(ckpt_dir, state, epoch: int, meta: dict | None = None,
+                    keep: int | None = None):
+    """Write ``{epoch}.ckpt``. ``meta`` must be JSON-serializable.
+
+    ``keep``: if set, delete all but the newest `keep` checkpoints after
+    saving (the reference kept every epoch; this is opt-in).
+    """
+    ckpt_dir = pathlib.Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    leaves, _ = _flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    meta = dict(meta or {})
+    meta["epoch"] = epoch
+    payload = {"__meta__": np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)}
+    payload.update(arrays)
+    path = ckpt_dir / f"{epoch}{SUFFIX}"
+    tmp = path.with_suffix(".tmp.npz")
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    tmp.replace(path)          # atomic: no torn checkpoint on preemption
+
+    if keep is not None:
+        found = sorted(list_checkpoints(ckpt_dir))
+        for old in found[:-keep]:
+            (ckpt_dir / f"{old}{SUFFIX}").unlink(missing_ok=True)
+    return path
+
+
+def list_checkpoints(ckpt_dir) -> list[int]:
+    ckpt_dir = pathlib.Path(ckpt_dir)
+    if not ckpt_dir.is_dir():
+        return []
+    out = []
+    for p in ckpt_dir.glob(f"*{SUFFIX}"):
+        m = _STEM_RE.match(p.stem)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def find_latest(ckpt_dir) -> int | None:
+    """Newest epoch number in the directory (train.py:52-58 semantics)."""
+    found = list_checkpoints(ckpt_dir)
+    return found[-1] if found else None
+
+
+def restore_checkpoint(path, template_state):
+    """Load a checkpoint into the structure of ``template_state``.
+
+    Returns (state, meta). Leaves are restored with the template's sharding
+    (device_put onto each template leaf's sharding when available).
+    """
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        leaves, treedef = _flatten(template_state)
+        loaded = []
+        for i, tmpl in enumerate(leaves):
+            arr = z[f"leaf_{i}"]
+            if hasattr(tmpl, "sharding"):
+                arr = jax.device_put(arr.astype(tmpl.dtype), tmpl.sharding)
+            loaded.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, loaded), meta
+
+
+def restore_latest(ckpt_dir, template_state):
+    """Resume from the newest checkpoint, or return (template, None)."""
+    latest = find_latest(ckpt_dir)
+    if latest is None:
+        return template_state, None
+    path = pathlib.Path(ckpt_dir) / f"{latest}{SUFFIX}"
+    state, meta = restore_checkpoint(path, template_state)
+    return state, meta
+
+
+# ---------------------------------------------------------------------------
+# Reference .pt format (torch.save dict, train.py:107-113 schema)
+# ---------------------------------------------------------------------------
+
+def save_reference_pt(path, params, cfg, *, epoch: int, loss: float = 0.0,
+                      step: int = 0, batch_size: int = 1):
+    """Write a reference-layout ``{epoch}.pt``:
+    {'epoch', 'model_state_dict', 'optimizer_state_dict', 'loss', 'step'}."""
+    import torch
+
+    from vitx.interop import export_reference_state_dict
+
+    sd = export_reference_state_dict(jax.device_get(params), cfg,
+                                     batch_size=batch_size)
+    torch.save({
+        "epoch": epoch,
+        "model_state_dict": {k: torch.from_numpy(v.copy())
+                             for k, v in sd.items()},
+        "optimizer_state_dict": {},   # optimizer state is framework-specific
+        "loss": loss,
+        "step": step,
+    }, path)
+
+
+def load_reference_pt(path, cfg):
+    """Load a reference ``.pt`` checkpoint -> (params pytree, meta dict)."""
+    import torch
+
+    from vitx.interop import import_reference_state_dict
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model_state_dict"] if "model_state_dict" in ckpt else ckpt
+    params = import_reference_state_dict(sd, cfg)
+    meta = {k: ckpt.get(k) for k in ("epoch", "loss", "step")
+            if isinstance(ckpt, dict) and k in ckpt}
+    return params, meta

@@ -1,0 +1,199 @@
+"""The epoch-based training driver.
+
+Capability equivalent of the reference's ``train(...)`` loop
+(``src/train.py:46-119``): per-epoch train/eval, TensorBoard scalars with the
+reference's tags, per-epoch checkpoints, auto-resume from the newest one —
+minus its pathologies (per-step device→host sync at train.py:98, the
+epoch-end NameError at train.py:115-119). Adds throughput/step-time scalars
+and optional jax.profiler traces (SURVEY §5 observability plan).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from vitx.core.config import ViTConfig
+from vitx.metrics import confusion_to_metrics
+from vitx.train.checkpoint import restore_latest, save_checkpoint
+from vitx.train.logging import ScalarWriter
+from vitx.train.step import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    epochs: int = 10
+    lr: float = 1e-4                  # reference default (train.py:137)
+    weight_decay: float = 1e-4        # reference default (train.py:66)
+    grad_clip: float | None = None
+    log_every: int = 50               # steps between scalar flushes
+    checkpoint_dir: str | None = None
+    log_dir: str | None = None
+    keep_checkpoints: int | None = None
+    eval_every: int = 1               # epochs between evals
+    profile_epoch: int | None = None  # jax.profiler trace for this epoch
+    seed: int = 0
+
+
+class Trainer:
+    """Epoch loop over BatchLoader-style iterables.
+
+    ``preprocess``: optional jitted (u8 images, rng, train=...) -> float
+    images fn (vitx.data.pipeline.make_preprocess); when None, batches are
+    fed to the model as-is.
+    """
+
+    def __init__(self, cfg: ViTConfig, tcfg: TrainerConfig, *,
+                 preprocess: Callable | None = None,
+                 train_step=None, eval_step=None, init_state=None):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.optimizer = make_optimizer(
+            lr=tcfg.lr, weight_decay=tcfg.weight_decay,
+            grad_clip=tcfg.grad_clip)
+        self.train_step = train_step or make_train_step(cfg, self.optimizer)
+        self.eval_step = eval_step or make_eval_step(cfg)
+        self.preprocess = preprocess
+        rng = jax.random.PRNGKey(tcfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        self.state = (init_state if init_state is not None
+                      else create_train_state(init_rng, cfg, self.optimizer))
+        self.start_epoch = 0
+        self.history: list[dict[str, Any]] = []
+
+    def maybe_resume(self):
+        """Resume from the newest {epoch}.ckpt (train.py:52-58 convention)."""
+        if self.tcfg.checkpoint_dir is None:
+            return None
+        self.state, meta = restore_latest(self.tcfg.checkpoint_dir, self.state)
+        if meta is not None:
+            self.start_epoch = int(meta["epoch"]) + 1
+        return meta
+
+    def _prep(self, batch, rng, train):
+        image = batch["image"]
+        if self.preprocess is not None:
+            image = self.preprocess(image, rng, train=train)
+        out = {"image": image, "label": batch["label"]}
+        if not train and "mask" in batch:
+            out["mask"] = batch["mask"]
+        return out
+
+    def evaluate(self, eval_loader):
+        """Accumulate ONE confusion matrix on device over the loader, then a
+        single host transfer (vs the reference's per-batch host sync,
+        train.py:29-44)."""
+        cm = None
+        losses = []
+        for batch in eval_loader:
+            prepped = self._prep(batch, None, train=False)
+            cm_b, loss = self.eval_step(self.state.params, prepped)
+            cm = cm_b if cm is None else cm + cm_b
+            losses.append(loss)
+        if cm is None:
+            return {}
+        metrics = jax.device_get(confusion_to_metrics(cm))
+        metrics = {k: (float(v) if getattr(v, "shape", None) == () else v)
+                   for k, v in metrics.items()}
+        metrics["loss"] = float(np.mean(jax.device_get(losses)))
+        return metrics
+
+    def fit(self, train_loader, eval_loader=None):
+        tcfg = self.tcfg
+        writer = (ScalarWriter(tcfg.log_dir) if tcfg.log_dir else None)
+        resumed = self.maybe_resume()
+        if resumed is not None:
+            print(f"resumed from epoch {resumed['epoch']}")
+
+        try:
+            for epoch in range(self.start_epoch, tcfg.epochs):
+                if tcfg.profile_epoch == epoch and tcfg.log_dir:
+                    jax.profiler.start_trace(str(tcfg.log_dir))
+                stats = self._train_epoch(train_loader, epoch, writer)
+
+                if eval_loader is not None and \
+                        (epoch + 1) % tcfg.eval_every == 0:
+                    em = self.evaluate(eval_loader)
+                    stats.update({f"val_{k}": v for k, v in em.items()
+                                  if not hasattr(v, "shape") or v.shape == ()})
+                    if writer:
+                        # reference's literal tag (train.py:106)
+                        writer.add_scalar("val?acc", em["accuracy"], epoch)
+                        writer.add_scalar("Val/precision_weighted",
+                                          em["precision_weighted"], epoch)
+                        writer.add_scalar("Val/recall_weighted",
+                                          em["recall_weighted"], epoch)
+
+                if tcfg.profile_epoch == epoch and tcfg.log_dir:
+                    jax.profiler.stop_trace()
+
+                if tcfg.checkpoint_dir is not None:
+                    save_checkpoint(
+                        tcfg.checkpoint_dir, jax.device_get(self.state), epoch,
+                        meta={"loss": stats.get("loss", 0.0),
+                              "step": int(self.state.step)},
+                        keep=tcfg.keep_checkpoints)
+                self.history.append({"epoch": epoch, **stats})
+                msg = ", ".join(f"{k}={v:.4f}" for k, v in stats.items()
+                                if isinstance(v, (int, float)))
+                print(f"epoch {epoch}: {msg}")
+        finally:
+            if writer:
+                writer.close()
+        return self.history
+
+    def _train_epoch(self, train_loader, epoch, writer):
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
+        t0 = time.time()
+        n_images = 0
+        running_loss = 0.0
+        last_metrics = None
+        pending = []          # (step, metrics) not yet host-synced
+        for batch in train_loader:
+            self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
+            prepped = self._prep(batch, prep_rng, train=True)
+            self.state, metrics = self.train_step(self.state, prepped,
+                                                  step_rng)
+            step = int(self.state.step)
+            n_images += batch["image"].shape[0]
+            pending.append((step, metrics))
+            # flush asynchronously-computed scalars in chunks: no per-step sync
+            if len(pending) >= self.tcfg.log_every:
+                running_loss += self._flush(pending, writer)
+                last_metrics = pending[-1][1]
+                pending = []
+        if pending:
+            running_loss += self._flush(pending, writer)
+            last_metrics = pending[-1][1]
+        dt = time.time() - t0
+        stats = {
+            "loss": float(jax.device_get(last_metrics["loss"]))
+            if last_metrics else float("nan"),
+            "epoch_loss_sum": running_loss,
+            "images_per_sec": n_images / dt,
+            "epoch_secs": dt,
+        }
+        if writer:
+            writer.add_scalar("Throughput/images_per_sec",
+                              stats["images_per_sec"], epoch)
+        return stats
+
+    def _flush(self, pending, writer) -> float:
+        total = 0.0
+        for step, m in pending:
+            loss = float(jax.device_get(m["loss"]))
+            total += loss
+            if writer:
+                # reference's per-step tag (train.py:99)
+                writer.add_scalar("Loss/train_batch", loss, step)
+        return total
