@@ -1,0 +1,92 @@
+"""Pallas kernel parity tests (interpret mode on CPU; compiled on TPU).
+
+Kernel-vs-jnp-reference parity in fp32, including the instrumented
+attention-probs output and the custom-VJP backward (SURVEY.md §4 test plan).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitx.kernels.flash_attention import (
+    flash_attention,
+    flash_attention_with_probs,
+)
+from vitx.nn.attention import reference_attention
+
+
+def _qkv(seed, B=2, H=3, T=65, D=16, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (B, H, T, D)
+    return tuple(jax.random.normal(k, shape, dtype) for k in ks)
+
+
+@pytest.mark.parametrize("T", [8, 65, 130, 197])
+def test_flash_forward_matches_reference(T):
+    q, k, v = _qkv(0, T=T)
+    out = flash_attention(q, k, v)
+    ref, _ = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_probs_match_reference():
+    q, k, v = _qkv(1, T=65)
+    out, probs = flash_attention_with_probs(q, k, v)
+    ref, ref_probs = reference_attention(q, k, v, return_probs=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               rtol=1e-5, atol=1e-6)
+    rows = np.asarray(jnp.sum(probs, axis=-1))
+    np.testing.assert_allclose(rows, np.ones_like(rows), rtol=1e-5)
+
+
+@pytest.mark.parametrize("T", [8, 65, 130])
+def test_flash_backward_matches_reference(T):
+    q, k, v = _qkv(2, B=1, H=2, T=T, D=16)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(reference_attention(q, k, v)[0]))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_flash_softmax_stability():
+    """Huge logits must not overflow (C softmax did, vit.c:215-229)."""
+    q, k, v = _qkv(3, T=16, D=8)
+    q = q * 1e4
+    out = flash_attention(q, k, v)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_flash_bf16_io():
+    q, k, v = _qkv(4, T=65, dtype=jnp.bfloat16)
+    out = flash_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    ref, _ = reference_attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05)
+
+
+def test_model_forced_flash_matches_reference_impl():
+    """Whole-model parity with attn_impl pinned to the Pallas kernel."""
+    from vitx import ViTConfig, forward, init_params
+
+    cfg = ViTConfig(image_size=32, patch_size=8, num_classes=4, embed_dim=32,
+                    depth=2, num_heads=2, compute_dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    a = forward(params, x, cfg.replace(attn_impl="reference"))
+    b = forward(params, x, cfg.replace(attn_impl="flash"))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,105 @@
+"""Distributed tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+"distributed-without-a-cluster"). Verifies that data-parallel and
+tensor-parallel sharded training matches single-device training exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vitx import ViTConfig
+from vitx.parallel import (
+    make_mesh,
+    make_parallel_eval_step,
+    make_parallel_train_step,
+    shard_batch,
+)
+from vitx.parallel.sharded import place_state
+from vitx.train import create_train_state, make_eval_step, make_train_step
+from vitx.train.step import make_optimizer
+
+CFG = ViTConfig(image_size=16, patch_size=4, num_classes=4, embed_dim=32,
+                depth=2, num_heads=4, compute_dtype="float32")
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _batch(seed, n=16):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return {"image": jax.random.normal(k1, (n, 16, 16, 3)),
+            "label": jax.random.randint(k2, (n,), 0, 4)}
+
+
+def _single_device_losses(n_steps=3):
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    step = make_train_step(CFG, opt)
+    losses = []
+    for i in range(n_steps):
+        state, m = step(state, _batch(i), None)
+        losses.append(float(m["loss"]))
+    return losses, state
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+def test_parallel_matches_single_device(dp, tp):
+    ref_losses, ref_state = _single_device_losses()
+
+    mesh = make_mesh(dp=dp, tp=tp)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state = place_state(state, CFG, mesh, tp=tp > 1)
+    step = make_parallel_train_step(CFG, opt, mesh, tp=tp > 1)
+    losses = []
+    for i in range(3):
+        batch = shard_batch(_batch(i), mesh)
+        state, m = step(state, batch, None)
+        losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+    # final params identical to the single-device run
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(ref_state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_tp_params_actually_sharded():
+    mesh = make_mesh(dp=4, tp=2)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state = place_state(state, CFG, mesh, tp=True)
+    wqkv = state.params["blocks"]["wqkv"]
+    # head axis split across 2 model shards
+    assert wqkv.sharding.spec == P(None, None, None, "model", None)
+    shard_shapes = {s.data.shape for s in wqkv.addressable_shards}
+    L, E, _, H, D = wqkv.shape
+    assert shard_shapes == {(L, E, 3, H // 2, D)}
+    # adam moments follow the param sharding
+    mu_wqkv = state.opt_state[0][0].mu["blocks"]["wqkv"]
+    assert mu_wqkv.sharding.spec == P(None, None, None, "model", None)
+
+
+def test_parallel_eval_matches_single_device():
+    mesh = make_mesh(dp=8, tp=1)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+
+    eval_single = make_eval_step(CFG)
+    batch = _batch(42, n=32)
+    cm_ref, loss_ref = eval_single(state.params, batch)
+
+    state_p = place_state(state, CFG, mesh)
+    eval_par = make_parallel_eval_step(CFG, mesh)
+    cm_par, loss_par = eval_par(state_p.params, shard_batch(batch, mesh))
+    np.testing.assert_array_equal(np.asarray(cm_ref), np.asarray(cm_par))
+    np.testing.assert_allclose(float(loss_ref), float(loss_par), rtol=1e-5)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(dp=16, tp=1)
+    mesh = make_mesh()    # defaults: all devices on data axis
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1

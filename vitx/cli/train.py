@@ -58,6 +58,9 @@ def make_datasets(spec: str, cfg: ViTConfig, seed: int):
 
 
 def main(argv=None):
+    from vitx.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_argparser().parse_args(argv)
     if args.config_json:
         cfg = ViTConfig.from_json(open(args.config_json).read())

@@ -76,6 +76,13 @@ class ViTConfig:
     # "auto": Pallas fused patch-embed on TPU, XLA matmul elsewhere.
     patch_embed_impl: str = "auto"
 
+    # --- memory ---
+    # "block": jax.checkpoint each encoder block inside the scan — backward
+    # recomputes block activations instead of storing L layers of MLP/attn
+    # intermediates (HBM is the bottleneck; trade FLOPs for memory).
+    # "none": store everything.
+    remat: str = "block"
+
     # --- initialization ---
     init_std: float = 0.02  # trunc-normal std for weights / cls / pos embeddings
     seed: int = 0
@@ -95,6 +102,8 @@ class ViTConfig:
             raise ValueError(f"unknown mlp_act {self.mlp_act!r}")
         if self.head_type not in ("reference", "standard"):
             raise ValueError(f"unknown head_type {self.head_type!r}")
+        if self.remat not in ("block", "none"):
+            raise ValueError(f"unknown remat {self.remat!r}")
 
     # -- derived --
     @property

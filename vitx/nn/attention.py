@@ -75,13 +75,17 @@ def multi_head_attention(
         qkv = qkv + bqkv.astype(x.dtype).reshape(3, 1, H, 1, D)
     q, k, v = qkv[0], qkv[1], qkv[2]
 
-    use_flash = False
-    if not return_probs:
-        if impl == "flash":
-            use_flash = True
-        elif impl == "auto":
-            use_flash = jax.default_backend() == "tpu" and D >= 64 and T >= 128
-    if use_flash:
+    if impl == "flash":
+        use_flash = True
+    elif impl == "auto":
+        use_flash = jax.default_backend() == "tpu" and D >= 64 and T >= 128
+    else:
+        use_flash = False
+    if use_flash and return_probs:
+        from vitx.kernels.flash_attention import flash_attention_with_probs
+
+        out, probs = flash_attention_with_probs(q, k, v)
+    elif use_flash:
         from vitx.kernels.flash_attention import flash_attention
 
         out = flash_attention(q, k, v)

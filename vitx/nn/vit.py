@@ -182,7 +182,7 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
         x = dropout(x, cfg.dropout, r, deterministic=deterministic)
 
     if rng is not None:
-        def body(carry, layer_in):
+        def block_fn(carry, layer_in):
             bp, r = layer_in
             y, probs = _encoder_block(
                 carry, bp, cfg, rng=r, deterministic=deterministic,
@@ -191,13 +191,16 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
             return y, (probs if return_probs else None)
         xs = (params["blocks"], jax.random.split(rng, cfg.depth))
     else:
-        def body(carry, bp):
+        def block_fn(carry, bp):
             y, probs = _encoder_block(
                 carry, bp, cfg, rng=None, deterministic=deterministic,
                 return_probs=return_probs,
             )
             return y, (probs if return_probs else None)
         xs = params["blocks"]
+    # Rematerialize each block in the backward pass: HBM, not FLOPs, is the
+    # training-memory bottleneck (SURVEY §7 / scaling-book recipe).
+    body = jax.checkpoint(block_fn) if cfg.remat == "block" else block_fn
     x, probs = jax.lax.scan(body, x, xs)
 
     if cfg.final_norm:

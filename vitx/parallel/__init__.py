@@ -1,0 +1,19 @@
+from vitx.parallel.mesh import make_mesh
+from vitx.parallel.sharded import (
+    batch_sharding,
+    make_parallel_eval_step,
+    make_parallel_train_step,
+    param_sharding,
+    shard_batch,
+    state_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "param_sharding",
+    "state_sharding",
+    "batch_sharding",
+    "shard_batch",
+    "make_parallel_train_step",
+    "make_parallel_eval_step",
+]

@@ -1,0 +1,145 @@
+"""Sharded train / eval steps over a (data, model) mesh.
+
+Data parallelism: batch sharded over ``data``; gradients are reduced by an
+XLA-inserted psum over ICI (the SPMD partitioner sees replicated params and
+a sharded batch — no hand-written collective, per the scaling-book recipe).
+
+Tensor parallelism (optional, ``tp > 1``): attention heads and the MLP hidden
+dimension are sharded over ``model``. The per-head attention kernel is
+embarrassingly parallel in H, so the only model-axis collectives are the
+psums XLA inserts after the attention output projection and the MLP second
+matmul — exactly the Megatron pattern, derived automatically from the
+shardings below.
+
+Optimizer state: AdamW moments follow their parameter's sharding (ZeRO-1
+style sharding over ``data`` is a planned extension; moments here are
+replicated like params unless the param itself is model-sharded).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vitx.core.config import ViTConfig
+from vitx.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from vitx.train.step import TrainState, eval_step, train_step
+
+
+# ---------------------------------------------------------------------------
+# Sharding specs
+# ---------------------------------------------------------------------------
+
+def _block_specs(cfg: ViTConfig, tp: bool) -> dict:
+    """PartitionSpecs for the stacked (L, ...) block params."""
+    m = MODEL_AXIS if tp else None
+    specs = {
+        "ln1_scale": P(), "ln1_bias": P(),
+        # (L, E, 3, H, D): shard heads
+        "wqkv": P(None, None, None, m, None),
+        # (L, E, E): rows are the concat of head outputs -> shard rows
+        "wo": P(None, m, None),
+        "bo": P(),
+        "ln2_scale": P(), "ln2_bias": P(),
+        # (L, E, M) / (L, M, E): shard the hidden dim
+        "w1": P(None, None, m),
+        "b1": P(None, m),
+        "w2": P(None, m, None),
+        "b2": P(),
+    }
+    if cfg.qkv_bias:
+        specs["bqkv"] = P(None, None, m, None)
+    return specs
+
+
+def param_pspecs(cfg: ViTConfig, tp: bool = False) -> dict:
+    """PartitionSpec pytree matching init_params' structure."""
+    specs = {
+        "patch_embed": {"kernel": P(), "bias": P()},
+        "cls_token": P(),
+        "pos_embed": P(),
+        "blocks": _block_specs(cfg, tp),
+    }
+    if cfg.final_norm:
+        specs["final_norm"] = {"scale": P(), "bias": P()}
+    if cfg.head_type == "reference":
+        specs["head"] = {"w1": P(), "b1": P(), "ln_scale": P(),
+                         "ln_bias": P(), "w2": P(), "b2": P()}
+    else:
+        specs["head"] = {"ln_scale": P(), "ln_bias": P(), "w": P(), "b": P()}
+    return specs
+
+
+def param_sharding(cfg: ViTConfig, mesh: Mesh, tp: bool = False):
+    return jax.tree.map(lambda s: NamedSharding(mesh, s),
+                        param_pspecs(cfg, tp),
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
+                   tp: bool = False):
+    """Sharding for the full TrainState: params per param_sharding; optimizer
+    moments follow their parameter; scalars replicated."""
+    pshard = param_sharding(cfg, mesh, tp)
+    shape_to_shard = {}
+    for leaf, shard in zip(jax.tree_util.tree_leaves(state.params),
+                           jax.tree_util.tree_leaves(pshard)):
+        shape_to_shard[(leaf.shape, leaf.dtype)] = shard
+
+    rep = NamedSharding(mesh, P())
+
+    def assign(x):
+        return shape_to_shard.get((x.shape, x.dtype), rep)
+
+    return TrainState(
+        step=rep,
+        params=pshard,
+        opt_state=jax.tree.map(assign, state.opt_state),
+    )
+
+
+def batch_sharding(mesh: Mesh):
+    return {
+        "image": NamedSharding(mesh, P(DATA_AXIS)),
+        "label": NamedSharding(mesh, P(DATA_AXIS)),
+    }
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh, batch axis over ``data``."""
+    spec = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: jax.device_put(v, spec) for k, v in batch.items()}
+
+
+# ---------------------------------------------------------------------------
+# Sharded steps
+# ---------------------------------------------------------------------------
+
+def place_state(state: TrainState, cfg: ViTConfig, mesh: Mesh,
+                tp: bool = False) -> TrainState:
+    """Place an (unsharded, host or single-device) state onto the mesh."""
+    shardings = state_sharding(state, cfg, mesh, tp)
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
+def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
+                             tp: bool = False):
+    """Jitted SPMD train step. State donated; grads psum over ``data``."""
+
+    step_fn = partial(train_step, cfg=cfg, optimizer=optimizer)
+
+    def wrapped(state, batch, rng):
+        return step_fn(state, batch, rng)
+
+    # in/out shardings are inferred from the placed inputs; jit + donation
+    # keeps state resident and XLA inserts the gradient all-reduce.
+    return jax.jit(wrapped, donate_argnums=(0,))
+
+
+def make_parallel_eval_step(cfg: ViTConfig, mesh: Mesh):
+    """Jitted SPMD eval step; confusion matrix psum-reduced to replicated."""
+    rep = NamedSharding(mesh, P())
+    return jax.jit(partial(eval_step, cfg=cfg),
+                   out_shardings=(rep, rep))
