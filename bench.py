@@ -26,14 +26,15 @@ def _sync(x):
     return np.asarray(jax.tree.leaves(x)[0])
 
 
-def _bench(fn, args, iters, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
+def _devloop_seconds(body, iters):
+    """Time `iters` applications of body inside ONE jitted device-side loop
+    (single dispatch; immune to per-call host/tunnel overhead). `body` maps a
+    f32 scalar accumulator to a new accumulator and must depend on it so the
+    loop cannot be hoisted."""
+    fn = jax.jit(lambda: jax.lax.fori_loop(0, iters, body, jnp.float32(0)))
+    _sync(fn())                      # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
+    _sync(fn())
     return (time.perf_counter() - t0) / iters
 
 
@@ -47,12 +48,17 @@ def main():
     rng = jax.random.PRNGKey(0)
     params = init_params(rng, cfg)
 
-    # --- inference: batch 256 ---
+    # --- inference: batch 256 (device-looped: one dispatch, 10 iters) ---
     B_inf = 256
     images = jax.random.normal(jax.random.PRNGKey(1),
                                (B_inf, 224, 224, 3), jnp.bfloat16)
-    infer = jax.jit(lambda p, x: forward(p, x, cfg))
-    dt_inf = _bench(infer, (params, images), iters=20)
+
+    def infer_body(i, acc):
+        s = jnp.bfloat16(1) + jnp.bfloat16(1e-9) * acc.astype(jnp.bfloat16)
+        logits = forward(params, images * s, cfg)
+        return acc + jnp.mean(logits)
+
+    dt_inf = _devloop_seconds(infer_body, iters=10)
     infer_ips = B_inf / dt_inf
 
     # --- train step: batch 128, fwd+bwd+AdamW ---
@@ -68,20 +74,27 @@ def main():
     }
     srng = jax.random.PRNGKey(5)
 
-    def train_once(state, batch, srng):
-        new_state, metrics = step(state, batch, srng)
-        return new_state, metrics
+    # device-looped: lax.scan threads the donated state through 10 steps in
+    # one dispatch (steady-state step time, no per-call tunnel overhead)
+    from vitx.train.step import train_step as _train_step
+    from functools import partial as _partial
 
-    # donation consumes state; thread it through the timing loop
-    for _ in range(3):
-        state, metrics = train_once(state, batch, srng)
-    _sync(metrics["loss"])
-    iters = 10
+    raw_step = _partial(_train_step, cfg=cfg, optimizer=opt)
+
+    def scan_steps(state):
+        def body(st, _):
+            st, metrics = raw_step(st, batch, srng)
+            return st, metrics["loss"]
+        return jax.lax.scan(body, state, None, length=10)
+
+    scan_jit = jax.jit(scan_steps, donate_argnums=(0,))
+    state, losses = scan_jit(state)
+    _sync(losses)                    # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = train_once(state, batch, srng)
-    _sync(metrics["loss"])
-    train_ips = B_tr * iters / (time.perf_counter() - t0)
+    state, losses = scan_jit(state)
+    _sync(losses)
+    train_ips = B_tr * 10 / (time.perf_counter() - t0)
+    del step
 
     baseline_ips = 372.5               # reference GPU record, BASELINE.md
     print(json.dumps({

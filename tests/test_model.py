@@ -125,3 +125,26 @@ def test_train_step_reduces_loss():
     last_loss = float(metrics["loss"])
     assert int(state.step) == 30
     assert last_loss < first_loss * 0.5, (first_loss, last_loss)
+
+
+def test_dump_params_summary():
+    from vitx.utils import param_summary
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    s = param_summary(params)
+    assert "patch_embed/kernel" in s and "blocks/wqkv" in s
+    assert "TOTAL" in s and "parameters" in s
+
+
+def test_warmup_cosine_schedule_trains():
+    from vitx.train.step import warmup_cosine
+
+    sched = warmup_cosine(lr=1e-3, total_steps=100, warmup_steps=10)
+    assert float(sched(0)) < 1e-4
+    assert abs(float(sched(10)) - 1e-3) < 1e-5
+    assert float(sched(99)) < 1e-3
+    opt = make_optimizer(schedule=sched)
+    state = create_train_state(jax.random.PRNGKey(0), TINY, opt)
+    step = make_train_step(TINY, opt)
+    state, m = step(state, _batch(0, TINY), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))

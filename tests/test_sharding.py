@@ -103,3 +103,28 @@ def test_mesh_validation():
         make_mesh(dp=16, tp=1)
     mesh = make_mesh()    # defaults: all devices on data axis
     assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+
+
+def test_zero1_moments_sharded_and_training_matches():
+    from vitx.parallel.sharded import state_sharding
+
+    ref_losses, _ = _single_device_losses()
+    mesh = make_mesh(dp=8, tp=1)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state = place_state(state, CFG, mesh, zero1=True)
+    shardings = state_sharding(state, CFG, mesh, zero1=True)
+    step = make_parallel_train_step(CFG, opt, mesh, zero1=True,
+                                    state_shardings=shardings)
+    losses = []
+    for i in range(3):
+        state, m = step(state, shard_batch(_batch(i), mesh), None)
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+    # a large adam moment is actually sharded over `data`
+    mu_w1 = state.opt_state[0][0].mu["blocks"]["w1"]
+    assert "data" in jax.tree.leaves(
+        [mu_w1.sharding.spec])[0] or any(
+        s == "data" for s in mu_w1.sharding.spec if s)
+    shard_bytes = mu_w1.addressable_shards[0].data.size
+    assert shard_bytes * 8 == mu_w1.size

@@ -76,3 +76,62 @@ def test_cli_smoke(tmp_path, capsys):
     final = json.loads(out[-1])
     assert "loss" in final and np.isfinite(final["loss"])
     assert find_latest(tmp_path / "c") == 0
+
+
+def test_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-training saves a checkpoint and exits the loop cleanly."""
+    import os
+    import signal as sig
+
+    train_loader, _ = _loaders()
+
+    class SignalingLoader:
+        def __init__(self, inner, after):
+            self.inner, self.after = inner, after
+
+        def set_epoch(self, e):
+            self.inner.set_epoch(e)
+
+        def __iter__(self):
+            for i, b in enumerate(self.inner):
+                if i == self.after:
+                    os.kill(os.getpid(), sig.SIGTERM)
+                yield b
+
+    tcfg = TrainerConfig(epochs=50, lr=1e-3,
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+    trainer = Trainer(CFG, tcfg)
+    history = trainer.fit(SignalingLoader(train_loader, after=2))
+    # exited long before 50 epochs, with a checkpoint on disk
+    assert len(history) < 50
+    assert find_latest(tmp_path / "ckpt") == history[-1]["epoch"]
+
+
+def test_cli_eval(tmp_path, capsys):
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--lr", "3e-3",
+        "--checkpoint-dir", str(tmp_path / "c"),
+        "--compute-dtype", "float32",
+    ])
+    capsys.readouterr()
+    rc = eval_main(["--preset", "tiny", "--data", "synthetic",
+                    "--checkpoint", str(tmp_path / "c"),
+                    "--batch-size", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epoch"] == 0
+    assert 0.0 <= out["accuracy"] <= 1.0
+    assert len(out["per_class_accuracy"]) == 4
+    assert out["num_examples"] == 512
+
+
+def test_cli_eval_missing_checkpoint(tmp_path, capsys):
+    from vitx.cli.eval import main as eval_main
+
+    rc = eval_main(["--preset", "tiny", "--data", "synthetic",
+                    "--checkpoint", str(tmp_path / "nope")])
+    assert rc == 1

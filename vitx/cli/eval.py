@@ -1,0 +1,85 @@
+"""Evaluation CLI: ``python -m vitx.cli.eval --checkpoint DIR --data ...``.
+
+Restores the newest checkpoint and reports accuracy, weighted
+precision/recall (sklearn semantics, train.py:39-42) and per-class accuracy
+(BASELINE.json north star) from one on-device confusion matrix.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import numpy as np
+
+from vitx.core.cache import enable_persistent_cache
+from vitx.core.config import PRESETS, ViTConfig, get_config
+from vitx.data import BatchLoader
+from vitx.data.pipeline import make_preprocess
+from vitx.metrics import confusion_to_metrics
+from vitx.train import create_train_state, make_eval_step
+from vitx.train.checkpoint import restore_latest
+from vitx.train.step import make_optimizer
+
+
+def main(argv=None):
+    enable_persistent_cache()
+    p = argparse.ArgumentParser(prog="vitx.eval")
+    p.add_argument("--preset", default="tiny", choices=sorted(PRESETS))
+    p.add_argument("--config-json", default=None)
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint directory (resumes from newest epoch)")
+    p.add_argument("--data", default="synthetic",
+                   help="'synthetic', 'cifar10:<dir>' or 'folder:<dir>'")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--no-normalize", action="store_true")
+    args = p.parse_args(argv)
+
+    from vitx.cli.train import make_datasets
+
+    cfg = (ViTConfig.from_json(open(args.config_json).read())
+           if args.config_json else get_config(args.preset))
+    _, eval_ds = make_datasets(args.data, cfg, seed=0)
+    classes = getattr(eval_ds, "classes", None)
+
+    template = create_train_state(jax.random.PRNGKey(0), cfg,
+                                  make_optimizer())
+    state, meta = restore_latest(args.checkpoint, template)
+    if meta is None:
+        print(f"error: no checkpoint under {args.checkpoint}",
+              file=sys.stderr)
+        return 1
+
+    pre = make_preprocess(
+        out_size=cfg.image_size,
+        mean=None if args.no_normalize else (0.5, 0.5, 0.5),
+        std=None if args.no_normalize else (0.5, 0.5, 0.5),
+        random_flip=False)
+    eval_step = make_eval_step(cfg)
+
+    cm = None
+    for batch in BatchLoader(eval_ds, args.batch_size):
+        prepped = {"image": pre(batch["image"], None, train=False),
+                   "label": batch["label"], "mask": batch["mask"]}
+        cm_b, _ = eval_step(state.params, prepped)
+        cm = cm_b if cm is None else cm + cm_b
+
+    metrics = jax.device_get(confusion_to_metrics(cm))
+    out = {
+        "epoch": meta["epoch"],
+        "accuracy": float(metrics["accuracy"]),
+        "precision_weighted": float(metrics["precision_weighted"]),
+        "recall_weighted": float(metrics["recall_weighted"]),
+        "per_class_accuracy": {
+            (classes[i] if classes else str(i)): round(float(v), 4)
+            for i, v in enumerate(np.asarray(metrics["per_class_accuracy"]))},
+        "num_examples": int(np.asarray(cm).sum()),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,26 +2,37 @@
 
 The TPU-native replacement for the reference's attention kernels — both the
 Python per-head loop (``src/VisionTransformer/transformer.py:20-31``) and the
-hand-written C path (``csrc/vit.c:241-326``, QKV_MUL/MAT_MUL/SOFTMAX_MAT).
-One kernel computes all of scale -> logits -> stable softmax -> @V without
-materializing the (T, T) matrix in HBM.
+hand-written C path (``csrc/vit.c:241-326``). One kernel computes
+scale -> logits -> stable softmax -> @V without materializing the (T, T)
+matrix in HBM.
 
-Design notes (ViT regime: non-causal, no mask, T <= ~600, head_dim 64):
-- ViT attention is grid-overhead-bound, not FLOP-bound, at these sizes: a
-  (B, H, nq) grid is hundreds of microsecond-scale iterations. So the grid is
-  (B, H/hc, nq) with ``hc`` heads batched per step, hc chosen as the largest
-  divisor of H whose buffers fit a VMEM budget; K/V for those heads live
-  fully in VMEM and each step does ONE batched matmul + stable softmax + one
-  batched matmul — no online-softmax K loop needed at ViT sequence lengths.
-- Matmul inputs stay in native dtype (bf16 rides the MXU at full rate) with
-  fp32 accumulation; softmax is fp32 and max-subtracted (the reference C
-  softmax is not, vit.c:215-229 — a bug class this kernel removes).
-- Backward: custom VJP; the backward kernel recomputes logits AND softmax
-  stats from (q, k, v, do) in one full-T pass — no lse/output residuals, so
-  forward saves nothing but its inputs.
-- ``flash_attention_with_probs`` additionally writes the (T, T) probabilities
-  to HBM — the instrumented variant backing the attention-map API
-  (reference transformer.py:39,48) without slowing the fast path.
+Layout design (measured on v5e, ViT-B/16 batch 256): q/k/v arrive as
+(B, H, T, D) produced by an ``"bte,eshd->sbhtd"`` einsum — XLA emits that
+transposed layout from the projection matmul AT NO COST (same time as the
+plain matmul), whereas explicit HBM transposes/pads around the kernel cost
+more than the attention math itself. Heads lead inside each block, so every
+kernel matmul is a plain batch-leading head-batched dot (the only form Mosaic
+accepts) and the kernel body contains ZERO transposes.
+
+Tiling: grid (B, H/hc, T/bq). For ViT sequence lengths the query block is
+the FULL (unpadded) T — Mosaic allows a block dim equal to the array dim, so
+no padding, no masking, no wasted softmax rows; hc is the largest divisor of
+H whose buffers fit a VMEM budget (unconstrained by block rules in this
+layout). Sequences past ``_MAX_UNPADDED_T`` fall back to 128-padded,
+q-chunked tiling with masked keys.
+
+Numerics: matmuls keep native dtype (bf16 rides the MXU at full rate) with
+fp32 accumulation; softmax is fp32 and max-subtracted (the reference C
+softmax is not, vit.c:215-229). The 1/l division is deferred past the PV
+matmul: one (bq, D) divide instead of (bq, T).
+
+Backward: custom VJP (residuals = q, k, v only). Same grid; dq streams out
+per q-chunk while dk/dv accumulate in fp32 VMEM scratch across the innermost
+q loop and flush on its last step.
+
+``flash_attention_with_probs`` additionally writes (B, H, T, T)
+probabilities to HBM — the instrumented path backing the attention-map API
+(reference transformer.py:39,48) without slowing the fast path.
 
 All kernels run in interpret mode on CPU (tests) and compiled on TPU.
 """
@@ -36,100 +47,113 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-_VMEM_BUDGET = 8 * 1024 * 1024     # conservative half of ~16 MB VMEM
+_VMEM_BUDGET = 8 * 1024 * 1024
+_MAX_UNPADDED_T = 1024
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_block_q(t_pad: int) -> int:
-    for bq in (512, 256, 128):
-        if t_pad % bq == 0:
-            return bq
-    return t_pad  # below the 128 target: single sublane-aligned block
+def _divisors_desc(n: int):
+    return [d for d in range(n, 0, -1) if n % d == 0]
 
 
-def _pad_len(t: int, bq_target: int = 128) -> int:
-    if t <= bq_target:
-        return max(8, -(-t // 8) * 8)
-    return -(-t // bq_target) * bq_target
+def _tiling(H: int, T: int, per_step_bytes):
+    """-> (t_pad, hc, bq). Prefers the unpadded full-T query block."""
+    if T <= _MAX_UNPADDED_T:
+        for hc in _divisors_desc(H):
+            if per_step_bytes(hc, T) <= _VMEM_BUDGET:
+                return T, hc, T
+    t_pad = -(-T // 128) * 128
+    best = None
+    for hc in _divisors_desc(H):
+        for bq in range(min(t_pad, 1024), 7, -8):
+            if t_pad % bq:
+                continue
+            if per_step_bytes(hc, bq) <= _VMEM_BUDGET:
+                if best is None or hc * bq > best[0]:
+                    best = (hc * bq, hc, bq)
+                break
+    if best is None:
+        return t_pad, 1, 8
+    return t_pad, best[1], best[2]
 
 
-def _head_chunk(H: int, vmem_per_head: int) -> int:
-    """Largest divisor of H whose per-step buffers fit the VMEM budget."""
-    for hc in range(H, 0, -1):
-        if H % hc == 0 and hc * vmem_per_head <= _VMEM_BUDGET:
-            return hc
-    return 1
+def _pad_t(x, t_pad: int):
+    T = x.shape[2]
+    if T == t_pad:
+        return x
+    return jnp.pad(x, [(0, 0), (0, 0), (0, t_pad - T), (0, 0)])
 
 
-def _maybe_pad_t(arrs, T: int, t_pad: int):
-    if t_pad == T:
-        return arrs
-    pad = [(0, 0), (0, 0), (0, t_pad - T), (0, 0)]
-    return [jnp.pad(a, pad) for a in arrs]
+def _bmm(a, b, contract):
+    """Head-batched matmul, batch dim leading (the form Mosaic supports)."""
+    return jax.lax.dot_general(a, b, ((contract[0], contract[1]),
+                                      ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
 
 
-def _bmm(a, b, contract, batch=((0,), (0,))):
-    """Batched matmul over the head axis, fp32 accumulation."""
-    return jax.lax.dot_general(
-        a, b, ((contract[0], contract[1]), batch),
-        preferred_element_type=jnp.float32)
-
-
-def _softmax_probs(q, k, scale, kv_len):
-    """(hc, bq, D) x (hc, Tp, D) -> stable softmax probs (hc, bq, Tp) fp32."""
+def _unnormalized_probs(q, k, scale, kv_len, t_pad):
+    """q (hc,bq,D), k (hc,Tk,D) -> (exp(s - max) fp32, rowsum l)."""
     s = _bmm(q, k, ((2,), (2,))) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    if kv_len != t_pad:      # padded keys exist -> mask them
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    return p, l
+
+
+def _spec(hc: int, tokens: int, D: int, *, moving: bool):
+    if moving:
+        index_map = (lambda b, h, i: (b, h, i, 0))
+    else:
+        index_map = (lambda b, h, i: (b, h, 0, 0))
+    return pl.BlockSpec((1, hc, tokens, D), index_map,
+                        memory_space=pltpu.VMEM)
 
 
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, with_probs):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, t_pad,
+                with_probs):
     q = q_ref[0]                                         # (hc, bq, D)
-    k = k_ref[0]                                         # (hc, Tp, D)
-    v = v_ref[0]
+    k = k_ref[0]                                         # (hc, Tk, D)
+    v = v_ref[0]                                         # (hc, Tk, D)
 
-    p = _softmax_probs(q, k, scale, kv_len)
+    p, l = _unnormalized_probs(q, k, scale, kv_len, t_pad)
     o = _bmm(p.astype(v.dtype), v, ((2,), (1,)))         # (hc, bq, D)
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
     if with_probs:
         probs_ref = rest[0]
-        probs_ref[0] = p.astype(probs_ref.dtype)
+        probs_ref[0] = (p / l).astype(probs_ref.dtype)
 
 
 def _fwd(q, k, v, *, with_probs: bool):
     """q,k,v: (B, H, T, D) -> out (B, H, T, D) [, probs (B, H, T, T)]."""
     B, H, T, D = q.shape
     scale = 1.0 / (D ** 0.5)
-    t_pad = _pad_len(T)
-    bq = _pick_block_q(t_pad)
-    nq = t_pad // bq
-    q, k, v = _maybe_pad_t([q, k, v], T, t_pad)
-
     itemsize = jnp.dtype(q.dtype).itemsize
-    per_head = (bq * D * itemsize          # q block
-                + 2 * t_pad * D * itemsize  # k, v
-                + 2 * bq * t_pad * 4        # s/p fp32 (2 live)
-                + bq * D * 4)               # o accum
-    if with_probs:
-        per_head += bq * t_pad * 4
-    hc = _head_chunk(H, per_head)
-    nh = H // hc
 
-    qspec = pl.BlockSpec((1, hc, bq, D), lambda b, h, i: (b, h, i, 0),
-                         memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, hc, t_pad, D), lambda b, h, i: (b, h, 0, 0),
-                          memory_space=pltpu.VMEM)
+    def per_step(hc, bq):
+        n = (bq * D * itemsize
+             + 2 * T * D * itemsize
+             + 2 * bq * T * 4          # p + elementwise temps
+             + 2 * bq * D * 4)
+        if with_probs:
+            n += bq * T * 4
+        return n * hc
+
+    t_pad, hc, bq = _tiling(H, T, per_step)
+    q, k, v = (_pad_t(a, t_pad) for a in (q, k, v))
+    nh, nq = H // hc, t_pad // bq
+
     out_shape = [jax.ShapeDtypeStruct((B, H, t_pad, D), q.dtype)]
-    out_specs = [qspec]
+    out_specs = [_spec(hc, bq, D, moving=True)]
     if with_probs:
         out_shape.append(
             jax.ShapeDtypeStruct((B, H, t_pad, t_pad), jnp.float32))
@@ -138,10 +162,12 @@ def _fwd(q, k, v, *, with_probs: bool):
                          memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=T,
+        functools.partial(_fwd_kernel, scale=scale, kv_len=T, t_pad=t_pad,
                           with_probs=with_probs),
         grid=(B, nh, nq),
-        in_specs=[qspec, kvspec, kvspec],
+        in_specs=[_spec(hc, bq, D, moving=True),
+                  _spec(hc, t_pad, D, moving=False),
+                  _spec(hc, t_pad, D, moving=False)],
         out_shape=out_shape,
         out_specs=out_specs,
         interpret=_use_interpret(),
@@ -153,69 +179,97 @@ def _fwd(q, k, v, *, with_probs: bool):
     )(q, k, v)
     if not isinstance(outs, (list, tuple)):
         outs = [outs]
-
-    o = outs[0][:, :, :T, :]
-    if with_probs:
-        return o, outs[1][:, :, :T, :T]
-    return o
+    if t_pad != T:
+        outs = [outs[0][:, :, :T]] + (
+            [outs[1][:, :, :T, :T]] if with_probs else [])
+    return outs
 
 
 # ---------------------------------------------------------------------------
-# Backward (full-T recompute)
+# Backward: q-chunked, dk/dv accumulated in fp32 scratch
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                scale, kv_len):
-    q = q_ref[0]                                         # (hc, Tp, D)
-    k = k_ref[0]
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                dk_acc, dv_acc, *, scale, kv_len, t_pad, nq):
+    i = pl.program_id(2)
+    q = q_ref[0]                                         # (hc, bq, D)
+    k = k_ref[0]                                         # (hc, Tk, D)
     v = v_ref[0]
-    do = do_ref[0]
+    do = do_ref[0]                                       # (hc, bq, D)
 
-    p = _softmax_probs(q, k, scale, kv_len)              # (hc, Tp, Tp) fp32
+    p, l = _unnormalized_probs(q, k, scale, kv_len, t_pad)
+    p = p / l                                            # (hc, bq, Tk)
     pc = p.astype(q.dtype)
-    dv = _bmm(pc, do, ((1,), (1,)))                      # P^T dO
-    dp = _bmm(do, v, ((2,), (2,)))                       # dO V^T
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)      # rowsum(P ∘ dP)
+    dv_c = _bmm(pc, do, ((1,), (1,)))                    # (hc, Tk, D)
+    dp = _bmm(do, v, ((2,), (2,)))                       # (hc, bq, Tk)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = (p * (dp - delta)).astype(q.dtype)
-    dq = _bmm(ds, k, ((2,), (1,))) * scale
-    dk = _bmm(ds, q, ((1,), (1,))) * scale               # dS^T Q
+    dq = _bmm(ds, k, ((2,), (1,))) * scale               # (hc, bq, D)
+    dk_c = _bmm(ds, q, ((1,), (1,))) * scale             # (hc, Tk, D)
 
     dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[...] = dk_c
+        dv_acc[...] = dv_c
+
+    @pl.when(i > 0)
+    def _():
+        dk_acc[...] += dk_c
+        dv_acc[...] += dv_c
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _bwd(res, do):
     q, k, v = res
     B, H, T, D = q.shape
     scale = 1.0 / (D ** 0.5)
-    t_pad = _pad_len(T)
-    q, k, v, do = _maybe_pad_t([q, k, v, do], T, t_pad)
-
     itemsize = jnp.dtype(q.dtype).itemsize
-    per_head = (4 * t_pad * D * itemsize    # q, k, v, do
-                + 4 * t_pad * t_pad * 4     # p, dp, ds + slack, fp32
-                + 3 * t_pad * D * 4)        # dq, dk, dv accum
-    hc = _head_chunk(H, per_head)
-    nh = H // hc
 
-    tspec = pl.BlockSpec((1, hc, t_pad, D), lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM)
+    def per_step(hc, bq):
+        return hc * (2 * T * D * itemsize
+                     + 2 * bq * D * itemsize
+                     + 3 * bq * T * 4
+                     + 2 * T * D * 4          # fp32 accumulators
+                     + 2 * T * D * itemsize   # dk/dv stores
+                     + 2 * bq * D * 4)
+
+    t_pad, hc, bq = _tiling(H, T, per_step)
+    q, k, v, do = (_pad_t(a, t_pad) for a in (q, k, v, do))
+    nh, nq = H // hc, t_pad // bq
+
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, kv_len=T),
-        grid=(B, nh),
-        in_specs=[tspec] * 4,
+        functools.partial(_bwd_kernel, scale=scale, kv_len=T, t_pad=t_pad,
+                          nq=nq),
+        grid=(B, nh, nq),
+        in_specs=[_spec(hc, bq, D, moving=True),
+                  _spec(hc, t_pad, D, moving=False),
+                  _spec(hc, t_pad, D, moving=False),
+                  _spec(hc, bq, D, moving=True)],
         out_shape=[jax.ShapeDtypeStruct((B, H, t_pad, D), q.dtype)] * 3,
-        out_specs=[tspec] * 3,
+        out_specs=[_spec(hc, bq, D, moving=True),
+                   _spec(hc, t_pad, D, moving=False),
+                   _spec(hc, t_pad, D, moving=False)],
+        scratch_shapes=[
+            pltpu.VMEM((hc, t_pad, D), jnp.float32),
+            pltpu.VMEM((hc, t_pad, D), jnp.float32),
+        ],
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=8 * B * H * t_pad * t_pad * D,
-            bytes_accessed=7 * B * H * t_pad * D * itemsize,
+            bytes_accessed=8 * B * H * t_pad * D * itemsize,
             transcendentals=B * H * t_pad * t_pad,
         ),
     )(q, k, v, do)
 
-    return dq[:, :, :T, :], dk[:, :, :T, :], dv[:, :, :T, :]
+    if t_pad != T:
+        dq, dk, dv = dq[:, :, :T], dk[:, :, :T], dv[:, :, :T]
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -224,20 +278,27 @@ def _bwd(res, do):
 
 @jax.custom_vjp
 def flash_attention(q, k, v):
-    """Fused non-causal attention. q,k,v: (B, H, T, D) -> (B, H, T, D)."""
-    return _fwd(q, k, v, with_probs=False)
+    """Fused non-causal attention. q,k,v: (B, H, T, D) -> (B, H, T, D).
+
+    Feed it the ``"bte,eshd->sbhtd"`` einsum's planes — XLA produces that
+    layout free with the projection matmul.
+    """
+    (o,) = _fwd(q, k, v, with_probs=False)
+    return o
 
 
 def _flash_fwd_rule(q, k, v):
-    return _fwd(q, k, v, with_probs=False), (q, k, v)
+    (o,) = _fwd(q, k, v, with_probs=False)
+    return o, (q, k, v)
 
 
 flash_attention.defvjp(_flash_fwd_rule, _bwd)
 
 
 def flash_attention_with_probs(q, k, v):
-    """Instrumented variant: returns (out, probs) with probs (B,H,T,T) fp32.
+    """Instrumented variant: (out, probs (B, H, T, T) fp32).
 
-    Forward-only (no VJP) — used by the attention-map / rollout API.
+    Forward-only (no VJP) — backs the attention-map / rollout API.
     """
-    return _fwd(q, k, v, with_probs=True)
+    o, probs = _fwd(q, k, v, with_probs=True)
+    return o, probs

@@ -79,9 +79,15 @@ def param_sharding(cfg: ViTConfig, mesh: Mesh, tp: bool = False):
 
 
 def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
-                   tp: bool = False):
-    """Sharding for the full TrainState: params per param_sharding; optimizer
-    moments follow their parameter; scalars replicated."""
+                   tp: bool = False, zero1: bool = False):
+    """Sharding for the full TrainState.
+
+    Params follow param_sharding; optimizer moments follow their parameter —
+    or, with ``zero1=True``, are additionally sharded over the ``data`` axis
+    (ZeRO-1: each data-parallel rank owns a slice of the Adam moments; XLA's
+    SPMD partitioner derives the gather/scatter around the update). Scalars
+    stay replicated.
+    """
     pshard = param_sharding(cfg, mesh, tp)
     shape_to_shard = {}
     for leaf, shard in zip(jax.tree_util.tree_leaves(state.params),
@@ -89,9 +95,20 @@ def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
         shape_to_shard[(leaf.shape, leaf.dtype)] = shard
 
     rep = NamedSharding(mesh, P())
+    dp = mesh.shape[DATA_AXIS]
 
     def assign(x):
-        return shape_to_shard.get((x.shape, x.dtype), rep)
+        shard = shape_to_shard.get((x.shape, x.dtype), rep)
+        if not zero1 or x.ndim == 0 or x.size < 1024:
+            return shard
+        # shard the moment's largest unsharded dim over `data`
+        spec = list(shard.spec) + [None] * (x.ndim - len(shard.spec))
+        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+        for d in dims:
+            if spec[d] is None and x.shape[d] % dp == 0:
+                spec[d] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return shard
 
     return TrainState(
         step=rep,
@@ -118,24 +135,34 @@ def shard_batch(batch, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 def place_state(state: TrainState, cfg: ViTConfig, mesh: Mesh,
-                tp: bool = False) -> TrainState:
+                tp: bool = False, zero1: bool = False) -> TrainState:
     """Place an (unsharded, host or single-device) state onto the mesh."""
-    shardings = state_sharding(state, cfg, mesh, tp)
+    shardings = state_sharding(state, cfg, mesh, tp, zero1)
     return jax.tree.map(jax.device_put, state, shardings)
 
 
 def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
-                             tp: bool = False):
-    """Jitted SPMD train step. State donated; grads psum over ``data``."""
+                             tp: bool = False, zero1: bool = False,
+                             state_shardings=None):
+    """Jitted SPMD train step. State donated; grads psum over ``data``.
 
+    Shardings are inferred from the placed inputs (pjit committed-input
+    semantics); pass ``state_shardings`` (from ``state_sharding``) to pin the
+    output state layout explicitly — required for zero1 so the updated
+    moments stay sharded rather than following the replicated params.
+    """
     step_fn = partial(train_step, cfg=cfg, optimizer=optimizer)
 
     def wrapped(state, batch, rng):
         return step_fn(state, batch, rng)
 
-    # in/out shardings are inferred from the placed inputs; jit + donation
-    # keeps state resident and XLA inserts the gradient all-reduce.
-    return jax.jit(wrapped, donate_argnums=(0,))
+    kw = {}
+    if state_shardings is not None:
+        rep = NamedSharding(mesh, P())
+        metric_shardings = {"loss": rep, "accuracy": rep, "grad_norm": rep}
+        kw["out_shardings"] = (state_shardings, metric_shardings)
+    del tp, zero1  # encoded in the shardings; kept for call-site clarity
+    return jax.jit(wrapped, donate_argnums=(0,), **kw)
 
 
 def make_parallel_eval_step(cfg: ViTConfig, mesh: Mesh):

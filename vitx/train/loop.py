@@ -11,6 +11,7 @@ and optional jax.profiler traces (SURVEY §5 observability plan).
 from __future__ import annotations
 
 import dataclasses
+import signal
 import time
 from typing import Any, Callable
 
@@ -41,6 +42,9 @@ class TrainerConfig:
     keep_checkpoints: int | None = None
     eval_every: int = 1               # epochs between evals
     profile_epoch: int | None = None  # jax.profiler trace for this epoch
+    # Save a checkpoint and stop cleanly on SIGTERM/SIGINT (TPU preemption
+    # notice) — the reference could only resume from the last epoch boundary.
+    preemption_safe: bool = True
     seed: int = 0
 
 
@@ -69,6 +73,7 @@ class Trainer:
                       else create_train_state(init_rng, cfg, self.optimizer))
         self.start_epoch = 0
         self.history: list[dict[str, Any]] = []
+        self._preempted = False
 
     def maybe_resume(self):
         """Resume from the newest {epoch}.ckpt (train.py:52-58 convention)."""
@@ -114,6 +119,16 @@ class Trainer:
         if resumed is not None:
             print(f"resumed from epoch {resumed['epoch']}")
 
+        old_handlers = {}
+        if tcfg.preemption_safe and tcfg.checkpoint_dir is not None:
+            def on_preempt(signum, frame):
+                self._preempted = True
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    old_handlers[sig] = signal.signal(sig, on_preempt)
+                except ValueError:   # not the main thread
+                    break
+
         try:
             for epoch in range(self.start_epoch, tcfg.epochs):
                 if tcfg.profile_epoch == epoch and tcfg.log_dir:
@@ -146,9 +161,15 @@ class Trainer:
                 msg = ", ".join(f"{k}={v:.4f}" for k, v in stats.items()
                                 if isinstance(v, (int, float)))
                 print(f"epoch {epoch}: {msg}")
+                if self._preempted:
+                    print(f"preemption signal received — checkpointed "
+                          f"epoch {epoch}, exiting cleanly")
+                    break
         finally:
             if writer:
                 writer.close()
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
         return self.history
 
     def _train_epoch(self, train_loader, epoch, writer):
@@ -160,6 +181,8 @@ class Trainer:
         last_metrics = None
         pending = []          # (step, metrics) not yet host-synced
         for batch in train_loader:
+            if self._preempted:
+                break   # finish the epoch early; caller checkpoints + exits
             self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
             prepped = self._prep(batch, prep_rng, train=True)
             self.state, metrics = self.train_step(self.state, prepped,

@@ -42,6 +42,16 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
     return optax.chain(*tx)
 
 
+def warmup_cosine(lr: float, total_steps: int, warmup_steps: int = 0,
+                  end_lr_ratio: float = 0.0):
+    """Linear warmup -> cosine decay, the standard ViT fine-tune schedule
+    (the reference used a constant lr, train.py:137)."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr, warmup_steps=max(warmup_steps, 1),
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=lr * end_lr_ratio)
+
+
 def create_train_state(rng, cfg: ViTConfig, optimizer) -> TrainState:
     params = init_params(rng, cfg)
     opt_state = optimizer.init(params)
