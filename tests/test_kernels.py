@@ -90,3 +90,37 @@ def test_model_forced_flash_matches_reference_impl():
     b = forward(params, x, cfg.replace(attn_impl="flash"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_layer_norm_matches_jnp():
+    from vitx.kernels.layer_norm import fused_add_layer_norm, fused_layer_norm
+    from vitx.nn.layers import _jnp_layer_norm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 128), jnp.float32) * 3
+    r = jax.random.normal(jax.random.PRNGKey(1), (64, 128), jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(2), (128,), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(3), (128,), jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(fused_layer_norm(x, s, b)),
+        np.asarray(_jnp_layer_norm(x, s, b)), rtol=1e-5, atol=1e-5)
+
+    summed, y = fused_add_layer_norm(x, r, s, b)
+    np.testing.assert_allclose(np.asarray(summed), np.asarray(x + r),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(_jnp_layer_norm(x + r, s, b)),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients (custom VJP with Pallas backward)
+    def f_fused(x, s, b):
+        return jnp.sum(jnp.sin(fused_layer_norm(x, s, b)))
+
+    def f_ref(x, s, b):
+        return jnp.sum(jnp.sin(_jnp_layer_norm(x, s, b)))
+
+    gf = jax.grad(f_fused, argnums=(0, 1, 2))(x, s, b)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, s, b)
+    for a, c, name in zip(gf, gr, ["dx", "dscale", "dbias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)

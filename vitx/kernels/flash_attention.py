@@ -95,8 +95,13 @@ def _bmm(a, b, contract):
 
 
 def _unnormalized_probs(q, k, scale, kv_len, t_pad):
-    """q (hc,bq,D), k (hc,Tk,D) -> (exp(s - max) fp32, rowsum l)."""
-    s = _bmm(q, k, ((2,), (2,))) * scale
+    """q (hc,bq,D), k (hc,Tk,D) -> (exp(s - max) fp32, rowsum l).
+
+    The 1/sqrt(D) scale is folded into q BEFORE the matmul — a (bq, D) pass
+    instead of a (bq, Tk) pass over the logits.
+    """
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    s = _bmm(qs, k, ((2,), (2,)))
     if kv_len != t_pad:      # padded keys exist -> mask them
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < kv_len, s, NEG_INF)

@@ -11,8 +11,7 @@ import jax
 import jax.numpy as jnp
 
 
-def layer_norm(x, scale, bias, *, eps: float = 1e-5):
-    """LayerNorm over the last axis, fp32 internally, returns x.dtype."""
+def _jnp_layer_norm(x, scale, bias, *, eps: float = 1e-5):
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -20,6 +19,25 @@ def layer_norm(x, scale, bias, *, eps: float = 1e-5):
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return y.astype(dtype)
+
+
+def layer_norm(x, scale, bias, *, eps: float = 1e-5):
+    """LayerNorm over the last axis, fp32 stats, returns x.dtype.
+
+    Deliberately plain XLA: measured on v5e at ViT-B/16 batch 256, XLA's LN
+    is already at the HBM roofline (~0.3 ms net) and routing it through the
+    Pallas kernel (vitx.kernels.layer_norm) breaks XLA's surrounding fusions
+    — the end-to-end model got 24% SLOWER. The Pallas LN kernels remain
+    available for standalone use and as reference kernels.
+    """
+    return _jnp_layer_norm(x, scale, bias, eps=eps)
+
+
+def add_layer_norm(x, r, scale, bias, *, eps: float = 1e-5):
+    """-> (x + r, LN(x + r)): the pre-LN residual pattern (XLA fuses the add
+    into the LN's first pass on its own — see layer_norm's measurement note)."""
+    s = x + r
+    return s, _jnp_layer_norm(s, scale, bias, eps=eps)
 
 
 def activation(x, name: str):

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from vitx.core.config import ViTConfig
 from vitx.nn.attention import multi_head_attention
-from vitx.nn.layers import activation, dropout, layer_norm, mlp
+from vitx.nn.layers import activation, add_layer_norm, dropout, layer_norm, mlp
 
 Params = dict
 
@@ -139,26 +139,32 @@ def patch_embed(params: Params, images, cfg: ViTConfig):
     return tokens + params["patch_embed"]["bias"].astype(x.dtype)
 
 
-def _encoder_block(x, bp, cfg: ViTConfig, *, rng, deterministic, return_probs):
-    """Pre-LN block: x + MHA(LN1(x)); x + MLP(LN2(x)). (transformer.py:66-79)"""
+def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
+                   return_probs):
+    """Pre-LN block: x + MHA(LN1(x)); x + MLP(LN2(x)). (transformer.py:66-79)
+
+    The previous block's MLP output arrives as ``pending`` so every residual
+    add fuses into the next LayerNorm (one HBM pass instead of two); the
+    block returns its own MLP output as the new pending.
+    """
     if rng is not None:
         r_attn, r_mlp = jax.random.split(rng)
     else:
         r_attn = r_mlp = None
 
-    h = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"], eps=cfg.layer_norm_eps)
+    x, h = add_layer_norm(x, pending, bp["ln1_scale"], bp["ln1_bias"],
+                          eps=cfg.layer_norm_eps)
     attn_out, probs = multi_head_attention(
         h, bp["wqkv"], bp.get("bqkv"), bp["wo"], bp["bo"],
         num_heads=cfg.num_heads, impl=cfg.attn_impl, return_probs=return_probs,
     )
     attn_out = dropout(attn_out, cfg.dropout, r_attn, deterministic=deterministic)
-    x = x + attn_out
 
-    h = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"], eps=cfg.layer_norm_eps)
+    x, h = add_layer_norm(x, attn_out, bp["ln2_scale"], bp["ln2_bias"],
+                          eps=cfg.layer_norm_eps)
     mlp_out = mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"], act=cfg.mlp_act)
     mlp_out = dropout(mlp_out, cfg.dropout, r_mlp, deterministic=deterministic)
-    x = x + mlp_out
-    return x, probs
+    return x, mlp_out, probs
 
 
 def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
@@ -184,24 +190,25 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
     if rng is not None:
         def block_fn(carry, layer_in):
             bp, r = layer_in
-            y, probs = _encoder_block(
-                carry, bp, cfg, rng=r, deterministic=deterministic,
+            y, pend, probs = _encoder_block(
+                *carry, bp, cfg, rng=r, deterministic=deterministic,
                 return_probs=return_probs,
             )
-            return y, (probs if return_probs else None)
+            return (y, pend), (probs if return_probs else None)
         xs = (params["blocks"], jax.random.split(rng, cfg.depth))
     else:
         def block_fn(carry, bp):
-            y, probs = _encoder_block(
-                carry, bp, cfg, rng=None, deterministic=deterministic,
+            y, pend, probs = _encoder_block(
+                *carry, bp, cfg, rng=None, deterministic=deterministic,
                 return_probs=return_probs,
             )
-            return y, (probs if return_probs else None)
+            return (y, pend), (probs if return_probs else None)
         xs = params["blocks"]
     # Rematerialize each block in the backward pass: HBM, not FLOPs, is the
     # training-memory bottleneck (SURVEY §7 / scaling-book recipe).
     body = jax.checkpoint(block_fn) if cfg.remat == "block" else block_fn
-    x, probs = jax.lax.scan(body, x, xs)
+    (x, pending), probs = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs)
+    x = x + pending
 
     if cfg.final_norm:
         fn = params["final_norm"]
