@@ -26,15 +26,21 @@ def _sync(x):
     return np.asarray(jax.tree.leaves(x)[0])
 
 
-def _devloop_seconds(body, iters):
+def _devloop_seconds(body, iters, *args):
     """Time `iters` applications of body inside ONE jitted device-side loop
-    (single dispatch; immune to per-call host/tunnel overhead). `body` maps a
-    f32 scalar accumulator to a new accumulator and must depend on it so the
-    loop cannot be hoisted."""
-    fn = jax.jit(lambda: jax.lax.fori_loop(0, iters, body, jnp.float32(0)))
-    _sync(fn())                      # compile + warm
+    (single dispatch; immune to per-call host/tunnel overhead). `body` takes
+    (accumulator, *args) and must fold the accumulator into its input so the
+    loop cannot be hoisted. Operands MUST travel as jit arguments — closing
+    over them bakes them into the compile payload, which the remote-compile
+    tunnel rejects (HTTP 413) for model-sized constants."""
+    @jax.jit
+    def fn(*args):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, acc: body(acc, *args), jnp.float32(0))
+
+    _sync(fn(*args))                 # compile + warm
     t0 = time.perf_counter()
-    _sync(fn())
+    _sync(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 
@@ -53,12 +59,12 @@ def main():
     images = jax.random.normal(jax.random.PRNGKey(1),
                                (B_inf, 224, 224, 3), jnp.bfloat16)
 
-    def infer_body(i, acc):
+    def infer_body(acc, params, images):
         s = jnp.bfloat16(1) + jnp.bfloat16(1e-9) * acc.astype(jnp.bfloat16)
         logits = forward(params, images * s, cfg)
         return acc + jnp.mean(logits)
 
-    dt_inf = _devloop_seconds(infer_body, iters=10)
+    dt_inf = _devloop_seconds(infer_body, 10, params, images)
     infer_ips = B_inf / dt_inf
 
     # --- train step: batch 128, fwd+bwd+AdamW ---
@@ -81,17 +87,17 @@ def main():
 
     raw_step = _partial(_train_step, cfg=cfg, optimizer=opt)
 
-    def scan_steps(state):
+    def scan_steps(state, batch, srng):
         def body(st, _):
             st, metrics = raw_step(st, batch, srng)
             return st, metrics["loss"]
         return jax.lax.scan(body, state, None, length=10)
 
     scan_jit = jax.jit(scan_steps, donate_argnums=(0,))
-    state, losses = scan_jit(state)
+    state, losses = scan_jit(state, batch, srng)
     _sync(losses)                    # compile + warm
     t0 = time.perf_counter()
-    state, losses = scan_jit(state)
+    state, losses = scan_jit(state, batch, srng)
     _sync(losses)
     train_ips = B_tr * 10 / (time.perf_counter() - t0)
     del step

@@ -128,3 +128,30 @@ def test_zero1_moments_sharded_and_training_matches():
         s == "data" for s in mu_w1.sharding.spec if s)
     shard_bytes = mu_w1.addressable_shards[0].data.size
     assert shard_bytes * 8 == mu_w1.size
+
+
+def test_trainer_with_mesh_e2e():
+    """Trainer(mesh=...) trains data-parallel end-to-end and evaluates."""
+    from vitx.data import BatchLoader, SyntheticDataset
+    from vitx.train.loop import Trainer, TrainerConfig
+
+    mesh = make_mesh(dp=8, tp=1)
+    ds = SyntheticDataset(num_examples=128, image_size=16, num_classes=4,
+                          noise=0.1)
+    ds_eval = SyntheticDataset(num_examples=64, image_size=16, num_classes=4,
+                               noise=0.1, seed=1)
+    from vitx.data.pipeline import make_preprocess
+
+    pre = make_preprocess(out_size=None, mean=(0.5, 0.5, 0.5),
+                          std=(0.5, 0.5, 0.5))
+    trainer = Trainer(CFG, TrainerConfig(epochs=4, lr=3e-3), mesh=mesh,
+                      preprocess=pre)
+    history = trainer.fit(
+        BatchLoader(ds, 32, shuffle=True, drop_last=True),
+        BatchLoader(ds_eval, 32, drop_last=True))
+    assert len(history) == 4
+    assert history[-1]["epoch_loss_sum"] < history[0]["epoch_loss_sum"]
+    assert history[-1]["val_accuracy"] > 0.5
+    # state is actually distributed
+    w1 = trainer.state.params["blocks"]["w1"]
+    assert len(w1.sharding.device_set) == 8

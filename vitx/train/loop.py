@@ -54,23 +54,50 @@ class Trainer:
     ``preprocess``: optional jitted (u8 images, rng, train=...) -> float
     images fn (vitx.data.pipeline.make_preprocess); when None, batches are
     fed to the model as-is.
+
+    ``mesh``: a jax.sharding.Mesh (from vitx.parallel.make_mesh) turns this
+    into a multi-chip trainer: state is placed per the (data, model)
+    shardings (``tp``/``zero1`` select tensor-parallel and ZeRO-1 moment
+    sharding), batches are sharded over the data axis, and the steps become
+    SPMD — the single-device reference loop (src/train.py) scaled the
+    TPU-native way.
     """
 
     def __init__(self, cfg: ViTConfig, tcfg: TrainerConfig, *,
                  preprocess: Callable | None = None,
-                 train_step=None, eval_step=None, init_state=None):
+                 train_step=None, eval_step=None, init_state=None,
+                 mesh=None, tp: bool = False, zero1: bool = False):
         self.cfg = cfg
         self.tcfg = tcfg
+        self.mesh = mesh
         self.optimizer = make_optimizer(
             lr=tcfg.lr, weight_decay=tcfg.weight_decay,
             grad_clip=tcfg.grad_clip)
-        self.train_step = train_step or make_train_step(cfg, self.optimizer)
-        self.eval_step = eval_step or make_eval_step(cfg)
-        self.preprocess = preprocess
         rng = jax.random.PRNGKey(tcfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.state = (init_state if init_state is not None
                       else create_train_state(init_rng, cfg, self.optimizer))
+        if mesh is not None:
+            from vitx.parallel.sharded import (
+                make_parallel_eval_step,
+                make_parallel_train_step,
+                place_state,
+                state_sharding,
+            )
+
+            self.state = place_state(self.state, cfg, mesh, tp=tp,
+                                     zero1=zero1)
+            shardings = (state_sharding(self.state, cfg, mesh, tp, zero1)
+                         if zero1 else None)
+            self.train_step = train_step or make_parallel_train_step(
+                cfg, self.optimizer, mesh, tp=tp, zero1=zero1,
+                state_shardings=shardings)
+            self.eval_step = eval_step or make_parallel_eval_step(cfg, mesh)
+        else:
+            self.train_step = (train_step
+                               or make_train_step(cfg, self.optimizer))
+            self.eval_step = eval_step or make_eval_step(cfg)
+        self.preprocess = preprocess
         self.start_epoch = 0
         self.history: list[dict[str, Any]] = []
         self._preempted = False
@@ -91,6 +118,10 @@ class Trainer:
         out = {"image": image, "label": batch["label"]}
         if not train and "mask" in batch:
             out["mask"] = batch["mask"]
+        if self.mesh is not None:
+            from vitx.parallel.sharded import shard_batch
+
+            out = shard_batch(out, self.mesh)
         return out
 
     def evaluate(self, eval_loader):
