@@ -148,3 +148,18 @@ def test_warmup_cosine_schedule_trains():
     step = make_train_step(TINY, opt)
     state, m = step(state, _batch(0, TINY), jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_gradient_accumulation():
+    """accum_steps=2: params update only every 2nd step, matching the mean
+    of the micro-batch gradients."""
+    opt = make_optimizer(lr=1e-2, accum_steps=2)
+    state = create_train_state(jax.random.PRNGKey(0), TINY, opt)
+    step = make_train_step(TINY, opt)
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state, _ = step(state, _batch(0, TINY), None)
+    p1 = jax.tree.leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    state, _ = step(state, _batch(1, TINY), None)
+    p2 = jax.tree.leaves(state.params)[0]
+    assert not np.array_equal(np.asarray(p0), np.asarray(p2))

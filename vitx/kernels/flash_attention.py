@@ -282,12 +282,7 @@ def _bwd(res, do):
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp
-def flash_attention(q, k, v):
-    """Fused non-causal attention. q,k,v: (B, H, T, D) -> (B, H, T, D).
-
-    Feed it the ``"bte,eshd->sbhtd"`` einsum's planes — XLA produces that
-    layout free with the projection matmul.
-    """
+def _flash_kernel(q, k, v):
     (o,) = _fwd(q, k, v, with_probs=False)
     return o
 
@@ -297,7 +292,37 @@ def _flash_fwd_rule(q, k, v):
     return o, (q, k, v)
 
 
-flash_attention.defvjp(_flash_fwd_rule, _bwd)
+_flash_kernel.defvjp(_flash_fwd_rule, _bwd)
+
+
+def _kernel_supported(D: int) -> bool:
+    """Mosaic rejects head dims below one 32-lane packing granule
+    ("Bad lhs type" at D=16 bf16); interpret mode takes anything."""
+    return _use_interpret() or D % 32 == 0
+
+
+def _jnp_attention(q, k, v, *, with_probs=False):
+    """Plain-XLA fallback for kernel-unsupported shapes (tiny head dims)."""
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v,
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    return (o, p) if with_probs else o
+
+
+def flash_attention(q, k, v):
+    """Fused non-causal attention. q,k,v: (B, H, T, D) -> (B, H, T, D).
+
+    Feed it the ``"bte,eshd->sbhtd"`` einsum's planes — XLA produces that
+    layout free with the projection matmul. Head dims the Mosaic matmul
+    cannot tile (D % 32 != 0) fall back to plain XLA with identical
+    semantics.
+    """
+    if _kernel_supported(q.shape[-1]):
+        return _flash_kernel(q, k, v)
+    return _jnp_attention(q, k, v)
 
 
 def flash_attention_with_probs(q, k, v):
@@ -305,5 +330,6 @@ def flash_attention_with_probs(q, k, v):
 
     Forward-only (no VJP) — backs the attention-map / rollout API.
     """
-    o, probs = _fwd(q, k, v, with_probs=True)
-    return o, probs
+    if _kernel_supported(q.shape[-1]):
+        return _fwd(q, k, v, with_probs=True)
+    return _jnp_attention(q, k, v, with_probs=True)

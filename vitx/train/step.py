@@ -32,14 +32,19 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
-                   schedule=None, grad_clip: float | None = None):
-    """AdamW (train.py:66 semantics) with optional schedule / grad clipping."""
+                   schedule=None, grad_clip: float | None = None,
+                   accum_steps: int = 1):
+    """AdamW (train.py:66 semantics) with optional schedule / grad clipping /
+    gradient accumulation (`accum_steps` micro-batches per update)."""
     tx = []
     if grad_clip is not None:
         tx.append(optax.clip_by_global_norm(grad_clip))
     lr_or_sched = schedule if schedule is not None else lr
     tx.append(optax.adamw(lr_or_sched, weight_decay=weight_decay))
-    return optax.chain(*tx)
+    opt = optax.chain(*tx)
+    if accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum_steps)
+    return opt
 
 
 def warmup_cosine(lr: float, total_steps: int, warmup_steps: int = 0,
