@@ -9,6 +9,10 @@ Runs the five BASELINE.json benchmark configurations:
 
 Each prints a JSON line; the repo-root ``bench.py`` is the driver's
 single-line headline entry point.
+
+Timing methodology: N iterations inside ONE jitted device-side loop with all
+operands passed as jit arguments, then a forced host fetch — per-call timing
+through the axon TPU tunnel is wrong in both directions (see bench.py).
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -24,36 +29,48 @@ import numpy as np
 from vitx import attention_rollout, forward, forward_with_attn, get_config, init_params
 from vitx.core.cache import enable_persistent_cache
 from vitx.data.pipeline import make_preprocess
-from vitx.parallel import make_mesh, make_parallel_train_step, shard_batch
+from vitx.parallel import make_mesh, shard_batch
 from vitx.parallel.sharded import place_state
-from vitx.train import create_train_state, make_train_step
-from vitx.train.step import make_optimizer
+from vitx.train import create_train_state
+from vitx.train.step import make_optimizer, train_step
 
 
 def _sync(x):
     return np.asarray(jax.tree.leaves(x)[0])
 
 
-def _time(fn, *args, iters=10, warmup=2):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
+def _scl(acc):
+    return jnp.bfloat16(1) + jnp.bfloat16(1e-9) * acc.astype(jnp.bfloat16)
+
+
+def _fwd_loop_seconds(body, iters, *args):
+    """body(acc, *args) -> new acc; one dispatch, iters device iterations."""
+    @jax.jit
+    def fn(*args):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, acc: body(acc, *args), jnp.float32(0))
+
+    _sync(fn(*args))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
+    _sync(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 
-def _train_time(step, state, batch, rng, iters=10, warmup=2):
-    for _ in range(warmup):
-        state, metrics = step(state, batch, rng)
-    _sync(metrics["loss"])
+def _train_scan_seconds(cfg, opt, state, batch, iters=10, rng=None):
+    raw = partial(train_step, cfg=cfg, optimizer=opt)
+
+    def scan_steps(state, batch):
+        def body(st, _):
+            st, m = raw(st, batch, rng)
+            return st, m["loss"]
+        return jax.lax.scan(body, state, None, length=iters)
+
+    f = jax.jit(scan_steps, donate_argnums=(0,))
+    state, losses = f(state, batch)
+    _sync(losses)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch, rng)
-    _sync(metrics["loss"])
+    state, losses = f(state, batch)
+    _sync(losses)
     return (time.perf_counter() - t0) / iters
 
 
@@ -65,13 +82,15 @@ def bench_1():
     cfg = get_config("tiny")
     params = init_params(jax.random.PRNGKey(0), cfg)
     x = _images(jax.random.PRNGKey(1), 8, 64)
-    fwd = jax.jit(lambda p, x: forward(p, x, cfg))
-    dt_f = _time(fwd, params, x)
+
+    def fwd_body(acc, params, x):
+        return acc + jnp.mean(forward(params, x * _scl(acc), cfg))
+
+    dt_f = _fwd_loop_seconds(fwd_body, 20, params, x)
     opt = make_optimizer(lr=1e-4)
     state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
-    step = make_train_step(cfg, opt)
     batch = {"image": x, "label": jnp.zeros((8,), jnp.int32)}
-    dt_t = _train_time(step, state, batch, jax.random.PRNGKey(2))
+    dt_t = _train_scan_seconds(cfg, opt, state, batch)
     return {"config": "1:vit-tiny-64", "forward_ms": round(dt_f * 1e3, 3),
             "train_step_ms": round(dt_t * 1e3, 3),
             "train_images_per_sec": round(8 / dt_t, 1)}
@@ -81,24 +100,27 @@ def bench_2():
     cfg = get_config("small16")
     opt = make_optimizer(lr=1e-4)
     state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
-    step = make_train_step(cfg, opt)
     pre = make_preprocess(out_size=224, random_flip=True)
-    u8 = np.random.default_rng(0).integers(0, 255, (32, 256, 256, 3),
-                                           dtype=np.uint8)
+    u8 = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (32, 256, 256, 3), dtype=np.uint8))
+    raw = partial(train_step, cfg=cfg, optimizer=opt)
+    labels = jnp.zeros((32,), jnp.int32)
 
-    def full(state, u8, rng):
-        imgs = pre(u8, rng, train=True).astype(cfg.cdtype())
-        return step(state, {"image": imgs,
-                            "label": jnp.zeros((32,), jnp.int32)}, rng)
+    def scan_steps(state, u8, labels, rng):
+        def body(carry, _):
+            st, r = carry
+            r, pr, sr = jax.random.split(r, 3)
+            imgs = pre(u8, pr, train=True).astype(cfg.cdtype())
+            st, m = raw(st, {"image": imgs, "label": labels}, sr)
+            return (st, r), m["loss"]
+        return jax.lax.scan(body, (state, rng), None, length=10)
 
-    rng = jax.random.PRNGKey(1)
-    for _ in range(2):
-        state, metrics = full(state, u8, rng)
-    _sync(metrics["loss"])
+    f = jax.jit(scan_steps, donate_argnums=(0,))
+    carry, losses = f(state, u8, labels, jax.random.PRNGKey(1))
+    _sync(losses)
     t0 = time.perf_counter()
-    for _ in range(10):
-        state, metrics = full(state, u8, rng)
-    _sync(metrics["loss"])
+    carry, losses = f(carry[0], u8, labels, jax.random.PRNGKey(2))
+    _sync(losses)
     dt = (time.perf_counter() - t0) / 10
     return {"config": "2:vit-s16-augment-train", "step_ms": round(dt * 1e3, 2),
             "images_per_sec": round(32 / dt, 1)}
@@ -108,8 +130,11 @@ def bench_3():
     cfg = get_config("base16")
     params = init_params(jax.random.PRNGKey(0), cfg)
     x = _images(jax.random.PRNGKey(1), 256, 224)
-    fwd = jax.jit(lambda p, x: forward(p, x, cfg))
-    dt = _time(fwd, params, x, iters=20)
+
+    def body(acc, params, x):
+        return acc + jnp.mean(forward(params, x * _scl(acc), cfg))
+
+    dt = _fwd_loop_seconds(body, 10, params, x)
     return {"config": "3:vit-b16-infer-256", "step_ms": round(dt * 1e3, 2),
             "images_per_sec": round(256 / dt, 1)}
 
@@ -121,12 +146,11 @@ def bench_4():
     opt = make_optimizer(lr=1e-4)
     state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
     state = place_state(state, cfg, mesh)
-    step = make_parallel_train_step(cfg, opt, mesh)
     B = 64 * n
     batch = shard_batch(
         {"image": _images(jax.random.PRNGKey(1), B, 224),
          "label": jnp.zeros((B,), jnp.int32)}, mesh)
-    dt = _train_time(step, state, batch, jax.random.PRNGKey(2))
+    dt = _train_scan_seconds(cfg, opt, state, batch)
     return {"config": f"4:vit-b16-train-dp{n}", "step_ms": round(dt * 1e3, 2),
             "images_per_sec": round(B / dt, 1), "devices": n}
 
@@ -136,12 +160,12 @@ def bench_5():
     params = init_params(jax.random.PRNGKey(0), cfg)
     x = _images(jax.random.PRNGKey(1), 8, 384)
 
-    def infer_rollout(p, x):
-        logits, probs = forward_with_attn(p, x, cfg)
-        return logits, attention_rollout(probs)
+    def body(acc, params, x):
+        logits, probs = forward_with_attn(params, x * _scl(acc), cfg)
+        roll = attention_rollout(probs)
+        return acc + jnp.mean(logits) + jnp.mean(roll).astype(jnp.float32)
 
-    fn = jax.jit(infer_rollout)
-    dt = _time(fn, params, x, iters=5)
+    dt = _fwd_loop_seconds(body, 5, params, x)
     return {"config": "5:vit-l16-384-rollout", "step_ms": round(dt * 1e3, 2),
             "images_per_sec": round(8 / dt, 1)}
 
