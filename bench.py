@@ -50,7 +50,8 @@ def main():
     from vitx.train import create_train_state, make_train_step
     from vitx.train.step import make_optimizer
 
-    cfg = get_config("base16")          # ViT-B/16 @224, bf16 compute
+    cfg = get_config("base16", scan_unroll=12)   # ViT-B/16, bf16, unrolled
+    cfg_train = get_config("base16")             # rolled scan for training
     rng = jax.random.PRNGKey(0)
     params = init_params(rng, cfg)
 
@@ -70,13 +71,13 @@ def main():
     # --- train step: batch 128, fwd+bwd+AdamW ---
     B_tr = 128
     opt = make_optimizer(lr=1e-4)
-    state = create_train_state(jax.random.PRNGKey(2), cfg, opt)
-    step = make_train_step(cfg, opt)
+    state = create_train_state(jax.random.PRNGKey(2), cfg_train, opt)
+    step = make_train_step(cfg_train, opt)
     batch = {
         "image": jax.random.normal(jax.random.PRNGKey(3),
                                    (B_tr, 224, 224, 3), jnp.bfloat16),
         "label": jax.random.randint(jax.random.PRNGKey(4), (B_tr,), 0,
-                                    cfg.num_classes),
+                                    cfg_train.num_classes),
     }
     srng = jax.random.PRNGKey(5)
 
@@ -85,7 +86,7 @@ def main():
     from vitx.train.step import train_step as _train_step
     from functools import partial as _partial
 
-    raw_step = _partial(_train_step, cfg=cfg, optimizer=opt)
+    raw_step = _partial(_train_step, cfg=cfg_train, optimizer=opt)
 
     def scan_steps(state, batch, srng):
         def body(st, _):
