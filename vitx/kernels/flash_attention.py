@@ -196,21 +196,34 @@ def _fwd(q, k, v, *, with_probs: bool):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                 dk_acc, dv_acc, *, scale, kv_len, t_pad, nq):
+    """Deferred-normalization backward: the softmax 1/l never touches the
+    (bq, Tk) tensors — it is folded into do (for dV), into the dQ row scale,
+    and into q (for dK); only (bq, D)/(bq, 1) passes. With pu = exp(s - m):
+
+      dV = (pu/l)^T dO              = pu^T (dO / l)
+      dP = dO V^T                   (unchanged)
+      Δ  = rowsum((pu/l) ∘ dP)      = rowsum(pu ∘ dP) / l
+      e  = pu ∘ (dP - Δ)            (the one (bq, Tk) elementwise pass)
+      dQ = scale/l ∘ (e K)
+      dK = e^T (q · scale/l)
+    """
     i = pl.program_id(2)
     q = q_ref[0]                                         # (hc, bq, D)
     k = k_ref[0]                                         # (hc, Tk, D)
     v = v_ref[0]
     do = do_ref[0]                                       # (hc, bq, D)
 
-    p, l = _unnormalized_probs(q, k, scale, kv_len, t_pad)
-    p = p / l                                            # (hc, bq, Tk)
-    pc = p.astype(q.dtype)
-    dv_c = _bmm(pc, do, ((1,), (1,)))                    # (hc, Tk, D)
+    pu, l = _unnormalized_probs(q, k, scale, kv_len, t_pad)
+    linv = 1.0 / l                                       # (hc, bq, 1) fp32
+    pu_c = pu.astype(q.dtype)
+    do_n = (do.astype(jnp.float32) * linv).astype(q.dtype)
+    dv_c = _bmm(pu_c, do_n, ((1,), (1,)))                # (hc, Tk, D)
     dp = _bmm(do, v, ((2,), (2,)))                       # (hc, bq, Tk)
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = (p * (dp - delta)).astype(q.dtype)
-    dq = _bmm(ds, k, ((2,), (1,))) * scale               # (hc, bq, D)
-    dk_c = _bmm(ds, q, ((1,), (1,))) * scale             # (hc, Tk, D)
+    delta = jnp.sum(pu * dp, axis=-1, keepdims=True) * linv
+    e = (pu * (dp - delta)).astype(q.dtype)
+    dq = _bmm(e, k, ((2,), (1,))) * (scale * linv)       # (hc, bq, D)
+    q_n = (q.astype(jnp.float32) * (scale * linv)).astype(q.dtype)
+    dk_c = _bmm(e, q_n, ((1,), (1,)))                    # (hc, Tk, D)
 
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
