@@ -163,3 +163,21 @@ def test_gradient_accumulation():
     state, _ = step(state, _batch(1, TINY), None)
     p2 = jax.tree.leaves(state.params)[0]
     assert not np.array_equal(np.asarray(p0), np.asarray(p2))
+
+
+def test_head_mean_probs_match_full():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    batch = _batch(11, TINY)
+    logits_f, probs_f = forward_with_attn(params, batch["image"], TINY)
+    logits_m, probs_m = forward_with_attn(params, batch["image"], TINY,
+                                          probs_mode="mean")
+    np.testing.assert_allclose(np.asarray(logits_m), np.asarray(logits_f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs_m),
+                               np.asarray(jnp.mean(probs_f, axis=2)),
+                               rtol=1e-5, atol=1e-6)
+    # rollout accepts both forms and agrees
+    r_f = attention_rollout(probs_f)
+    r_m = attention_rollout(probs_m)
+    np.testing.assert_allclose(np.asarray(r_m), np.asarray(r_f),
+                               rtol=1e-5, atol=1e-6)

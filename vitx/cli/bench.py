@@ -161,7 +161,8 @@ def bench_5():
     x = _images(jax.random.PRNGKey(1), 8, 384)
 
     def body(acc, params, x):
-        logits, probs = forward_with_attn(params, x * _scl(acc), cfg)
+        logits, probs = forward_with_attn(params, x * _scl(acc), cfg,
+                                          probs_mode="mean")
         roll = attention_rollout(probs)
         return acc + jnp.mean(logits) + jnp.mean(roll).astype(jnp.float32)
 

@@ -125,7 +125,7 @@ def _spec(hc: int, tokens: int, D: int, *, moving: bool):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, t_pad,
-                with_probs):
+                probs_mode, num_heads):
     q = q_ref[0]                                         # (hc, bq, D)
     k = k_ref[0]                                         # (hc, Tk, D)
     v = v_ref[0]                                         # (hc, Tk, D)
@@ -133,13 +133,28 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, t_pad,
     p, l = _unnormalized_probs(q, k, scale, kv_len, t_pad)
     o = _bmm(p.astype(v.dtype), v, ((2,), (1,)))         # (hc, bq, D)
     o_ref[0] = (o / l).astype(o_ref.dtype)
-    if with_probs:
+    if probs_mode == "full":
         probs_ref = rest[0]
         probs_ref[0] = (p / l).astype(probs_ref.dtype)
+    elif probs_mode == "mean":
+        # head-mean probs accumulated over the h grid axis: HBM traffic drops
+        # by the head count vs "full" (the rollout path only needs the mean)
+        probs_ref = rest[0]
+        contrib = jnp.sum(p / l, axis=0) / num_heads     # (bq, Tk)
+        h = pl.program_id(1)
+
+        @pl.when(h == 0)
+        def _():
+            probs_ref[0] = contrib
+
+        @pl.when(h > 0)
+        def _():
+            probs_ref[0] += contrib
 
 
-def _fwd(q, k, v, *, with_probs: bool):
-    """q,k,v: (B, H, T, D) -> out (B, H, T, D) [, probs (B, H, T, T)]."""
+def _fwd(q, k, v, *, probs_mode=None):
+    """q,k,v: (B, H, T, D) -> out (B, H, T, D)
+    [, probs (B, H, T, T) for probs_mode="full" / (B, T, T) for "mean"]."""
     B, H, T, D = q.shape
     scale = 1.0 / (D ** 0.5)
     itemsize = jnp.dtype(q.dtype).itemsize
@@ -149,26 +164,34 @@ def _fwd(q, k, v, *, with_probs: bool):
              + 2 * T * D * itemsize
              + 2 * bq * T * 4          # p + elementwise temps
              + 2 * bq * D * 4)
-        if with_probs:
+        if probs_mode:
             n += bq * T * 4
         return n * hc
 
     t_pad, hc, bq = _tiling(H, T, per_step)
+    if probs_mode == "mean" and t_pad // bq != 1:
+        bq = t_pad            # mean accumulation needs h outer to one q block
     q, k, v = (_pad_t(a, t_pad) for a in (q, k, v))
     nh, nq = H // hc, t_pad // bq
 
     out_shape = [jax.ShapeDtypeStruct((B, H, t_pad, D), q.dtype)]
     out_specs = [_spec(hc, bq, D, moving=True)]
-    if with_probs:
+    if probs_mode == "full":
         out_shape.append(
             jax.ShapeDtypeStruct((B, H, t_pad, t_pad), jnp.float32))
         out_specs.append(
             pl.BlockSpec((1, hc, bq, t_pad), lambda b, h, i: (b, h, i, 0),
                          memory_space=pltpu.VMEM))
+    elif probs_mode == "mean":
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, t_pad, t_pad), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, bq, t_pad), lambda b, h, i: (b, i, 0),
+                         memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, kv_len=T, t_pad=t_pad,
-                          with_probs=with_probs),
+                          probs_mode=probs_mode, num_heads=H),
         grid=(B, nh, nq),
         in_specs=[_spec(hc, bq, D, moving=True),
                   _spec(hc, t_pad, D, moving=False),
@@ -185,8 +208,12 @@ def _fwd(q, k, v, *, with_probs: bool):
     if not isinstance(outs, (list, tuple)):
         outs = [outs]
     if t_pad != T:
-        outs = [outs[0][:, :, :T]] + (
-            [outs[1][:, :, :T, :T]] if with_probs else [])
+        head = [outs[0][:, :, :T]]
+        if probs_mode == "full":
+            head.append(outs[1][:, :, :T, :T])
+        elif probs_mode == "mean":
+            head.append(outs[1][:, :T, :T])
+        outs = head
     return outs
 
 
@@ -296,12 +323,12 @@ def _bwd(res, do):
 
 @jax.custom_vjp
 def _flash_kernel(q, k, v):
-    (o,) = _fwd(q, k, v, with_probs=False)
+    (o,) = _fwd(q, k, v)
     return o
 
 
 def _flash_fwd_rule(q, k, v):
-    (o,) = _fwd(q, k, v, with_probs=False)
+    (o,) = _fwd(q, k, v)
     return o, (q, k, v)
 
 
@@ -344,5 +371,18 @@ def flash_attention_with_probs(q, k, v):
     Forward-only (no VJP) — backs the attention-map / rollout API.
     """
     if _kernel_supported(q.shape[-1]):
-        return _fwd(q, k, v, with_probs=True)
+        return _fwd(q, k, v, probs_mode="full")
     return _jnp_attention(q, k, v, with_probs=True)
+
+
+def flash_attention_with_mean_probs(q, k, v):
+    """Rollout-oriented variant: (out, head-mean probs (B, T, T) fp32).
+
+    Writes H-fold less probability data to HBM than the full variant — the
+    attention-rollout consumer only ever head-averages (vitx/nn/rollout.py).
+    Forward-only (no VJP).
+    """
+    if _kernel_supported(q.shape[-1]):
+        return _fwd(q, k, v, probs_mode="mean")
+    o, p = _jnp_attention(q, k, v, with_probs=True)
+    return o, jnp.mean(p, axis=1)

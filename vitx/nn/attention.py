@@ -49,6 +49,7 @@ def multi_head_attention(
     num_heads: int,
     impl: str = "auto",
     return_probs: bool = False,
+    probs_mode: str = "full",
 ):
     """Fused multi-head self-attention over tokens.
 
@@ -59,8 +60,10 @@ def multi_head_attention(
       wo: (E, E) output projection; bo: (E,) or None.
       num_heads: H.
       impl: "auto" | "flash" | "reference".
-      return_probs: also return (B, H, T, T) attention probabilities
-        (forces the reference path or the instrumented flash variant).
+      return_probs: also return attention probabilities (the instrumented
+        flash variant or the reference path).
+      probs_mode: "full" -> (B, H, T, T); "mean" -> head-mean (B, T, T),
+        H-fold less HBM traffic — all the rollout consumer needs.
 
     Returns:
       (out, probs) — out is (B, T, E); probs is (B, H, T, T) fp32 or None.
@@ -85,7 +88,13 @@ def multi_head_attention(
         qkv = qkv + bqkv.astype(x.dtype).reshape(3, 1, H, 1, D)
     q, k, v = qkv[0], qkv[1], qkv[2]
 
-    if use_flash and return_probs:
+    if use_flash and return_probs and probs_mode == "mean":
+        from vitx.kernels.flash_attention import (
+            flash_attention_with_mean_probs,
+        )
+
+        out, probs = flash_attention_with_mean_probs(q, k, v)
+    elif use_flash and return_probs:
         from vitx.kernels.flash_attention import flash_attention_with_probs
 
         out, probs = flash_attention_with_probs(q, k, v)
@@ -96,6 +105,8 @@ def multi_head_attention(
         probs = None
     else:
         out, probs = reference_attention(q, k, v, return_probs=return_probs)
+        if probs is not None and probs_mode == "mean":
+            probs = jnp.mean(probs, axis=1)
 
     # proj reads the (B, H, T, D) layout directly; XLA folds the transpose
     # into this matmul's input like it folded the one above into an output.

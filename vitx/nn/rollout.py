@@ -18,15 +18,19 @@ def attention_rollout(attn_probs, *, head_fusion: str = "mean"):
     """Chain per-layer attention into an input-attribution map.
 
     Args:
-      attn_probs: (depth, B, H, T, T) attention probabilities, as returned by
-        ``vitx.nn.vit.forward_with_attn``.
-      head_fusion: "mean" | "max" | "min" across heads.
+      attn_probs: (depth, B, H, T, T) attention probabilities as returned by
+        ``forward_with_attn``, or already-head-fused (depth, B, T, T) from
+        ``forward_with_attn(..., probs_mode="mean")``.
+      head_fusion: "mean" | "max" | "min" across heads (ignored for 4-D
+        pre-fused input).
 
     Returns:
       (B, N) rollout weights of the CLS token over the N = T-1 patch tokens,
       normalized to sum to 1 per image.
     """
-    if head_fusion == "mean":
+    if attn_probs.ndim == 4:          # already head-fused (probs_mode="mean")
+        fused = attn_probs
+    elif head_fusion == "mean":
         fused = jnp.mean(attn_probs, axis=2)
     elif head_fusion == "max":
         fused = jnp.max(attn_probs, axis=2)

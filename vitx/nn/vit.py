@@ -138,7 +138,7 @@ def patch_embed(params: Params, images, cfg: ViTConfig):
 
 
 def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
-                   return_probs):
+                   return_probs, probs_mode="full"):
     """Pre-LN block: x + MHA(LN1(x)); x + MLP(LN2(x)). (transformer.py:66-79)
 
     The previous block's MLP output arrives as ``pending`` so every residual
@@ -155,6 +155,7 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
     attn_out, probs = multi_head_attention(
         h, bp["wqkv"], bp.get("bqkv"), bp["wo"], bp["bo"],
         num_heads=cfg.num_heads, impl=cfg.attn_impl, return_probs=return_probs,
+        probs_mode=probs_mode,
     )
     attn_out = dropout(attn_out, cfg.dropout, r_attn, deterministic=deterministic)
 
@@ -166,7 +167,8 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
 
 
 def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
-           deterministic: bool = True, return_probs: bool = False):
+           deterministic: bool = True, return_probs: bool = False,
+           probs_mode: str = "full"):
     """Images -> encoder output tokens (B, T, E) [+ per-layer attention probs].
 
     The encoder is a single lax.scan over the stacked block params — the
@@ -190,7 +192,7 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
             bp, r = layer_in
             y, pend, probs = _encoder_block(
                 *carry, bp, cfg, rng=r, deterministic=deterministic,
-                return_probs=return_probs,
+                return_probs=return_probs, probs_mode=probs_mode,
             )
             return (y, pend), (probs if return_probs else None)
         xs = (params["blocks"], jax.random.split(rng, cfg.depth))
@@ -198,7 +200,7 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
         def block_fn(carry, bp):
             y, pend, probs = _encoder_block(
                 *carry, bp, cfg, rng=None, deterministic=deterministic,
-                return_probs=return_probs,
+                return_probs=return_probs, probs_mode=probs_mode,
             )
             return (y, pend), (probs if return_probs else None)
         xs = params["blocks"]
@@ -251,15 +253,18 @@ def forward(params: Params, images, cfg: ViTConfig, *, rng=None,
     return classify(params, x, cfg)
 
 
-def forward_with_attn(params: Params, images, cfg: ViTConfig):
+def forward_with_attn(params: Params, images, cfg: ViTConfig, *,
+                      probs_mode: str = "full"):
     """Instrumented forward: returns (logits, attn_probs).
 
     attn_probs is (depth, B, H, T, T) fp32 — the public equivalent of the
     reference's per-module ``attention_probs`` stash (transformer.py:39,48)
-    used by its notebook for attention-map analysis.
+    used by its notebook for attention-map analysis. ``probs_mode="mean"``
+    returns head-mean probs (depth, B, T, T) — H-fold cheaper, exactly what
+    attention_rollout consumes.
     """
     x, probs = encode(params, images, cfg, deterministic=True,
-                      return_probs=True)
+                      return_probs=True, probs_mode=probs_mode)
     return classify(params, x, cfg), probs
 
 
