@@ -135,3 +135,50 @@ def test_cli_eval_missing_checkpoint(tmp_path, capsys):
     rc = eval_main(["--preset", "tiny", "--data", "synthetic",
                     "--checkpoint", str(tmp_path / "nope")])
     assert rc == 1
+
+
+def test_padded_training_batch_excluded_from_loss():
+    """Loader padding rows must not contribute to loss/grads (review fix)."""
+    import jax
+    import jax.numpy as jnp
+    from vitx.train import create_train_state, make_train_step
+    from vitx.train.step import make_optimizer
+
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    step = make_train_step(CFG, opt)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    imgs = jax.random.normal(k1, (6, 16, 16, 3))
+    labels = jax.random.randint(k2, (6,), 0, 4)
+
+    # unpadded 6-row batch
+    s1, m1 = step(state, {"image": imgs, "label": labels}, None)
+    # same 6 rows padded to 8 with garbage rows + mask
+    pad_img = jnp.concatenate([imgs, 100.0 * jnp.ones((2, 16, 16, 3))])
+    pad_lab = jnp.concatenate([labels, jnp.zeros((2,), jnp.int32)])
+    mask = jnp.array([1, 1, 1, 1, 1, 1, 0, 0], jnp.int32)
+    state2 = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    s2, m2 = step(state2, {"image": pad_img, "label": pad_lab,
+                           "mask": mask}, None)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["accuracy"]), float(m2["accuracy"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_loader_early_abandon_no_hang():
+    """Abandoning iteration early must not leave the producer blocked."""
+    import threading
+
+    from vitx.data import BatchLoader, SyntheticDataset
+
+    before = threading.active_count()
+    ds = SyntheticDataset(num_examples=256, image_size=16, num_classes=4)
+    for _ in range(5):
+        it = iter(BatchLoader(ds, 8, prefetch=2))
+        next(it)
+        it.close()     # generator finalizer -> stop event -> join
+    assert threading.active_count() <= before + 1

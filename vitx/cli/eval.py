@@ -43,6 +43,12 @@ def main(argv=None):
            if args.config_json else get_config(args.preset))
     _, eval_ds = make_datasets(args.data, cfg, seed=0)
     classes = getattr(eval_ds, "classes", None)
+    # mirror the train CLI's class-count adjustment (cli/train.py), else the
+    # restored head and the confusion matrix would disagree silently
+    n_classes = getattr(eval_ds, "num_classes",
+                        len(classes) if classes else cfg.num_classes)
+    if n_classes != cfg.num_classes:
+        cfg = cfg.replace(num_classes=n_classes)
 
     template = create_train_state(jax.random.PRNGKey(0), cfg,
                                   make_optimizer())

@@ -66,18 +66,33 @@ class BatchLoader:
     def __iter__(self):
         out: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
 
         def producer():
             with cf.ThreadPoolExecutor(self.num_threads) as pool:
                 for idx in self._index_batches():
-                    out.put(self._assemble(pool, idx))
+                    item = self._assemble(pool, idx)
+                    # bounded put that aborts if the consumer walked away
+                    # (e.g. Trainer breaking out on preemption) — otherwise
+                    # this thread would block on the full queue forever
+                    while not stop.is_set():
+                        try:
+                            out.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             out.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = out.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = out.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join()

@@ -169,8 +169,17 @@ def _fwd(q, k, v, *, probs_mode=None):
         return n * hc
 
     t_pad, hc, bq = _tiling(H, T, per_step)
-    if probs_mode == "mean" and t_pad // bq != 1:
-        bq = t_pad            # mean accumulation needs h outer to one q block
+    if probs_mode == "mean" and bq != t_pad:
+        # mean accumulation needs h outer to a single q block: re-tile with
+        # bq pinned to the full T so the VMEM budget still constrains hc
+        t_pad2 = t_pad
+        hc2 = next((h for h in _divisors_desc(H)
+                    if per_step(h, t_pad2) <= _VMEM_BUDGET), None)
+        if hc2 is None:
+            # even hc=1 at full T blows VMEM -> plain XLA fallback
+            o, p = _jnp_attention(q, k, v, with_probs=True)
+            return [o, jnp.mean(p, axis=1)]
+        hc, bq = hc2, t_pad2
     q, k, v = (_pad_t(a, t_pad) for a in (q, k, v))
     nh, nq = H // hc, t_pad // bq
 
@@ -342,13 +351,12 @@ def _kernel_supported(D: int) -> bool:
 
 
 def _jnp_attention(q, k, v, *, with_probs=False):
-    """Plain-XLA fallback for kernel-unsupported shapes (tiny head dims)."""
-    scale = 1.0 / (q.shape[-1] ** 0.5)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                   preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v,
-                   preferred_element_type=jnp.float32).astype(q.dtype)
+    """Plain-XLA fallback for kernel-unsupported shapes (tiny head dims).
+    Delegates to the single reference implementation in vitx.nn.attention
+    (lazy import; nn.attention only imports this module inside functions)."""
+    from vitx.nn.attention import reference_attention
+
+    o, p = reference_attention(q, k, v, return_probs=with_probs)
     return (o, p) if with_probs else o
 
 

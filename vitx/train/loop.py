@@ -116,7 +116,9 @@ class Trainer:
         if self.preprocess is not None:
             image = self.preprocess(image, rng, train=train)
         out = {"image": image, "label": batch["label"]}
-        if not train and "mask" in batch:
+        if "mask" in batch:
+            # padding rows are excluded from loss/grads/metrics in both
+            # train and eval (loader pads ragged final batches)
             out["mask"] = batch["mask"]
         if self.mesh is not None:
             from vitx.parallel.sharded import shard_batch
@@ -211,6 +213,9 @@ class Trainer:
         running_loss = 0.0
         last_metrics = None
         pending = []          # (step, metrics) not yet host-synced
+        # host-side step counter: int(state.step) would force a device sync
+        # every iteration, serializing the pipeline
+        step = int(jax.device_get(self.state.step))
         for batch in train_loader:
             if self._preempted:
                 break   # finish the epoch early; caller checkpoints + exits
@@ -218,8 +223,9 @@ class Trainer:
             prepped = self._prep(batch, prep_rng, train=True)
             self.state, metrics = self.train_step(self.state, prepped,
                                                   step_rng)
-            step = int(self.state.step)
-            n_images += batch["image"].shape[0]
+            step += 1
+            n_images += (int(batch["mask"].sum()) if "mask" in batch
+                         else batch["image"].shape[0])
             pending.append((step, metrics))
             # flush asynchronously-computed scalars in chunks: no per-step sync
             if len(pending) >= self.tcfg.log_every:

@@ -64,17 +64,24 @@ def create_train_state(rng, cfg: ViTConfig, optimizer) -> TrainState:
                       opt_state=opt_state)
 
 
-def cross_entropy_loss(logits, labels):
-    """Mean softmax cross-entropy — nn.CrossEntropyLoss parity (train.py:81)."""
+def cross_entropy_loss(logits, labels, mask=None):
+    """Mean softmax cross-entropy — nn.CrossEntropyLoss parity (train.py:81).
+
+    ``mask`` (0/1 per row) excludes the loader's padding rows from the mean
+    so ragged final batches don't bias the loss or the gradients.
+    """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return jnp.mean(nll)
+    if mask is None:
+        return jnp.mean(nll)
+    mask = mask.astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def loss_fn(params, batch, cfg: ViTConfig, rng):
     logits = forward(params, batch["image"], cfg, rng=rng,
                      deterministic=rng is None)
-    loss = cross_entropy_loss(logits, batch["label"])
+    loss = cross_entropy_loss(logits, batch["label"], batch.get("mask"))
     return loss, logits
 
 
@@ -87,11 +94,16 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer):
     params = optax.apply_updates(state.params, updates)
     new_state = TrainState(step=state.step + 1, params=params,
                            opt_state=opt_state)
+    correct = (jnp.argmax(logits, axis=-1) == batch["label"])\
+        .astype(jnp.float32)
+    if "mask" in batch:
+        m = batch["mask"].astype(jnp.float32)
+        acc = jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1.0)
+    else:
+        acc = jnp.mean(correct)
     metrics = {
         "loss": loss,
-        "accuracy": jnp.mean(
-            (jnp.argmax(logits, axis=-1) == batch["label"]).astype(jnp.float32)
-        ),
+        "accuracy": acc,
         "grad_norm": optax.global_norm(grads),
     }
     return new_state, metrics
@@ -114,7 +126,7 @@ def eval_step(params, batch, *, cfg: ViTConfig):
         cm = cm.at[0, 0].add(-pad)
     else:
         cm = confusion_matrix(preds, labels, cfg.num_classes)
-    loss = cross_entropy_loss(logits, labels)
+    loss = cross_entropy_loss(logits, labels, batch.get("mask"))
     return cm, loss
 
 
