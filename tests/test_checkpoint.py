@@ -117,6 +117,67 @@ def test_reference_pt_roundtrip(tmp_path):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_reference_pt_optimizer_state_resumes_reference_code(tmp_path):
+    """Exported .pt must round-trip into the ACTUAL reference training code:
+    model.load_state_dict + optimizer.load_state_dict (train.py:72-73) succeed
+    and the AdamW moments carry over exactly."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from VisionTransformer import config as ref_config
+        from VisionTransformer import vit as ref_vit
+    except Exception as e:   # pragma: no cover - reference tree unavailable
+        pytest.skip(f"reference package not importable: {e}")
+    finally:
+        sys.path.pop(0)
+
+    state, step, _ = _state_and_step()
+    for i in range(3):
+        state, _ = step(state, _batch(i), jax.random.PRNGKey(1))
+    host = jax.device_get(state)
+    path = tmp_path / "7.pt"
+    save_reference_pt(path, host.params, CFG, epoch=7, batch_size=2,
+                      opt_state=host.opt_state, lr=1e-4, weight_decay=1e-4)
+
+    rcfg = ref_config.ViTConfig(
+        input_channels=3, num_classes=CFG.num_classes,
+        num_patches=CFG.num_patches, embedding_size=CFG.embed_dim,
+        patch_size=CFG.patch_size, num_heads=CFG.num_heads,
+        num_blocks=CFG.depth, device="cpu", batch_size=2, dropout=0.0)
+    model = ref_vit.VisionTransformer(rcfg)
+    optimizer = torch.optim.AdamW(model.parameters(), lr=1e-4,
+                                  weight_decay=1e-4)
+    ckpt = torch.load(path, weights_only=False)
+    model.load_state_dict(ckpt["model_state_dict"], strict=True)
+    optimizer.load_state_dict(ckpt["optimizer_state_dict"])
+
+    # moments map to the right parameters: check cls (index 0 in
+    # model.parameters() order) and one per-head value projection
+    from vitx.interop.torch_ref import _find_adam_state
+    adam = _find_adam_state(host.opt_state)
+    params_in_order = list(model.parameters())
+    st = optimizer.state[params_in_order[0]]           # cls_tkn_embd
+    np.testing.assert_allclose(
+        st["exp_avg"].numpy(),
+        np.tile(np.asarray(adam.mu["cls_token"], np.float32), (2, 1, 1)),
+        rtol=1e-6)
+    assert float(st["step"]) == 3.0
+    # heads.0 registers key,query,value (transformer.py:12-17) after cls,
+    # pos, conv w/b -> value.weight of block 0 head 0 is parameter index 6
+    np.testing.assert_allclose(
+        optimizer.state[params_in_order[6]]["exp_avg_sq"].numpy(),
+        np.asarray(adam.nu["blocks"]["wqkv"][0, :, 2, 0, :], np.float32).T,
+        rtol=1e-6)
+
+    # and the reference optimizer can actually take a step
+    out = model(torch.randn(2, 3, CFG.image_size, CFG.image_size))
+    out.sum().backward()
+    optimizer.step()
+
+
 def test_reference_pt_loads_into_torch_oracle(tmp_path):
     """The exported .pt state dict must load into a reference-shaped torch
     module (strict=True) — proving format fidelity, not just round-trip."""

@@ -181,3 +181,29 @@ def test_head_mean_probs_match_full():
     r_m = attention_rollout(probs_m)
     np.testing.assert_allclose(np.asarray(r_m), np.asarray(r_f),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_proj_bias_knob_is_live():
+    """proj_bias=False must drop the output-projection bias from the params
+    and from the compute (no dead config knobs — the standard SURVEY §2.1
+    applies to the reference's unused dropout)."""
+    cfg = TINY.replace(proj_bias=False)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert "bo" not in params["blocks"]
+    with_bias = init_params(jax.random.PRNGKey(0), TINY)
+    assert "bo" in with_bias["blocks"]
+    batch = _batch(3, cfg)
+    logits = forward(params, batch["image"], cfg)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    # sharding specs track the param structure for both settings
+    from vitx.parallel.sharded import param_pspecs
+    for c, p in ((cfg, params), (TINY, with_bias)):
+        assert (jax.tree_util.tree_structure(param_pspecs(c))
+                == jax.tree_util.tree_structure(
+                    jax.tree.map(lambda _: 0, p)))
+    # and it trains
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = make_train_step(cfg, opt)
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))

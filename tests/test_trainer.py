@@ -169,6 +169,58 @@ def test_padded_training_batch_excluded_from_loss():
                                    rtol=2e-4, atol=1e-5)
 
 
+def test_partial_epoch_checkpoint_reruns_epoch(tmp_path):
+    """A preemption checkpoint mid-epoch is marked partial; resume re-runs
+    that epoch instead of silently skipping its unseen remainder."""
+    import os
+    import signal as sig
+
+    from vitx.train.checkpoint import restore_latest
+
+    train_loader, _ = _loaders()
+
+    class SignalingLoader:
+        def __init__(self, inner, after):
+            self.inner, self.after = inner, after
+
+        def set_epoch(self, e):
+            self.inner.set_epoch(e)
+
+        def __iter__(self):
+            for i, b in enumerate(self.inner):
+                if i == self.after:
+                    os.kill(os.getpid(), sig.SIGTERM)
+                yield b
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    tcfg = TrainerConfig(epochs=5, lr=1e-3, checkpoint_dir=ckpt_dir)
+    t1 = Trainer(CFG, tcfg)
+    history = t1.fit(SignalingLoader(train_loader, after=1))
+    assert len(history) == 1                      # stopped in epoch 0
+    _, meta = restore_latest(ckpt_dir, t1.state)
+    assert meta["partial"] is True
+
+    t2 = Trainer(CFG, TrainerConfig(epochs=2, lr=1e-3,
+                                    checkpoint_dir=ckpt_dir))
+    history2 = t2.fit(train_loader)
+    # epoch 0 re-run (not skipped), then epoch 1
+    assert [h["epoch"] for h in history2] == [0, 1]
+
+
+def test_eval_loss_is_sample_exact_over_ragged_batches():
+    """Eval loss must weight batches by valid-sample count: a ragged final
+    batch and a single full batch over the same data give the same loss."""
+    ds = SyntheticDataset(num_examples=24, image_size=16, num_classes=4,
+                          noise=0.3)
+    tcfg = TrainerConfig(epochs=1, lr=1e-3)
+    trainer = Trainer(CFG, tcfg)
+    ragged = trainer.evaluate(BatchLoader(ds, 16))      # 16 + 8(padded)
+    full = trainer.evaluate(BatchLoader(ds, 24))        # one exact batch
+    np.testing.assert_allclose(ragged["loss"], full["loss"], rtol=1e-5)
+    np.testing.assert_allclose(ragged["accuracy"], full["accuracy"],
+                               rtol=1e-6)
+
+
 def test_loader_early_abandon_no_hang():
     """Abandoning iteration early must not leave the producer blocked."""
     import threading

@@ -69,21 +69,29 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
-            with cf.ThreadPoolExecutor(self.num_threads) as pool:
-                for idx in self._index_batches():
-                    item = self._assemble(pool, idx)
-                    # bounded put that aborts if the consumer walked away
-                    # (e.g. Trainer breaking out on preemption) — otherwise
-                    # this thread would block on the full queue forever
-                    while not stop.is_set():
-                        try:
-                            out.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
-                        return
-            out.put(sentinel)
+            # bounded put that aborts if the consumer walked away (e.g.
+            # Trainer breaking out on preemption) — otherwise this thread
+            # would block on the full queue forever. The sentinel goes
+            # through the same guard: an unguarded final put can deadlock
+            # t.join() when the consumer stops with the queue full.
+            def put(item) -> bool:
+                while not stop.is_set():
+                    try:
+                        out.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
+            try:
+                with cf.ThreadPoolExecutor(self.num_threads) as pool:
+                    for idx in self._index_batches():
+                        if not put(self._assemble(pool, idx)):
+                            return
+            except BaseException as e:  # surface decode errors to the consumer
+                put(e)
+                return
+            put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -92,6 +100,8 @@ class BatchLoader:
                 item = out.get()
                 if item is sentinel:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -30,6 +30,8 @@ def write_model_bin(path, params, cfg: ViTConfig):
         raise ValueError("vitc has no final norm")
     if cfg.mlp_ratio != 4:
         raise ValueError("vitc head assumes scratch >= 8E; keep mlp_ratio=4")
+    if not cfg.proj_bias:
+        raise ValueError("vitc's attention always adds a projection bias")
 
     def f32(x):
         return np.ascontiguousarray(np.asarray(x), dtype="<f4")

@@ -25,6 +25,8 @@ bug); import takes slot 0, export tiles the single vector to the requested
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 
 from vitx.core.config import ViTConfig
@@ -38,7 +40,20 @@ def _np(t):
 
 
 def import_reference_state_dict(sd: dict, cfg: ViTConfig) -> dict:
-    """Reference torch state_dict -> vitx param pytree (numpy leaves)."""
+    """Reference torch state_dict -> vitx param pytree (numpy leaves).
+
+    Key/format compatible, but semantically the vitx model follows the
+    corrected/notebook semantics: CLS PREPENDED and attention scaled by
+    1/sqrt(head_dim). A checkpoint trained with the reference's own
+    ``train.py`` (CLS appended, vit.py:41; logits *multiplied* by
+    sqrt(head_dim), transformer.py:24) will load but not reproduce that
+    model's predictions — hence the runtime warning.
+    """
+    warnings.warn(
+        "import_reference_state_dict maps keys exactly, but vitx computes the "
+        "corrected semantics (CLS prepended, 1/sqrt(head_dim) scaling); "
+        "checkpoints trained with the reference's train.py will not "
+        "reproduce that model's predictions.", stacklevel=2)
     E, H, D, L = cfg.embed_dim, cfg.num_heads, cfg.head_dim, cfg.depth
     P, C = cfg.patch_size, cfg.num_channels
 
@@ -92,6 +107,10 @@ def export_reference_state_dict(params: dict, cfg: ViTConfig,
     P, C = cfg.patch_size, cfg.num_channels
     if "head" not in params or "w1" not in params["head"]:
         raise ValueError("export requires head_type='reference' params")
+    if "bo" not in params["blocks"]:
+        raise ValueError("export requires proj_bias=True params (the "
+                         "reference projection always has a bias, "
+                         "transformer.py:38)")
 
     kernel = np.asarray(params["patch_embed"]["kernel"], np.float32)
     conv_w = kernel.reshape(P, P, C, E).transpose(3, 2, 0, 1)   # (E, C, P, P)
@@ -132,3 +151,91 @@ def export_reference_state_dict(params: dict, cfg: ViTConfig,
     sd["mlp.3.bias"] = np.asarray(hp["b2"], np.float32)
     sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
     return sd
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-state export (reference resume path, train.py:66,73)
+# ---------------------------------------------------------------------------
+
+def reference_parameter_order(cfg: ViTConfig) -> list[str]:
+    """State-dict keys in ``model.parameters()`` order for the reference model.
+
+    torch's ``named_parameters`` yields a module's own parameters before its
+    children: PatchEmbedding registers cls/pos as direct Parameters (vit.py:31,
+    34) and the Conv2d inside a child Sequential (vit.py:20), so cls/pos come
+    FIRST; each Head registers key, query, value in that order
+    (transformer.py:12-17); Block registers multi_head, ffwd, then ln1/ln2
+    (transformer.py:70-73). ``optim.AdamW(model.parameters())`` (train.py:66)
+    numbers params 0..n-1 in exactly this order.
+    """
+    keys = ["emdeddings.cls_tkn_embd", "emdeddings.pos_embd",
+            "emdeddings.sequence.0.weight", "emdeddings.sequence.0.bias"]
+    for i in range(cfg.depth):
+        pre = f"transformer_encoder.blocks.{i}."
+        for h in range(cfg.num_heads):
+            hp = f"{pre}multi_head.heads.{h}."
+            keys += [hp + "key.weight", hp + "query.weight",
+                     hp + "value.weight"]
+        keys += [pre + "multi_head.proj.weight", pre + "multi_head.proj.bias",
+                 pre + "ffwd.mlp.0.weight", pre + "ffwd.mlp.0.bias",
+                 pre + "ffwd.mlp.2.weight", pre + "ffwd.mlp.2.bias",
+                 pre + "ln1.weight", pre + "ln1.bias",
+                 pre + "ln2.weight", pre + "ln2.bias"]
+    keys += ["mlp.0.weight", "mlp.0.bias", "mlp.2.weight", "mlp.2.bias",
+             "mlp.3.weight", "mlp.3.bias"]
+    return keys
+
+
+def _find_adam_state(opt_state):
+    """Locate optax's ScaleByAdamState (mu/nu/count) inside a chained state."""
+    if hasattr(opt_state, "mu") and hasattr(opt_state, "nu"):
+        return opt_state
+    if isinstance(opt_state, (tuple, list)):
+        for sub in opt_state:
+            found = _find_adam_state(sub)
+            if found is not None:
+                return found
+    return None
+
+
+def export_reference_optimizer_state(opt_state, cfg: ViTConfig, *,
+                                     lr: float = 1e-4,
+                                     weight_decay: float = 1e-4,
+                                     betas=(0.9, 0.999), eps: float = 1e-8,
+                                     batch_size: int = 1) -> dict:
+    """vitx AdamW opt_state -> ``torch.optim.AdamW`` state_dict.
+
+    AdamW moments share the parameter pytree structure, so the weight-export
+    layout transforms (transposes/reshapes/per-head slices) apply verbatim —
+    they are pure relayouts and commute with the elementwise Adam update.
+    The result loads into the reference's resume path (train.py:73) and
+    continues training with identical moments.
+    """
+    import torch
+
+    adam = _find_adam_state(opt_state)
+    if adam is None:
+        raise ValueError("no ScaleByAdamState found in opt_state; was the "
+                         "optimizer built by vitx.train.step.make_optimizer?")
+    mu_sd = export_reference_state_dict(adam.mu, cfg, batch_size=batch_size)
+    nu_sd = export_reference_state_dict(adam.nu, cfg, batch_size=batch_size)
+    step = torch.tensor(float(np.asarray(adam.count)))
+
+    order = reference_parameter_order(cfg)
+    state = {
+        i: {"step": step.clone(),
+            "exp_avg": torch.from_numpy(mu_sd[key].copy()),
+            "exp_avg_sq": torch.from_numpy(nu_sd[key].copy())}
+        for i, key in enumerate(order)
+    }
+    return {
+        "state": state,
+        "param_groups": [{
+            "lr": lr, "betas": tuple(betas), "eps": eps,
+            "weight_decay": weight_decay, "amsgrad": False,
+            "maximize": False, "foreach": None, "capturable": False,
+            "differentiable": False, "fused": None,
+            "decoupled_weight_decay": True,
+            "params": list(range(len(order))),
+        }],
+    }

@@ -68,7 +68,6 @@ def init_params(rng, cfg: ViTConfig) -> Params:
         "ln1_bias": jnp.zeros((L, E), pdt),
         "wqkv": stack_init(next(k), (E, 3, H, D)),
         "wo": stack_init(next(k), (E, E)),
-        "bo": jnp.zeros((L, E), pdt),
         "ln2_scale": jnp.ones((L, E), pdt),
         "ln2_bias": jnp.zeros((L, E), pdt),
         "w1": stack_init(next(k), (E, M)),
@@ -78,6 +77,9 @@ def init_params(rng, cfg: ViTConfig) -> Params:
     }
     if cfg.qkv_bias:
         blocks["bqkv"] = jnp.zeros((L, 3, H, D), pdt)
+    if cfg.proj_bias:
+        # reference attention has an output-projection bias (transformer.py:38)
+        blocks["bo"] = jnp.zeros((L, E), pdt)
     params["blocks"] = blocks
 
     if cfg.final_norm:
@@ -153,7 +155,7 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
     x, h = add_layer_norm(x, pending, bp["ln1_scale"], bp["ln1_bias"],
                           eps=cfg.layer_norm_eps)
     attn_out, probs = multi_head_attention(
-        h, bp["wqkv"], bp.get("bqkv"), bp["wo"], bp["bo"],
+        h, bp["wqkv"], bp.get("bqkv"), bp["wo"], bp.get("bo"),
         num_heads=cfg.num_heads, impl=cfg.attn_impl, return_probs=return_probs,
         probs_mode=probs_mode,
     )

@@ -41,7 +41,6 @@ def _block_specs(cfg: ViTConfig, tp: bool) -> dict:
         "wqkv": P(None, None, None, m, None),
         # (L, E, E): rows are the concat of head outputs -> shard rows
         "wo": P(None, m, None),
-        "bo": P(),
         "ln2_scale": P(), "ln2_bias": P(),
         # (L, E, M) / (L, M, E): shard the hidden dim
         "w1": P(None, None, m),
@@ -51,6 +50,8 @@ def _block_specs(cfg: ViTConfig, tp: bool) -> dict:
     }
     if cfg.qkv_bias:
         specs["bqkv"] = P(None, None, m, None)
+    if cfg.proj_bias:
+        specs["bo"] = P()
     return specs
 
 
@@ -89,16 +90,28 @@ def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
     stay replicated.
     """
     pshard = param_sharding(cfg, mesh, tp)
-    shape_to_shard = {}
-    for leaf, shard in zip(jax.tree_util.tree_leaves(state.params),
-                           jax.tree_util.tree_leaves(pshard)):
-        shape_to_shard[(leaf.shape, leaf.dtype)] = shard
+    # Moments live inside optax state pytrees whose leaf paths END with the
+    # parameter's own path (e.g. ...ScaleByAdamState.mu['blocks']['wqkv']).
+    # Key the lookup by that path suffix — a (shape, dtype) key collides when
+    # distinct params share a shape with different specs (e.g. mlp_ratio=1
+    # makes wo/w1/w2 all (L, E, E)).
+    param_paths = {
+        tuple(path): shard
+        for (path, _), shard in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_leaves(pshard))
+    }
 
     rep = NamedSharding(mesh, P())
     dp = mesh.shape[DATA_AXIS]
 
-    def assign(x):
-        shard = shape_to_shard.get((x.shape, x.dtype), rep)
+    def assign(path, x):
+        shard = rep
+        for i in range(len(path)):
+            cand = param_paths.get(tuple(path[i:]))
+            if cand is not None:
+                shard = cand
+                break
         if not zero1 or x.ndim == 0 or x.size < 1024:
             return shard
         # shard the moment's largest unsharded dim over `data`
@@ -113,7 +126,7 @@ def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
     return TrainState(
         step=rep,
         params=pshard,
-        opt_state=jax.tree.map(assign, state.opt_state),
+        opt_state=jax.tree_util.tree_map_with_path(assign, state.opt_state),
     )
 
 

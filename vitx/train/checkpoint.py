@@ -105,20 +105,45 @@ def restore_latest(ckpt_dir, template_state):
 # ---------------------------------------------------------------------------
 
 def save_reference_pt(path, params, cfg, *, epoch: int, loss: float = 0.0,
-                      step: int = 0, batch_size: int = 1):
+                      step: int = 0, batch_size: int = 1, opt_state=None,
+                      lr: float = 1e-4, weight_decay: float = 1e-4):
     """Write a reference-layout ``{epoch}.pt``:
-    {'epoch', 'model_state_dict', 'optimizer_state_dict', 'loss', 'step'}."""
+    {'epoch', 'model_state_dict', 'optimizer_state_dict', 'loss', 'step'}.
+
+    ``opt_state`` (a vitx TrainState.opt_state) exports the real AdamW
+    moments in torch layout so the reference's resume
+    (train.py:73 ``optimizer.load_state_dict``) continues training with
+    identical optimizer state. Without it, a structurally valid fresh-AdamW
+    state dict is written (param_groups populated, empty state) so the
+    resume path still loads cleanly.
+    """
     import torch
 
     from vitx.interop import export_reference_state_dict
+    from vitx.interop.torch_ref import (
+        export_reference_optimizer_state,
+        reference_parameter_order,
+    )
 
     sd = export_reference_state_dict(jax.device_get(params), cfg,
                                      batch_size=batch_size)
+    if opt_state is not None:
+        osd = export_reference_optimizer_state(
+            jax.device_get(opt_state), cfg, lr=lr, weight_decay=weight_decay,
+            batch_size=batch_size)
+    else:
+        osd = {"state": {}, "param_groups": [{
+            "lr": lr, "betas": (0.9, 0.999), "eps": 1e-8,
+            "weight_decay": weight_decay, "amsgrad": False, "maximize": False,
+            "foreach": None, "capturable": False, "differentiable": False,
+            "fused": None, "decoupled_weight_decay": True,
+            "params": list(range(len(reference_parameter_order(cfg)))),
+        }]}
     torch.save({
         "epoch": epoch,
         "model_state_dict": {k: torch.from_numpy(v.copy())
                              for k, v in sd.items()},
-        "optimizer_state_dict": {},   # optimizer state is framework-specific
+        "optimizer_state_dict": osd,
         "loss": loss,
         "step": step,
     }, path)

@@ -16,6 +16,7 @@ import time
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vitx.core.config import ViTConfig
@@ -42,6 +43,9 @@ class TrainerConfig:
     keep_checkpoints: int | None = None
     eval_every: int = 1               # epochs between evals
     profile_epoch: int | None = None  # jax.profiler trace for this epoch
+    # Per-flush in-epoch progress line (the reference's tqdm it/s surface,
+    # train.py:88, without a per-step host sync).
+    progress: bool = False
     # Save a checkpoint and stop cleanly on SIGTERM/SIGINT (TPU preemption
     # notice) — the reference could only resume from the last epoch boundary.
     preemption_safe: bool = True
@@ -108,7 +112,10 @@ class Trainer:
             return None
         self.state, meta = restore_latest(self.tcfg.checkpoint_dir, self.state)
         if meta is not None:
-            self.start_epoch = int(meta["epoch"]) + 1
+            # a checkpoint written on preemption covers only part of its
+            # epoch's data — re-run that epoch rather than skipping the rest
+            self.start_epoch = int(meta["epoch"]) + (
+                0 if meta.get("partial") else 1)
         return meta
 
     def _prep(self, batch, rng, train):
@@ -131,18 +138,23 @@ class Trainer:
         single host transfer (vs the reference's per-batch host sync,
         train.py:29-44)."""
         cm = None
-        losses = []
+        loss_sum = None
         for batch in eval_loader:
             prepped = self._prep(batch, None, train=False)
             cm_b, loss = self.eval_step(self.state.params, prepped)
+            # weight each batch-mean loss by its valid-sample count (the CM
+            # total) so a padded ragged final batch doesn't bias the mean —
+            # the same fix the CM metrics already have
+            w_loss = loss * jnp.sum(cm_b).astype(loss.dtype)
             cm = cm_b if cm is None else cm + cm_b
-            losses.append(loss)
+            loss_sum = w_loss if loss_sum is None else loss_sum + w_loss
         if cm is None:
             return {}
         metrics = jax.device_get(confusion_to_metrics(cm))
         metrics = {k: (float(v) if getattr(v, "shape", None) == () else v)
                    for k, v in metrics.items()}
-        metrics["loss"] = float(np.mean(jax.device_get(losses)))
+        n = float(np.sum(jax.device_get(cm)))
+        metrics["loss"] = float(jax.device_get(loss_sum)) / max(n, 1.0)
         return metrics
 
     def fit(self, train_loader, eval_loader=None):
@@ -156,6 +168,11 @@ class Trainer:
         if tcfg.preemption_safe and tcfg.checkpoint_dir is not None:
             def on_preempt(signum, frame):
                 self._preempted = True
+                # restore the previous handlers so a second signal (e.g. a
+                # repeat Ctrl-C on a wedged run) interrupts instead of being
+                # swallowed by this one-shot checkpoint-and-exit handler
+                for s, h in old_handlers.items():
+                    signal.signal(s, h)
             for sig in (signal.SIGTERM, signal.SIGINT):
                 try:
                     old_handlers[sig] = signal.signal(sig, on_preempt)
@@ -185,11 +202,14 @@ class Trainer:
                     jax.profiler.stop_trace()
 
                 if tcfg.checkpoint_dir is not None:
+                    meta = {"loss": stats.get("loss", 0.0),
+                            "step": int(self.state.step)}
+                    if self._preempted:
+                        # epoch was cut short — resume must re-run it
+                        meta["partial"] = True
                     save_checkpoint(
                         tcfg.checkpoint_dir, jax.device_get(self.state), epoch,
-                        meta={"loss": stats.get("loss", 0.0),
-                              "step": int(self.state.step)},
-                        keep=tcfg.keep_checkpoints)
+                        meta=meta, keep=tcfg.keep_checkpoints)
                 self.history.append({"epoch": epoch, **stats})
                 msg = ", ".join(f"{k}={v:.4f}" for k, v in stats.items()
                                 if isinstance(v, (int, float)))
@@ -232,9 +252,17 @@ class Trainer:
                 running_loss += self._flush(pending, writer)
                 last_metrics = pending[-1][1]
                 pending = []
+                if self.tcfg.progress:
+                    rate = n_images / max(time.time() - t0, 1e-9)
+                    loss = float(jax.device_get(last_metrics["loss"]))
+                    print(f"\r  epoch {epoch} step {step}: "
+                          f"loss={loss:.4f} {rate:.1f} img/s", end="",
+                          flush=True)
         if pending:
             running_loss += self._flush(pending, writer)
             last_metrics = pending[-1][1]
+        if self.tcfg.progress:
+            print()
         dt = time.time() - t0
         stats = {
             "loss": float(jax.device_get(last_metrics["loss"]))
