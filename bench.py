@@ -4,11 +4,18 @@ Measures batched inference (batch 256, bf16, fused patch-embed + Pallas flash
 attention — BASELINE.json config 3) and the full training step
 (fwd+bwd+AdamW, batch 128). Prints ONE JSON line.
 
+``--components`` instead runs the per-component microbench (kernels,
+patchify, MLP, train-step remat variants) and writes BENCH_components.json
+next to this file — diff it across rounds to catch perf regressions
+mechanically.
+
 vs_baseline is against the reference's only empirical record: ~372.5
 images/sec on its author's CUDA GPU (src/vit.ipynb cell 28; BASELINE.md).
 """
 
 import json
+import pathlib
+import sys
 import time
 
 import jax
@@ -42,6 +49,131 @@ def _devloop_seconds(body, iters, *args):
     t0 = time.perf_counter()
     _sync(fn(*args))
     return (time.perf_counter() - t0) / iters
+
+
+def _train_step_ms(cfg, B=128, iters=10):
+    """Steady-state train-step time via a scanned, donated 10-step dispatch."""
+    from functools import partial as _partial
+
+    from vitx.train import create_train_state
+    from vitx.train.step import make_optimizer, train_step as _train_step
+
+    opt = make_optimizer(lr=1e-4)
+    state = create_train_state(jax.random.PRNGKey(2), cfg, opt)
+    batch = {
+        "image": jax.random.normal(jax.random.PRNGKey(3),
+                                   (B, cfg.image_size, cfg.image_size, 3),
+                                   jnp.bfloat16),
+        "label": jax.random.randint(jax.random.PRNGKey(4), (B,), 0,
+                                    cfg.num_classes),
+    }
+    raw_step = _partial(_train_step, cfg=cfg, optimizer=opt)
+
+    def scan_steps(state, batch, srng):
+        def body(st, _):
+            st, metrics = raw_step(st, batch, srng)
+            return st, metrics["loss"]
+        return jax.lax.scan(body, state, None, length=iters)
+
+    scan_jit = jax.jit(scan_steps, donate_argnums=(0,))
+    state, losses = scan_jit(state, batch, jax.random.PRNGKey(5))
+    _sync(losses)
+    t0 = time.perf_counter()
+    state, losses = scan_jit(state, batch, jax.random.PRNGKey(5))
+    _sync(losses)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def components():
+    """Per-component microbench at ViT-B/16 b128 shapes -> JSON file."""
+    enable_persistent_cache()
+    from vitx import get_config
+    from vitx.kernels.flash_attention import flash_attention
+
+    B, H, T, D, E = 128, 12, 197, 64, 768
+    M = 4 * E
+    res = {}
+    k0 = jax.random.PRNGKey(0)
+    ks = jax.random.split(k0, 8)
+
+    def fold(acc, x):
+        return (jnp.bfloat16(1)
+                + jnp.bfloat16(1e-9) * acc.astype(jnp.bfloat16)) * x
+
+    # --- attention kernels (q,k,v in the kernel-native (B,H,T,D) planes) ---
+    q = jax.random.normal(ks[0], (B, H, T, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, H, T, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, H, T, D), jnp.bfloat16)
+
+    def attn_fwd(acc, q, k, v):
+        return acc + jnp.mean(flash_attention(fold(acc, q), k, v))\
+            .astype(jnp.float32)
+
+    res["attn_fwd_ms"] = _devloop_seconds(attn_fwd, 10, q, k, v) * 1e3
+
+    def attn_fwdbwd(acc, q, k, v):
+        g = jax.grad(lambda qq: jnp.sum(
+            flash_attention(qq, k, v).astype(jnp.float32)))(fold(acc, q))
+        return acc + jnp.mean(g).astype(jnp.float32)
+
+    res["attn_fwdbwd_ms"] = _devloop_seconds(attn_fwdbwd, 10, q, k, v) * 1e3
+
+    def xla_attn(acc, q, k, v):
+        from vitx.nn.attention import reference_attention
+        o, _ = reference_attention(fold(acc, q), k, v)
+        return acc + jnp.mean(o).astype(jnp.float32)
+
+    res["attn_fwd_xla_ms"] = _devloop_seconds(xla_attn, 10, q, k, v) * 1e3
+
+    # --- projection / MLP matmuls at encoder shapes ---
+    x = jax.random.normal(ks[3], (B, T, E), jnp.bfloat16)
+    wqkv = jax.random.normal(ks[4], (E, 3, H, D), jnp.bfloat16)
+    w1 = jax.random.normal(ks[5], (E, M), jnp.bfloat16)
+    w2 = jax.random.normal(ks[6], (M, E), jnp.bfloat16)
+
+    def qkv_proj(acc, x, wqkv):
+        o = jnp.einsum("bte,eshd->sbhtd", fold(acc, x), wqkv,
+                       preferred_element_type=jnp.float32)
+        return acc + jnp.mean(o.astype(jnp.float32))
+
+    res["qkv_proj_ms"] = _devloop_seconds(qkv_proj, 10, x, wqkv) * 1e3
+
+    def mlp_body(acc, x, w1, w2):
+        h = jnp.einsum("bte,em->btm", fold(acc, x), w1,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        h = jax.nn.gelu(h)
+        o = jnp.einsum("btm,me->bte", h, w2,
+                       preferred_element_type=jnp.float32)
+        return acc + jnp.mean(o.astype(jnp.float32))
+
+    res["mlp_ms"] = _devloop_seconds(mlp_body, 10, x, w1, w2) * 1e3
+
+    # --- patchify at batch 128 ---
+    from vitx import init_params
+    cfg = get_config("base16")
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    images = jax.random.normal(ks[7], (B, 224, 224, 3), jnp.bfloat16)
+
+    def patch_body(acc, params, images):
+        from vitx.nn.vit import patch_embed
+        t = patch_embed(params, fold(acc, images), cfg)
+        return acc + jnp.mean(t.astype(jnp.float32))
+
+    res["patchify_ms"] = _devloop_seconds(patch_body, 10, params, images) * 1e3
+
+    # --- train-step variants ---
+    for remat in ("block", "dots", "none"):
+        try:
+            res[f"train_step_remat_{remat}_ms"] = round(
+                _train_step_ms(get_config("base16", remat=remat)), 2)
+        except Exception as e:   # OOM etc: record, don't die
+            res[f"train_step_remat_{remat}_ms"] = f"failed: {type(e).__name__}"
+
+    res = {kk: (round(vv, 3) if isinstance(vv, float) else vv)
+           for kk, vv in res.items()}
+    out = pathlib.Path(__file__).parent / "BENCH_components.json"
+    out.write_text(json.dumps(res, indent=2) + "\n")
+    print(json.dumps(res))
 
 
 def main():
@@ -116,4 +248,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--components" in sys.argv:
+        components()
+    else:
+        main()
