@@ -207,3 +207,22 @@ def test_proj_bias_knob_is_live():
     step = make_train_step(cfg, opt)
     state, m = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_fused_rollout_matches_materialized():
+    """forward_with_rollout (in-scan accumulation, O(T) probs memory) must
+    match attention_rollout over the materialized (depth,B,T,T) stack."""
+    from vitx import forward_with_rollout
+
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    batch = _batch(13, TINY, batch=3)
+    logits_m, probs = forward_with_attn(params, batch["image"], TINY,
+                                        probs_mode="mean")
+    roll_m = attention_rollout(probs)
+    logits_f, roll_f = forward_with_rollout(params, batch["image"], TINY)
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits_m),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(roll_f), np.asarray(roll_m),
+                               rtol=1e-5, atol=1e-7)
+    # weights are a distribution over the N patch tokens
+    np.testing.assert_allclose(np.asarray(roll_f.sum(-1)), 1.0, rtol=1e-5)

@@ -19,7 +19,8 @@ A from-scratch re-design (NOT a port) of the capabilities of the reference
 """
 
 from vitx.core.config import ViTConfig, PRESETS, get_config
-from vitx.nn.vit import init_params, forward, forward_with_attn
+from vitx.nn.vit import (init_params, forward, forward_with_attn,
+                         forward_with_rollout)
 from vitx.nn.rollout import attention_rollout
 
 __version__ = "0.1.0"
@@ -31,6 +32,7 @@ __all__ = [
     "init_params",
     "forward",
     "forward_with_attn",
+    "forward_with_rollout",
     "attention_rollout",
     "__version__",
 ]

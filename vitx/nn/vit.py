@@ -270,6 +270,57 @@ def forward_with_attn(params: Params, images, cfg: ViTConfig, *,
     return classify(params, x, cfg), probs
 
 
+def forward_with_rollout(params: Params, images, cfg: ViTConfig):
+    """Fused forward + attention rollout: (logits, (B, N) rollout weights).
+
+    Accumulates the rollout product layer-by-layer INSIDE the encoder scan
+    (carry: (x, pending, R)): the (depth, B, T, T) probability stack of the
+    materialized path (``forward_with_attn`` + ``attention_rollout``) is never
+    written to HBM — O(T^2) -> O(T^2/depth) memory, one (B, T, T) carry. The
+    per-layer head-mean probabilities come straight from the flash kernel's
+    mean-probs mode. Matches ``attention_rollout(head_fusion="mean")``
+    exactly (same 0.5A + 0.5I augmentation and row renormalization); see
+    tests/test_model.py::test_fused_rollout_matches_materialized.
+    """
+    cdt = cfg.cdtype()
+    tokens = patch_embed(params, images, cfg)
+    B, T, E = tokens.shape[0], cfg.seq_len, cfg.embed_dim
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(cdt), (B, 1, E))
+    x = jnp.concatenate([cls, tokens], axis=1)
+    x = x + params["pos_embed"].astype(cdt)
+
+    eye = jnp.eye(T, dtype=jnp.float32)
+
+    def block_fn(carry, bp):
+        y, pend, rollout = carry
+        y, pend, probs = _encoder_block(
+            y, pend, bp, cfg, rng=None, deterministic=True,
+            return_probs=True, probs_mode="mean",
+        )
+        # residual path: half attention, half identity; rows renormalized
+        aug = 0.5 * probs + 0.5 * eye
+        aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
+        rollout = jnp.einsum("bij,bjk->bik", aug, rollout,
+                             preferred_element_type=jnp.float32)
+        return (y, pend, rollout), None
+
+    r0 = jnp.broadcast_to(eye, (B, T, T))
+    (x, pending, rollout), _ = jax.lax.scan(
+        block_fn, (x, jnp.zeros_like(x), r0), params["blocks"],
+        unroll=cfg.scan_unroll)
+    x = x + pending
+
+    if cfg.final_norm:
+        fn = params["final_norm"]
+        x = layer_norm(x, fn["scale"], fn["bias"], eps=cfg.layer_norm_eps)
+
+    cls_to_patches = rollout[:, 0, 1:]
+    denom = jnp.sum(cls_to_patches, axis=-1, keepdims=True)
+    weights = cls_to_patches / jnp.maximum(denom, 1e-12)
+    return classify(params, x, cfg), weights
+
+
 def jit_forward(cfg: ViTConfig):
     """A jitted forward with the config closed over statically."""
     return jax.jit(partial(forward, cfg=cfg))
