@@ -434,13 +434,48 @@ def flash_attention(q, k, v):
     return _jnp_attention(q, k, v)
 
 
+def _jnp_probs_pair(q, k, v, mean: bool):
+    o, p = _jnp_attention(q, k, v, with_probs=True)
+    return o, (jnp.mean(p, axis=1) if mean else p)
+
+
+def _make_probs_vjp(mean: bool):
+    """Kernel-fast forward + XLA-differentiated backward for the
+    instrumented paths: the probability cotangent needs the full (T, T)
+    Jacobian chain, so the backward recomputes the reference attention and
+    differentiates it (O(T^2) memory, like the reference's autograd through
+    its stashed ``attention_probs``, transformer.py:39,48)."""
+    probs_mode = "mean" if mean else "full"
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return tuple(_fwd(q, k, v, probs_mode=probs_mode))
+
+    def fwd_rule(q, k, v):
+        return tuple(_fwd(q, k, v, probs_mode=probs_mode)), (q, k, v)
+
+    def bwd_rule(res, cts):
+        q, k, v = res
+        _, vjp = jax.vjp(lambda q, k, v: _jnp_probs_pair(q, k, v, mean),
+                         q, k, v)
+        return vjp(tuple(cts))
+
+    f.defvjp(fwd_rule, bwd_rule)
+    return f
+
+
+_flash_with_probs = _make_probs_vjp(mean=False)
+_flash_with_mean_probs = _make_probs_vjp(mean=True)
+
+
 def flash_attention_with_probs(q, k, v):
     """Instrumented variant: (out, probs (B, H, T, T) fp32).
 
-    Forward-only (no VJP) — backs the attention-map / rollout API.
+    Backs the attention-map / rollout API. Differentiable: the backward
+    falls back to the XLA reference attention (see _make_probs_vjp).
     """
     if _kernel_supported(q.shape[-1]):
-        return _fwd(q, k, v, probs_mode="full")
+        return _flash_with_probs(q, k, v)
     return _jnp_attention(q, k, v, with_probs=True)
 
 
@@ -449,9 +484,9 @@ def flash_attention_with_mean_probs(q, k, v):
 
     Writes H-fold less probability data to HBM than the full variant — the
     attention-rollout consumer only ever head-averages (vitx/nn/rollout.py).
-    Forward-only (no VJP).
+    Differentiable via the XLA-reference backward (see _make_probs_vjp).
     """
     if _kernel_supported(q.shape[-1]):
-        return _fwd(q, k, v, probs_mode="mean")
+        return _flash_with_mean_probs(q, k, v)
     o, p = _jnp_attention(q, k, v, with_probs=True)
     return o, jnp.mean(p, axis=1)
