@@ -130,3 +130,39 @@ def test_synthetic_learnable_quickly():
     clf = LogisticRegression(max_iter=200).fit(X[:192] / 255.0, y[:192])
     acc = clf.score(X[192:] / 255.0, y[192:])
     assert acc > 0.9, acc
+
+
+def test_device_prefetch_preserves_content_and_order():
+    import jax
+    import numpy as np
+    from vitx.data.pipeline import device_prefetch
+
+    batches = [{"image": np.full((2, 4), i, np.uint8),
+                "label": np.array([i, i], np.int32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["image"], jax.Array)   # device-resident
+        np.testing.assert_array_equal(np.asarray(b["image"]),
+                                      batches[i]["image"])
+        np.testing.assert_array_equal(np.asarray(b["label"]),
+                                      batches[i]["label"])
+
+
+def test_device_prefetch_with_mesh_sharding():
+    import jax
+    import numpy as np
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vitx.data.pipeline import device_prefetch
+    from vitx.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh(dp=8, tp=1)
+    sh = NamedSharding(mesh, P("data"))
+    batches = [{"image": np.ones((16, 4), np.float32) * i} for i in range(3)]
+    out = list(device_prefetch(iter(batches), size=2, sharding=sh))
+    assert out[0]["image"].sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(out[2]["image"]),
+                                  batches[2]["image"])

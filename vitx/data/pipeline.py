@@ -46,3 +46,32 @@ def make_preprocess(*, out_size: int | None = None, mean=IMAGENET_MEAN,
     fn = partial(preprocess, out_size=out_size, mean=mean,
                  std=None if mean is None else std, random_flip=random_flip)
     return jax.jit(fn, static_argnames=("train",))
+
+
+def device_prefetch(iterator, *, size: int = 2, sharding=None):
+    """Double-buffered host->device transfer.
+
+    Yields batches (dicts of arrays) already resident on device, keeping
+    ``size`` transfers in flight: batch N+1's (async) ``device_put`` overlaps
+    batch N's compute, instead of a synchronous H2D stall at the start of
+    every step. ``sharding``: a Sharding (or dict key->Sharding) to place
+    batches onto a mesh (the data-parallel path); None = default device.
+    """
+    import collections
+
+    def place(batch):
+        if sharding is None:
+            return jax.tree.map(jax.device_put, batch)
+        if isinstance(sharding, dict):
+            return {key: jax.device_put(val, sharding.get(key))
+                    for key, val in batch.items()}
+        return {key: jax.device_put(val, sharding)
+                for key, val in batch.items()}
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(place(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -14,7 +14,11 @@ import numpy as np
 class SyntheticDataset:
     def __init__(self, *, num_examples: int = 512, image_size: int = 64,
                  num_classes: int = 4, num_channels: int = 3, seed: int = 0,
-                 noise: float = 0.3):
+                 noise: float = 0.3, cache: bool = False):
+        """``cache=True`` materializes every example up front (u8 in RAM) so
+        iteration costs an index, like a decoded-image cache — use for
+        throughput benchmarks where the grating synthesis (~ms/example)
+        would otherwise dominate."""
         self.image_size = image_size
         self.num_classes = num_classes
         self.num_channels = num_channels
@@ -25,11 +29,19 @@ class SyntheticDataset:
                                    size=num_examples).astype(np.int32)
         self.classes = [f"class_{i}" for i in range(num_classes)]
         self.class_encoding = dict(enumerate(self.classes))
+        self._cache = None
+        if cache:
+            self._cache = [self._generate(i) for i in range(num_examples)]
 
     def __len__(self):
         return len(self.labels)
 
     def get_example(self, i: int):
+        if self._cache is not None:
+            return self._cache[i]
+        return self._generate(i)
+
+    def _generate(self, i: int):
         label = int(self.labels[i])
         rng = np.random.default_rng((self._seed, i))
         S = self.image_size

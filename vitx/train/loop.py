@@ -102,6 +102,14 @@ class Trainer:
                                or make_train_step(cfg, self.optimizer))
             self.eval_step = eval_step or make_eval_step(cfg)
         self.preprocess = preprocess
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from vitx.parallel.mesh import DATA_AXIS
+
+            self._data_sharding = NamedSharding(mesh,
+                                                PartitionSpec(DATA_AXIS))
+        else:
+            self._data_sharding = None
         self.start_epoch = 0
         self.history: list[dict[str, Any]] = []
         self._preempted = False
@@ -118,7 +126,7 @@ class Trainer:
                 0 if meta.get("partial") else 1)
         return meta
 
-    def _prep(self, batch, rng, train):
+    def _prep(self, batch, rng, train, *, placed=False):
         image = batch["image"]
         if self.preprocess is not None:
             image = self.preprocess(image, rng, train=train)
@@ -127,11 +135,19 @@ class Trainer:
             # padding rows are excluded from loss/grads/metrics in both
             # train and eval (loader pads ragged final batches)
             out["mask"] = batch["mask"]
-        if self.mesh is not None:
+        if self.mesh is not None and not placed:
             from vitx.parallel.sharded import shard_batch
 
             out = shard_batch(out, self.mesh)
         return out
+
+    def _prefetch(self, loader):
+        """Double-buffered host->device transfer: batch N+1's device_put
+        overlaps batch N's step (vitx.data.pipeline.device_prefetch)."""
+        from vitx.data.pipeline import device_prefetch
+
+        return device_prefetch(iter(loader), size=2,
+                               sharding=self._data_sharding)
 
     def evaluate(self, eval_loader):
         """Accumulate ONE confusion matrix on device over the loader, then a
@@ -139,8 +155,8 @@ class Trainer:
         train.py:29-44)."""
         cm = None
         loss_sum = None
-        for batch in eval_loader:
-            prepped = self._prep(batch, None, train=False)
+        for batch in self._prefetch(eval_loader):
+            prepped = self._prep(batch, None, train=False, placed=True)
             cm_b, loss = self.eval_step(self.state.params, prepped)
             # weight each batch-mean loss by its valid-sample count (the CM
             # total) so a padded ragged final batch doesn't bias the mean —
@@ -230,28 +246,36 @@ class Trainer:
             train_loader.set_epoch(epoch)
         t0 = time.time()
         n_images = 0
+        n_images_dev = []     # per-batch valid counts, fetched with _flush
         running_loss = 0.0
         last_metrics = None
         pending = []          # (step, metrics) not yet host-synced
         # host-side step counter: int(state.step) would force a device sync
         # every iteration, serializing the pipeline
         step = int(jax.device_get(self.state.step))
-        for batch in train_loader:
+        for batch in self._prefetch(train_loader):
             if self._preempted:
                 break   # finish the epoch early; caller checkpoints + exits
             self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
-            prepped = self._prep(batch, prep_rng, train=True)
+            prepped = self._prep(batch, prep_rng, train=True, placed=True)
             self.state, metrics = self.train_step(self.state, prepped,
                                                   step_rng)
             step += 1
-            n_images += (int(batch["mask"].sum()) if "mask" in batch
-                         else batch["image"].shape[0])
+            if "mask" in batch:
+                # device-resident (prefetched) mask: defer the count to the
+                # chunked flush — int(...) here would sync every step
+                n_images_dev.append(jnp.sum(batch["mask"]))
+            else:
+                n_images += batch["image"].shape[0]
             pending.append((step, metrics))
             # flush asynchronously-computed scalars in chunks: no per-step sync
             if len(pending) >= self.tcfg.log_every:
                 running_loss += self._flush(pending, writer)
                 last_metrics = pending[-1][1]
                 pending = []
+                if n_images_dev:
+                    n_images += int(np.sum(jax.device_get(n_images_dev)))
+                    n_images_dev = []
                 if self.tcfg.progress:
                     rate = n_images / max(time.time() - t0, 1e-9)
                     loss = float(jax.device_get(last_metrics["loss"]))
@@ -261,6 +285,8 @@ class Trainer:
         if pending:
             running_loss += self._flush(pending, writer)
             last_metrics = pending[-1][1]
+        if n_images_dev:
+            n_images += int(np.sum(jax.device_get(n_images_dev)))
         if self.tcfg.progress:
             print()
         dt = time.time() - t0
