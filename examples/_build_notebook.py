@@ -1,0 +1,226 @@
+"""Build and execute examples/exploration.ipynb (the reference's src/vit.ipynb
+equivalent surface — dataset browsing, fine-tune with recorded outputs,
+attention maps/rollout, checkpoint interop). Run from the repo root:
+
+    python examples/_build_notebook.py
+"""
+
+import nbformat as nbf
+from nbclient import NotebookClient
+
+nb = nbf.v4.new_notebook()
+md = nbf.v4.new_markdown_cell
+code = nbf.v4.new_code_cell
+
+C = []
+
+C.append(md(
+    "# vitx exploration notebook\n\n"
+    "The executed `src/vit.ipynb`-equivalent surface of the reference project "
+    "(SiddhantSKarki/Vision-Transformer): dataset browsing (reference cells "
+    "1-5, 18-24), an interactive fine-tune with recorded outputs (cell 28 — "
+    "the source of the reference's only performance record), attention-map "
+    "and rollout visualization, and checkpoint interop.\n\n"
+    "Runs anywhere JAX runs: the synthetic grating dataset below is the "
+    "no-egress stand-in for the brain-tumor folder set — swap in "
+    "`FolderDataset('/path/to/brain-tumor')` for the real thing."))
+
+C.append(code(
+    "%matplotlib inline\n"
+    "import jax, jax.numpy as jnp, numpy as np\n"
+    "import matplotlib.pyplot as plt\n"
+    "from vitx import (ViTConfig, get_config, init_params, forward,\n"
+    "                  forward_with_attn, forward_with_rollout,\n"
+    "                  attention_rollout)\n"
+    "from vitx.data import BatchLoader, SyntheticDataset\n"
+    "from vitx.data.pipeline import make_preprocess\n"
+    "from vitx.train.loop import Trainer, TrainerConfig\n"
+    "print('backend:', jax.default_backend(), '| devices:', len(jax.devices()))"))
+
+C.append(md(
+    "## 1. Dataset\n\n"
+    "Four oriented-grating classes (stand-in for glioma/meningioma/"
+    "none/pituitary). The loader pads ragged final batches to a static shape "
+    "and carries a mask, so jit never recompiles and eval stays sample-exact."))
+
+C.append(code(
+    "cfg = get_config('tiny')          # 64x64, patch 8, 4 classes\n"
+    "train_ds = SyntheticDataset(num_examples=512, image_size=cfg.image_size,\n"
+    "                            num_classes=cfg.num_classes, noise=0.25)\n"
+    "eval_ds  = SyntheticDataset(num_examples=128, image_size=cfg.image_size,\n"
+    "                            num_classes=cfg.num_classes, noise=0.25, seed=1)\n"
+    "counts = np.bincount(train_ds.labels, minlength=cfg.num_classes)\n"
+    "for c, n in zip(train_ds.classes, counts):\n"
+    "    print(f'{c}: {n} examples')"))
+
+C.append(code(
+    "fig, axes = plt.subplots(2, 6, figsize=(12, 4))\n"
+    "for ax, i in zip(axes.ravel(), range(12)):\n"
+    "    img, label = train_ds.get_example(i)\n"
+    "    ax.imshow(img); ax.set_title(train_ds.classes[label], fontsize=8)\n"
+    "    ax.axis('off')\n"
+    "fig.suptitle('training examples'); fig.tight_layout(); plt.show()"))
+
+C.append(md(
+    "## 2. Device-resident preprocessing\n\n"
+    "The host only decodes to uint8; scaling, normalization and the random "
+    "flip run as ONE jitted function on the accelerator (the reference did "
+    "all of this on the host with torchvision workers, train.py:151-162)."))
+
+C.append(code(
+    "pre = make_preprocess(out_size=None, mean=(0.5, 0.5, 0.5),\n"
+    "                      std=(0.5, 0.5, 0.5))\n"
+    "raw = np.stack([train_ds.get_example(i)[0] for i in range(8)])\n"
+    "proc = pre(raw, jax.random.PRNGKey(0), train=True)\n"
+    "print('uint8 in :', raw.shape, raw.dtype, 'range', raw.min(), '-', raw.max())\n"
+    "print('float out:', proc.shape, proc.dtype,\n"
+    "      'mean %.3f std %.3f' % (float(proc.mean()), float(proc.std())))"))
+
+C.append(md(
+    "## 3. Model\n\n"
+    "Functional ViT: params are a plain pytree, the encoder is one "
+    "`lax.scan` over stacked block params, attention runs the Pallas flash "
+    "kernel on TPU (XLA reference path elsewhere)."))
+
+C.append(code(
+    "params = init_params(jax.random.PRNGKey(0), cfg)\n"
+    "n_params = sum(x.size for x in jax.tree.leaves(params))\n"
+    "logits = forward(params, proc, cfg)\n"
+    "print(cfg)\n"
+    "print(f'parameters: {n_params:,}')\n"
+    "print('logits:', logits.shape, logits.dtype)"))
+
+C.append(md(
+    "## 4. Fine-tune\n\n"
+    "The reference notebook's interactive training run (vit.ipynb cell 28) — "
+    "here with per-epoch eval, TensorBoard-compatible scalars and per-epoch "
+    "checkpoints with auto-resume."))
+
+C.append(code(
+    "import tempfile, pathlib\n"
+    "workdir = pathlib.Path(tempfile.mkdtemp(prefix='vitx_nb_'))\n"
+    "trainer = Trainer(cfg, TrainerConfig(\n"
+    "    epochs=5, lr=3e-3, log_every=8,\n"
+    "    checkpoint_dir=str(workdir / 'ckpt'), log_dir=str(workdir / 'logs')),\n"
+    "    preprocess=pre)\n"
+    "history = trainer.fit(\n"
+    "    BatchLoader(train_ds, 64, shuffle=True, seed=0),\n"
+    "    BatchLoader(eval_ds, 64))"))
+
+C.append(code(
+    "fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 3.2))\n"
+    "epochs = [h['epoch'] for h in history]\n"
+    "ax1.plot(epochs, [h['loss'] for h in history], 'o-', label='train (last batch)')\n"
+    "ax1.plot(epochs, [h['val_loss'] for h in history], 's-', label='val')\n"
+    "ax1.set_xlabel('epoch'); ax1.set_ylabel('loss'); ax1.legend(); ax1.grid(alpha=.3)\n"
+    "ax2.plot(epochs, [h['val_accuracy'] for h in history], 'o-')\n"
+    "ax2.set_xlabel('epoch'); ax2.set_ylabel('val accuracy'); ax2.grid(alpha=.3)\n"
+    "fig.tight_layout(); plt.show()\n"
+    "print('final val accuracy: %.3f' % history[-1]['val_accuracy'])"))
+
+C.append(md(
+    "## 5. Evaluation: confusion matrix and per-class metrics\n\n"
+    "One confusion matrix accumulated on device over the loader (single host "
+    "transfer), sklearn-parity weighted precision/recall "
+    "(the reference computed these per-batch on host, train.py:29-44)."))
+
+C.append(code(
+    "metrics = trainer.evaluate(BatchLoader(eval_ds, 64))\n"
+    "cm = np.asarray(metrics['confusion_matrix'])\n"
+    "fig, ax = plt.subplots(figsize=(4, 3.5))\n"
+    "im = ax.imshow(cm, cmap='Blues')\n"
+    "for i in range(cm.shape[0]):\n"
+    "    for j in range(cm.shape[1]):\n"
+    "        ax.text(j, i, int(cm[i, j]), ha='center', va='center',\n"
+    "                color='white' if cm[i, j] > cm.max()/2 else 'black')\n"
+    "ax.set_xlabel('predicted'); ax.set_ylabel('true')\n"
+    "ax.set_xticks(range(4), eval_ds.classes, rotation=45, fontsize=7)\n"
+    "ax.set_yticks(range(4), eval_ds.classes, fontsize=7)\n"
+    "fig.colorbar(im); fig.tight_layout(); plt.show()\n"
+    "print('accuracy: %.3f' % metrics['accuracy'])\n"
+    "print('precision (weighted): %.3f' % metrics['precision_weighted'])\n"
+    "print('recall    (weighted): %.3f' % metrics['recall_weighted'])\n"
+    "print('per-class accuracy:',\n"
+    "      np.round(np.asarray(metrics['per_class_accuracy']), 3))"))
+
+C.append(md(
+    "## 6. Attention maps\n\n"
+    "`forward_with_attn` returns per-layer, per-head probabilities — the "
+    "public API for the reference's `attention_probs` stash "
+    "(transformer.py:39,48). Below: where each head of the last layer looks "
+    "from the CLS token."))
+
+C.append(code(
+    "imgs = np.stack([eval_ds.get_example(i)[0] for i in range(4)])\n"
+    "x = pre(imgs, jax.random.PRNGKey(0), train=False)\n"
+    "logits, probs = forward_with_attn(trainer.state.params, x, cfg)\n"
+    "print('probs:', probs.shape, '(depth, B, H, T, T)')\n"
+    "g = cfg.grid_size\n"
+    "cls_attn = np.asarray(probs)[-1, 0, :, 0, 1:]      # last layer, image 0\n"
+    "fig, axes = plt.subplots(1, cfg.num_heads + 1, figsize=(12, 2.6))\n"
+    "axes[0].imshow(imgs[0]); axes[0].set_title('input', fontsize=8)\n"
+    "for h in range(cfg.num_heads):\n"
+    "    axes[h + 1].imshow(cls_attn[h].reshape(g, g), cmap='inferno')\n"
+    "    axes[h + 1].set_title(f'head {h}', fontsize=8)\n"
+    "for ax in axes: ax.axis('off')\n"
+    "fig.suptitle('last-layer CLS attention per head'); fig.tight_layout(); plt.show()"))
+
+C.append(md(
+    "## 7. Attention rollout overlay\n\n"
+    "`forward_with_rollout` accumulates the rollout product inside the "
+    "encoder scan (the (depth, B, T, T) stack is never materialized) and "
+    "matches the materialized `attention_rollout` path exactly."))
+
+C.append(code(
+    "logits_r, roll = forward_with_rollout(trainer.state.params, x, cfg)\n"
+    "roll_mat = attention_rollout(np.asarray(probs).mean(2))\n"
+    "print('fused vs materialized rollout max |diff|:',\n"
+    "      float(np.max(np.abs(np.asarray(roll) - np.asarray(roll_mat)))))\n"
+    "fig, axes = plt.subplots(2, 4, figsize=(10, 5))\n"
+    "for i in range(4):\n"
+    "    heat = np.asarray(roll)[i].reshape(g, g)\n"
+    "    heat = np.kron(heat, np.ones((cfg.patch_size, cfg.patch_size)))\n"
+    "    axes[0, i].imshow(imgs[i])\n"
+    "    axes[0, i].set_title(eval_ds.classes[int(np.argmax(logits_r[i]))],\n"
+    "                         fontsize=8)\n"
+    "    axes[1, i].imshow(imgs[i]); axes[1, i].imshow(heat, cmap='inferno', alpha=0.55)\n"
+    "    axes[0, i].axis('off'); axes[1, i].axis('off')\n"
+    "fig.suptitle('attention rollout (bottom: overlay)'); fig.tight_layout(); plt.show()"))
+
+C.append(md(
+    "## 8. Checkpoint interop with the reference\n\n"
+    "Export reference-layout `{epoch}.pt` (exact state_dict keys, including "
+    "the `emdeddings` misspelling and real AdamW optimizer state) and "
+    "round-trip it back."))
+
+C.append(code(
+    "from vitx.train.checkpoint import save_reference_pt, load_reference_pt\n"
+    "pt = workdir / '5.pt'\n"
+    "host = jax.device_get(trainer.state)\n"
+    "save_reference_pt(pt, host.params, cfg, epoch=5,\n"
+    "                  opt_state=host.opt_state, batch_size=2)\n"
+    "import warnings\n"
+    "with warnings.catch_warnings():\n"
+    "    warnings.simplefilter('ignore')   # corrected-semantics notice\n"
+    "    params2, meta = load_reference_pt(pt, cfg)\n"
+    "a = np.asarray(forward(host.params, x, cfg))\n"
+    "b = np.asarray(forward(jax.tree.map(jnp.asarray, params2), x, cfg))\n"
+    "print('epoch meta:', meta['epoch'], '| logits max |diff| after round-trip:',\n"
+    "      float(np.max(np.abs(a - b))))"))
+
+C.append(md(
+    "## Pointers\n\n"
+    "- `examples/quickstart.py` — the 30-second training script\n"
+    "- `examples/attention_rollout.py` — rollout overlay as a CLI\n"
+    "- `python -m vitx.cli.train / .eval / .bench` — full CLIs\n"
+    "- `vitx/parallel` — the same Trainer scaled over a `jax.sharding.Mesh` "
+    "(pass `mesh=make_mesh(dp=..., tp=...)`)"))
+
+nb["cells"] = C
+nb["metadata"]["kernelspec"] = {
+    "display_name": "Python 3", "language": "python", "name": "python3"}
+
+client = NotebookClient(nb, timeout=1200, kernel_name="python3")
+client.execute()
+nbf.write(nb, "examples/exploration.ipynb")
+print("executed and wrote examples/exploration.ipynb")

@@ -169,8 +169,10 @@ class Trainer:
         metrics = jax.device_get(confusion_to_metrics(cm))
         metrics = {k: (float(v) if getattr(v, "shape", None) == () else v)
                    for k, v in metrics.items()}
-        n = float(np.sum(jax.device_get(cm)))
-        metrics["loss"] = float(jax.device_get(loss_sum)) / max(n, 1.0)
+        cm_host = np.asarray(jax.device_get(cm))
+        metrics["loss"] = float(jax.device_get(loss_sum)) / \
+            max(float(cm_host.sum()), 1.0)
+        metrics["confusion_matrix"] = cm_host
         return metrics
 
     def fit(self, train_loader, eval_loader=None):
