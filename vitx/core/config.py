@@ -73,6 +73,10 @@ class ViTConfig:
     # "auto": Pallas flash attention on TPU, jnp reference elsewhere.
     # "flash" / "reference": force one path.
     attn_impl: str = "auto"
+    # Fused LN->QKV->attention->proj block kernel (vitx/kernels/mha_block.py,
+    # 1.45x the composed path at ViT-B shapes). "auto": on for TPU when
+    # attn_impl is "auto" and no probs are requested; "on"/"off": force.
+    fuse_mha: str = "auto"
 
     # --- memory ---
     # "block": jax.checkpoint each encoder block inside the scan — backward
@@ -109,6 +113,8 @@ class ViTConfig:
             raise ValueError(f"unknown head_type {self.head_type!r}")
         if self.remat not in ("block", "dots", "none"):
             raise ValueError(f"unknown remat {self.remat!r}")
+        if self.fuse_mha not in ("auto", "on", "off"):
+            raise ValueError(f"unknown fuse_mha {self.fuse_mha!r}")
 
     # -- derived --
     @property

@@ -1,0 +1,285 @@
+"""Fused MHA block kernel: LN -> QKV projection -> attention -> out-proj.
+
+ONE ``pallas_call`` per encoder block's attention half, with the projection
+weights resident in VMEM across the batch grid (~4.7 MB at ViT-B). This
+removes the two costliest seams of the composed path measured in round 2
+(ROADMAP.md roofline): the 0.69 ms qkv relayout copy between the XLA einsum
+and the flash kernel, and the HBM round trips at each kernel boundary —
+measured 3.9 ms vs 5.7 ms composed per ViT-B layer at batch 128 (1.45x).
+
+Capability-equivalent of the reference's Block attention half
+(``src/VisionTransformer/transformer.py:66-79``) in a single fused kernel.
+
+Per grid step (one batch item): LayerNorm in fp32, one (T, E) x (E, 3E)
+projection matmul, per-head attention as lane-sliced (T, D) matmuls (no
+in-kernel transposes — heads are lane slices of the projection output), and
+the (T, E) x (E, E) output projection.
+
+Backward: custom VJP that re-derives the intermediates with the composed
+XLA + flash-kernel path (the same work the remat recompute already does) —
+the fused kernel accelerates the forward and the remat recompute.
+
+SPMD: batch-parallel over ``data`` via custom_partitioning; under tensor
+parallelism the weights are gathered (falls back to replicated compute on
+the model axis) — use the composed path (``fuse_mha="off"``) for tp>1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as _P
+
+from vitx.kernels.flash_attention import _use_interpret
+
+_VMEM_BYTES = 100 * 1024 * 1024  # guard: skip fusion for configs that blow VMEM
+
+
+def _kernel(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref, *rest,
+            num_heads: int, eps: float, scale: float, stash: bool):
+    E = x_ref.shape[-1]
+    D = E // num_heads
+    s = x_ref[0]                                        # (T, E)
+    s32 = s.astype(jnp.float32)
+    mean = jnp.mean(s32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s32 - mean), axis=-1, keepdims=True)
+    h = ((s32 - mean) * jax.lax.rsqrt(var + eps)
+         * g_ref[...] + b_ref[...]).astype(s.dtype)
+    qkv = jnp.dot(h, wqkv_ref[...],
+                  preferred_element_type=jnp.float32)   # (T, 3E)
+    outs = []
+    for head in range(num_heads):
+        # heads are LANE slices of the projection output — zero transposes
+        q0 = qkv[:, head * D:(head + 1) * D].astype(s.dtype)
+        k = qkv[:, E + head * D:E + (head + 1) * D].astype(s.dtype)
+        v = qkv[:, 2 * E + head * D:2 * E + (head + 1) * D].astype(s.dtype)
+        if stash:
+            # write the kernel-native (3, H, T, D) planes the flash backward
+            # kernel consumes — the VJP needs zero relayouts for q/k/v
+            qkv_ref = rest[0]
+            qkv_ref[0, 0, head] = q0
+            qkv_ref[0, 1, head] = k
+            qkv_ref[0, 2, head] = v
+        q = (q0.astype(jnp.float32) * scale).astype(s.dtype)
+        sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(s.dtype), v,
+                    preferred_element_type=jnp.float32) / l
+        outs.append(o.astype(s.dtype))
+    o_all = jnp.concatenate(outs, axis=1)               # (T, E)
+    if stash:
+        rest[1][0] = o_all
+    out = jnp.dot(o_all, wo_ref[...],
+                  preferred_element_type=jnp.float32) + bo_ref[...]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fused_fwd(x, wqkv, wo, bo, g, b, *, eps: float, stash: bool = False):
+    """stash=True additionally returns (qkv (B,3,H,T,D), o_all (B,T,E)) —
+    the VJP's residuals, written in the flash-bwd kernel's native layout."""
+    B, T, E = x.shape
+    H = wqkv.shape[2]
+    D = E // H
+    # flatten (E, 3, H, D) -> (E, 3E) on the host side: a free bitcast here,
+    # an unsupported vector shape-cast inside the kernel (Mosaic)
+    wqkv = wqkv.reshape(E, 3 * E)
+    out_shape = [jax.ShapeDtypeStruct((B, T, E), x.dtype)]
+    out_specs = [pl.BlockSpec((1, T, E), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if stash:
+        out_shape += [jax.ShapeDtypeStruct((B, 3, H, T, D), x.dtype),
+                      jax.ShapeDtypeStruct((B, T, E), x.dtype)]
+        out_specs += [pl.BlockSpec((1, 3, H, T, D),
+                                   lambda i: (i, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, T, E), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+    outs = pl.pallas_call(
+        functools.partial(_kernel, num_heads=H, eps=eps, scale=1.0 / D**0.5,
+                          stash=stash),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, E), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 3 * E), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        out_specs=out_specs,
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * E * 4 * E + 4 * B * H * T * T * D,
+            bytes_accessed=2 * B * T * E * 2 + 8 * E * E,
+            transcendentals=B * H * T * T,
+        ),
+    )(x, wqkv, wo, bo, g, b)
+    return outs if stash else outs[0]
+
+
+def _composed(x, wqkv, wo, bo, g, b, *, eps: float):
+    """The unfused path (identical math) — backs the VJP and fallbacks."""
+    from vitx.kernels.flash_attention import flash_attention
+    from vitx.nn.layers import layer_norm
+
+    H = wqkv.shape[2]
+    E = x.shape[-1]
+    D = E // H
+    h = layer_norm(x, g, b, eps=eps)
+    qkv = jnp.einsum("bte,eshd->sbhtd", h, wqkv.astype(h.dtype),
+                     preferred_element_type=jnp.float32).astype(h.dtype)
+    o = flash_attention(qkv[0], qkv[1], qkv[2])
+    out = jnp.einsum("bhtd,hdf->btf", o,
+                     wo.astype(h.dtype).reshape(H, D, E),
+                     preferred_element_type=jnp.float32).astype(h.dtype)
+    return out + bo.astype(h.dtype)
+
+
+# --- SPMD: batch-parallel; weights/params replicated per shard -------------
+
+def _b_spec(spec, ndim=3):
+    parts = list(spec) + [None] * (ndim - len(spec))
+    return _P(parts[0], None, None)
+
+
+def _make_sharded(eps: float, stash: bool):
+    def _positional(x, wqkv, wo, bo, g, b):
+        return _fused_fwd(x, wqkv, wo, bo, g, b, eps=eps, stash=stash)
+
+    f = custom_partitioning(_positional)
+    n_out = 3 if stash else 1
+
+    def _out_shardings(mesh, x_spec):
+        sh = NamedSharding(mesh, _b_spec(x_spec))
+        if not stash:
+            return sh
+        qkv_sh = NamedSharding(mesh, _P(_b_spec(x_spec)[0]))
+        return (sh, qkv_sh, sh)
+
+    def infer(mesh, arg_infos, result_infos):
+        return _out_shardings(mesh, arg_infos[0].sharding.spec)
+
+    def part(mesh, arg_infos, result_infos):
+        x_sh = NamedSharding(mesh, _b_spec(arg_infos[0].sharding.spec))
+        rep = NamedSharding(mesh, _P())
+        arg_sh = (x_sh, rep, rep, rep, rep, rep)
+        return (mesh, _positional,
+                _out_shardings(mesh, arg_infos[0].sharding.spec), arg_sh)
+
+    rule_out = ("b t e, b s h t d, b t e" if stash else "b t e")
+    f.def_partition(
+        part, infer_sharding_from_operands=infer,
+        # x (b,t,e); wqkv (e,s,h,d); wo (f,g); bo/g/b (o, p, q)
+        sharding_rule=(f"b t e, e s h d, f g, o, p, q -> {rule_out}"),
+        need_replication_factors=("t", "e", "s", "h", "d", "f", "g",
+                                  "o", "p", "q"))
+    return f
+
+
+_SHARDED_CACHE: dict = {}
+
+
+def _fused_fwd_sharded(x, wqkv, wo, bo, g, b, *, eps: float,
+                       stash: bool = False):
+    key = (float(eps), stash)
+    if key not in _SHARDED_CACHE:
+        _SHARDED_CACHE[key] = _make_sharded(eps, stash)
+    return _SHARDED_CACHE[key](x, wqkv, wo, bo, g, b)
+
+
+# --- public op with VJP -----------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_op(x, wqkv, wo, bo, g, b, eps):
+    return _fused_fwd_sharded(x, wqkv, wo, bo, g, b, eps=eps)
+
+
+def _fused_op_fwd(x, wqkv, wo, bo, g, b, eps):
+    # the stash variant writes qkv in the flash-bwd kernel's native
+    # (B, 3, H, T, D) layout and the pre-projection head outputs — the
+    # backward below needs NO forward recompute and NO relayout copies
+    out, qkv, o_all = _fused_fwd_sharded(x, wqkv, wo, bo, g, b, eps=eps,
+                                         stash=True)
+    return out, (x, wqkv, wo, g, b, qkv, o_all)
+
+
+def _fused_op_bwd(eps, res, dout):
+    from vitx.kernels.flash_attention import _bwd_sharded
+    from vitx.nn.layers import layer_norm
+
+    x, wqkv, wo, g, b, qkv, o_all = res
+    H = wqkv.shape[2]
+    E = x.shape[-1]
+    D = E // H
+
+    # out-projection grads (out = o_all @ wo + bo)
+    dwo = jnp.einsum("bte,btf->ef", o_all, dout,
+                     preferred_element_type=jnp.float32).astype(wo.dtype)
+    dbo = jnp.sum(dout.astype(jnp.float32), axis=(0, 1))
+    do = jnp.einsum("btf,hdf->bhtd", dout,
+                    wo.astype(dout.dtype).reshape(H, D, E),
+                    preferred_element_type=jnp.float32).astype(dout.dtype)
+
+    # attention grads via the flash backward kernel (qkv already native)
+    dq, dk, dv = _bwd_sharded(qkv[:, 0], qkv[:, 1], qkv[:, 2], do)
+    dqkv = jnp.stack([dq, dk, dv])                       # (3, B, H, T, D)
+
+    # qkv-projection grads (qkv = LN(x) @ wqkv)
+    h = layer_norm(x, g, b, eps=eps)
+    dwqkv = jnp.einsum("bte,sbhtd->eshd", h, dqkv,
+                       preferred_element_type=jnp.float32).astype(wqkv.dtype)
+    dh = jnp.einsum("sbhtd,eshd->bte", dqkv, wqkv.astype(dqkv.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # LayerNorm backward
+    _, ln_vjp = jax.vjp(
+        lambda x_, g_, b_: layer_norm(x_, g_, b_, eps=eps), x, g, b)
+    dx, dg, db = ln_vjp(dh)
+    return dx, dwqkv, dwo, dbo, dg, db
+
+
+_fused_op.defvjp(_fused_op_fwd, _fused_op_bwd)
+
+
+def supports_fused_mha(x_shape, num_heads: int, dtype) -> bool:
+    """VMEM feasibility + Mosaic constraints for the fused block."""
+    if _use_interpret():
+        return True
+    B, T, E = x_shape
+    D = E // num_heads
+    if D % 32 or T > 2048:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    need = (8 * E * E * itemsize            # wqkv + wo resident
+            + 2 * T * E * itemsize          # x + out blocks
+            + T * 3 * E * 4                 # qkv fp32
+            + 2 * T * T * 4                 # score/prob temporaries
+            + 4 * T * E * itemsize          # head slices / o_all
+            + 4 * T * E * itemsize)         # stash output blocks (VJP path)
+    # 16 MB VMEM; moving blocks are small, weights single-buffered —
+    # ViT-B (14.5 MB estimated incl. stash) compiles and runs (measured r2)
+    return need <= 15 * 1024 * 1024
+
+
+def fused_mha_block(x, wqkv, wo, bo, g, b, *, eps: float = 1e-5):
+    """LN(x) -> multi-head attention -> output projection, fused.
+
+    x: (B, T, E); wqkv: (E, 3, H, D); wo: (E, E); bo: (E,) (pass zeros when
+    the projection has no bias); g, b: LayerNorm scale/bias (E,).
+    Falls back to the composed XLA + flash path for unsupported shapes.
+    """
+    H = wqkv.shape[2]
+    if not supports_fused_mha(x.shape, H, x.dtype):
+        return _composed(x, wqkv, wo, bo, g, b, eps=eps)
+    return _fused_op(x, wqkv, wo, bo, g, b, float(eps))

@@ -139,6 +139,14 @@ def patch_embed(params: Params, images, cfg: ViTConfig):
     return tokens + params["patch_embed"]["bias"].astype(x.dtype)
 
 
+def _use_fused_mha(cfg: ViTConfig, bp, return_probs: bool) -> bool:
+    if return_probs or bp.get("bqkv") is not None or cfg.fuse_mha == "off":
+        return False
+    if cfg.fuse_mha == "on":
+        return True
+    return cfg.attn_impl == "auto" and jax.default_backend() == "tpu"
+
+
 def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
                    return_probs, probs_mode="full"):
     """Pre-LN block: x + MHA(LN1(x)); x + MLP(LN2(x)). (transformer.py:66-79)
@@ -146,19 +154,37 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
     The previous block's MLP output arrives as ``pending`` so every residual
     add fuses into the next LayerNorm (one HBM pass instead of two); the
     block returns its own MLP output as the new pending.
+
+    Fast path: the whole LN1 -> QKV -> attention -> out-proj half runs as
+    one fused Pallas kernel (vitx/kernels/mha_block.py) when enabled.
     """
     if rng is not None:
         r_attn, r_mlp = jax.random.split(rng)
     else:
         r_attn = r_mlp = None
 
-    x, h = add_layer_norm(x, pending, bp["ln1_scale"], bp["ln1_bias"],
-                          eps=cfg.layer_norm_eps)
-    attn_out, probs = multi_head_attention(
-        h, bp["wqkv"], bp.get("bqkv"), bp["wo"], bp.get("bo"),
-        num_heads=cfg.num_heads, impl=cfg.attn_impl, return_probs=return_probs,
-        probs_mode=probs_mode,
-    )
+    if _use_fused_mha(cfg, bp, return_probs):
+        from vitx.kernels.mha_block import fused_mha_block
+
+        x = x + pending
+        bo = bp.get("bo")
+        if bo is None:
+            bo = jnp.zeros((cfg.embed_dim,), jnp.float32)
+        attn_out = fused_mha_block(
+            x, bp["wqkv"].astype(x.dtype), bp["wo"].astype(x.dtype),
+            bo.astype(jnp.float32),
+            bp["ln1_scale"].astype(jnp.float32),
+            bp["ln1_bias"].astype(jnp.float32),
+            eps=cfg.layer_norm_eps)
+        probs = None
+    else:
+        x, h = add_layer_norm(x, pending, bp["ln1_scale"], bp["ln1_bias"],
+                              eps=cfg.layer_norm_eps)
+        attn_out, probs = multi_head_attention(
+            h, bp["wqkv"], bp.get("bqkv"), bp["wo"], bp.get("bo"),
+            num_heads=cfg.num_heads, impl=cfg.attn_impl,
+            return_probs=return_probs, probs_mode=probs_mode,
+        )
     attn_out = dropout(attn_out, cfg.dropout, r_attn, deterministic=deterministic)
 
     x, h = add_layer_norm(x, attn_out, bp["ln2_scale"], bp["ln2_bias"],
