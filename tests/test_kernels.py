@@ -226,3 +226,34 @@ def test_fused_mha_block_no_proj_bias():
     b = forward(params, x, cfg.replace(fuse_mha="off"))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mlp_block_matches_composed():
+    """fuse_mlp='on' must match the composed LN+MLP path in values and
+    gradients (both activations)."""
+    from vitx import ViTConfig, forward, init_params
+    from vitx.train.step import cross_entropy_loss
+
+    for act in ("gelu", "relu"):
+        cfg_on = ViTConfig(image_size=16, patch_size=4, num_classes=4,
+                           embed_dim=64, depth=2, num_heads=2, mlp_act=act,
+                           compute_dtype="float32", fuse_mha="off",
+                           fuse_mlp="on")
+        cfg_off = cfg_on.replace(fuse_mlp="off")
+        params = init_params(jax.random.PRNGKey(0), cfg_on)
+        x = jax.random.normal(jax.random.PRNGKey(1), (3, 16, 16, 3))
+        labels = jax.random.randint(jax.random.PRNGKey(2), (3,), 0, 4)
+
+        a = forward(params, x, cfg_on)
+        b = forward(params, x, cfg_off)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(params, cfg):
+            return cross_entropy_loss(forward(params, x, cfg), labels)
+
+        ga = jax.grad(loss)(params, cfg_on)
+        gb = jax.grad(loss)(params, cfg_off)
+        for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-4, atol=1e-6)

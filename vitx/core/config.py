@@ -77,6 +77,9 @@ class ViTConfig:
     # 1.45x the composed path at ViT-B shapes). "auto": on for TPU when
     # attn_impl is "auto" and no probs are requested; "on"/"off": force.
     fuse_mha: str = "auto"
+    # Fused LN->Linear->act->Linear MLP kernel (vitx/kernels/mlp_block.py),
+    # same semantics as fuse_mha.
+    fuse_mlp: str = "auto"
 
     # --- memory ---
     # "block": jax.checkpoint each encoder block inside the scan — backward
@@ -115,6 +118,8 @@ class ViTConfig:
             raise ValueError(f"unknown remat {self.remat!r}")
         if self.fuse_mha not in ("auto", "on", "off"):
             raise ValueError(f"unknown fuse_mha {self.fuse_mha!r}")
+        if self.fuse_mlp not in ("auto", "on", "off"):
+            raise ValueError(f"unknown fuse_mlp {self.fuse_mlp!r}")
 
     # -- derived --
     @property

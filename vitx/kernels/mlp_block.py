@@ -1,0 +1,215 @@
+"""Fused MLP block kernel: LN -> Linear(E,M) -> activation -> Linear(M,E).
+
+The MLP twin of ``vitx.kernels.mha_block``: one ``pallas_call`` per encoder
+block's MLP half with both projection weights resident in VMEM (~9.4 MB at
+ViT-B), removing the LN and matmul HBM seams of the composed path.
+Capability-equivalent of the reference's FeedForward + ln2
+(``src/VisionTransformer/transformer.py:52-60,71-78``).
+
+Backward: custom VJP with a stashed pre-activation (the only intermediate
+whose recompute needs a matmul); everything else is re-derived with cheap
+elementwise/LN math — no forward matmul recompute.
+
+SPMD: batch-parallel over ``data`` via custom_partitioning (weights
+replicated per shard); use the composed path for tensor parallelism.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as _P
+
+from vitx.kernels.flash_attention import _use_interpret
+from vitx.nn.layers import activation, layer_norm
+
+
+def _gelu_erf_poly(x):
+    """Exact (erf) GELU with the Abramowitz-Stegun 7.1.26 polynomial erf
+    (|err| <= 1.5e-7): Mosaic has no erf/erfc lowering. fp32 in/out."""
+    xs = x * 0.7071067811865475
+    a = jnp.abs(xs)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = jnp.sign(xs) * (1.0 - poly * jnp.exp(-a * a))
+    return 0.5 * x * (1.0 + erf)
+
+
+def _act_kernel(x, act: str):
+    if act == "gelu":
+        return _gelu_erf_poly(x.astype(jnp.float32)).astype(x.dtype)
+    return activation(x, act)
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref, o_ref,
+            *rest, act: str, eps: float, stash: bool):
+    s = x_ref[0]                                        # (T, E)
+    s32 = s.astype(jnp.float32)
+    mean = jnp.mean(s32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s32 - mean), axis=-1, keepdims=True)
+    h = ((s32 - mean) * jax.lax.rsqrt(var + eps)
+         * g_ref[...] + b_ref[...]).astype(s.dtype)
+    hp = (jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32)
+          + b1_ref[...]).astype(s.dtype)                # (T, M)
+    if stash:
+        rest[0][0] = hp
+    ha = _act_kernel(hp, act)
+    out = jnp.dot(ha, w2_ref[...],
+                  preferred_element_type=jnp.float32) + b2_ref[...]
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _fused_fwd(x, w1, b1, w2, b2, g, b, *, act: str, eps: float,
+               stash: bool = False):
+    B, T, E = x.shape
+    M = w1.shape[1]
+    out_shape = [jax.ShapeDtypeStruct((B, T, E), x.dtype)]
+    out_specs = [pl.BlockSpec((1, T, E), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if stash:
+        out_shape.append(jax.ShapeDtypeStruct((B, T, M), x.dtype))
+        out_specs.append(pl.BlockSpec((1, T, M), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        functools.partial(_kernel, act=act, eps=eps, stash=stash),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, E), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        out_specs=out_specs,
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * T * E * M,
+            bytes_accessed=2 * B * T * E * 2 + 4 * E * M,
+            transcendentals=B * T * M,
+        ),
+    )(x, w1, b1, w2, b2, g, b)
+    return outs if stash else outs[0]
+
+
+def _composed(x, w1, b1, w2, b2, g, b, *, act: str, eps: float):
+    from vitx.nn.layers import mlp
+
+    h = layer_norm(x, g, b, eps=eps)
+    return mlp(h, w1, b1, w2, b2, act=act)
+
+
+def _b_spec(spec, ndim=3):
+    parts = list(spec) + [None] * (ndim - len(spec))
+    return _P(parts[0], None, None)
+
+
+def _make_sharded(act: str, eps: float, stash: bool):
+    def _positional(x, w1, b1, w2, b2, g, b):
+        return _fused_fwd(x, w1, b1, w2, b2, g, b, act=act, eps=eps,
+                          stash=stash)
+
+    f = custom_partitioning(_positional)
+
+    def _out(mesh, x_spec):
+        sh = NamedSharding(mesh, _b_spec(x_spec))
+        return (sh, sh) if stash else sh
+
+    def infer(mesh, arg_infos, result_infos):
+        return _out(mesh, arg_infos[0].sharding.spec)
+
+    def part(mesh, arg_infos, result_infos):
+        x_sh = NamedSharding(mesh, _b_spec(arg_infos[0].sharding.spec))
+        rep = NamedSharding(mesh, _P())
+        return (mesh, _positional, _out(mesh, arg_infos[0].sharding.spec),
+                (x_sh, rep, rep, rep, rep, rep, rep))
+
+    rule_out = "b t e, b t m" if stash else "b t e"
+    f.def_partition(
+        part, infer_sharding_from_operands=infer,
+        sharding_rule=f"b t e, e m, n, m f, o, p, q -> {rule_out}",
+        need_replication_factors=("t", "e", "m", "n", "f", "o", "p", "q"))
+    return f
+
+
+_SHARDED_CACHE: dict = {}
+
+
+def _fused_fwd_sharded(x, w1, b1, w2, b2, g, b, *, act: str, eps: float,
+                       stash: bool = False):
+    key = (act, float(eps), stash)
+    if key not in _SHARDED_CACHE:
+        _SHARDED_CACHE[key] = _make_sharded(act, eps, stash)
+    return _SHARDED_CACHE[key](x, w1, b1, w2, b2, g, b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_op(x, w1, b1, w2, b2, g, b, act, eps):
+    return _fused_fwd_sharded(x, w1, b1, w2, b2, g, b, act=act, eps=eps)
+
+
+def _fused_op_fwd(x, w1, b1, w2, b2, g, b, act, eps):
+    out, hp = _fused_fwd_sharded(x, w1, b1, w2, b2, g, b, act=act, eps=eps,
+                                 stash=True)
+    return out, (x, w1, w2, g, b, hp)
+
+
+def _fused_op_bwd(act, eps, res, dout):
+    x, w1, w2, g, b, hp = res
+
+    # second linear (out = act(hp) @ w2 + b2)
+    ha, act_vjp = jax.vjp(lambda t: activation(t, act), hp)
+    dw2 = jnp.einsum("btm,bte->me", ha, dout,
+                     preferred_element_type=jnp.float32).astype(w2.dtype)
+    db2 = jnp.sum(dout.astype(jnp.float32), axis=(0, 1))
+    dha = jnp.einsum("bte,me->btm", dout, w2.astype(dout.dtype),
+                     preferred_element_type=jnp.float32).astype(hp.dtype)
+    (dhp,) = act_vjp(dha)
+
+    # first linear (hp = LN(x) @ w1 + b1)
+    h = layer_norm(x, g, b, eps=eps)
+    dw1 = jnp.einsum("bte,btm->em", h, dhp,
+                     preferred_element_type=jnp.float32).astype(w1.dtype)
+    db1 = jnp.sum(dhp.astype(jnp.float32), axis=(0, 1))
+    dh = jnp.einsum("btm,em->bte", dhp, w1.astype(dhp.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+
+    _, ln_vjp = jax.vjp(
+        lambda x_, g_, b_: layer_norm(x_, g_, b_, eps=eps), x, g, b)
+    dx, dg, db = ln_vjp(dh)
+    return dx, dw1, db1, dw2, db2, dg, db
+
+
+_fused_op.defvjp(_fused_op_fwd, _fused_op_bwd)
+
+
+def supports_fused_mlp(x_shape, mlp_dim: int, dtype) -> bool:
+    if _use_interpret():
+        return True
+    B, T, E = x_shape
+    if T > 2048:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    need = (2 * E * mlp_dim * itemsize      # w1 + w2 resident
+            + 2 * T * E * itemsize          # x + out blocks
+            + T * mlp_dim * 4               # hp fp32
+            + 2 * T * mlp_dim * itemsize)   # act + stash
+    return need <= 15 * 1024 * 1024
+
+
+def fused_mlp_block(x, w1, b1, w2, b2, g, b, *, act: str = "gelu",
+                    eps: float = 1e-5):
+    """LN(x) -> Linear -> activation -> Linear, fused. Residual add happens
+    outside. Falls back to the composed path for unsupported shapes."""
+    if not supports_fused_mlp(x.shape, w1.shape[1], x.dtype):
+        return _composed(x, w1, b1, w2, b2, g, b, act=act, eps=eps)
+    return _fused_op(x, w1, b1, w2, b2, g, b, act, float(eps))

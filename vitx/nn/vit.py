@@ -147,6 +147,14 @@ def _use_fused_mha(cfg: ViTConfig, bp, return_probs: bool) -> bool:
     return cfg.attn_impl == "auto" and jax.default_backend() == "tpu"
 
 
+def _use_fused_mlp(cfg: ViTConfig) -> bool:
+    if cfg.fuse_mlp == "off":
+        return False
+    if cfg.fuse_mlp == "on":
+        return True
+    return cfg.attn_impl == "auto" and jax.default_backend() == "tpu"
+
+
 def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
                    return_probs, probs_mode="full"):
     """Pre-LN block: x + MHA(LN1(x)); x + MLP(LN2(x)). (transformer.py:66-79)
@@ -187,9 +195,21 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
         )
     attn_out = dropout(attn_out, cfg.dropout, r_attn, deterministic=deterministic)
 
-    x, h = add_layer_norm(x, attn_out, bp["ln2_scale"], bp["ln2_bias"],
-                          eps=cfg.layer_norm_eps)
-    mlp_out = mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"], act=cfg.mlp_act)
+    if _use_fused_mlp(cfg):
+        from vitx.kernels.mlp_block import fused_mlp_block
+
+        x = x + attn_out
+        mlp_out = fused_mlp_block(
+            x, bp["w1"].astype(x.dtype), bp["b1"].astype(jnp.float32),
+            bp["w2"].astype(x.dtype), bp["b2"].astype(jnp.float32),
+            bp["ln2_scale"].astype(jnp.float32),
+            bp["ln2_bias"].astype(jnp.float32),
+            act=cfg.mlp_act, eps=cfg.layer_norm_eps)
+    else:
+        x, h = add_layer_norm(x, attn_out, bp["ln2_scale"], bp["ln2_bias"],
+                              eps=cfg.layer_norm_eps)
+        mlp_out = mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"],
+                      act=cfg.mlp_act)
     mlp_out = dropout(mlp_out, cfg.dropout, r_mlp, deterministic=deterministic)
     return x, mlp_out, probs
 

@@ -79,6 +79,12 @@ def cross_entropy_loss(logits, labels, mask=None):
 
 
 def loss_fn(params, batch, cfg: ViTConfig, rng):
+    if cfg.fuse_mlp == "auto":
+        # measured (round 2, v5e): the fused MLP kernel wins on inference
+        # (no LN/bias/act HBM seams) but its M=T per-item matmuls pay ~30%
+        # MXU tile padding that XLA's full-batch weight-grad matmuls don't —
+        # net ~1 ms/layer slower under grad. Keep it for eval/serving only.
+        cfg = cfg.replace(fuse_mlp="off")
     logits = forward(params, batch["image"], cfg, rng=rng,
                      deterministic=rng is None)
     loss = cross_entropy_loss(logits, batch["label"], batch.get("mask"))
