@@ -257,3 +257,58 @@ def test_fused_mlp_block_matches_composed():
         for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
             np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                        rtol=1e-4, atol=1e-6)
+
+
+def test_fused_adamw_matches_optax():
+    """The single-pass Pallas AdamW must reproduce optax.adamw exactly
+    (same trajectory over several steps, incl. bias correction + decay)."""
+    import optax
+    from vitx.kernels.adamw import fused_adamw
+
+    key = jax.random.PRNGKey(0)
+    # one leaf large enough for the kernel path (128K elems), one tiny
+    params = {"w": jax.random.normal(key, (128, 1024), jnp.float32),
+              "b": jnp.zeros((7,), jnp.float32)}
+    ref_opt = optax.adamw(1e-3, weight_decay=1e-4)
+    fus_opt = fused_adamw(1e-3, weight_decay=1e-4)
+    ref_state = ref_opt.init(params)
+    fus_state = fus_opt.init(params)
+    ref_p = params
+    fus_p = params
+    for i in range(4):
+        grads = jax.tree.map(
+            lambda p: 0.01 * jax.random.normal(
+                jax.random.fold_in(key, i), p.shape), ref_p)
+        upd, ref_state = ref_opt.update(grads, ref_state, ref_p)
+        ref_p = optax.apply_updates(ref_p, upd)
+        fus_p, fus_state = fus_opt.update(grads, fus_state, fus_p)
+    for a, b in zip(jax.tree.leaves(ref_p), jax.tree.leaves(fus_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # moments identical too
+    np.testing.assert_allclose(
+        np.asarray(fus_state.mu["w"]),
+        np.asarray(ref_state[0].mu["w"]), rtol=1e-6, atol=1e-8)
+    assert int(fus_state.count) == 4
+
+
+def test_fused_adamw_with_schedule_and_clip():
+    """fused path composes with grad clipping and an lr schedule through
+    make_optimizer(fused=True)."""
+    import optax
+    from vitx.train.step import make_optimizer
+
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3, 2, 10)
+    params = {"w": jnp.ones((256, 1024), jnp.float32)}
+    opt_f = make_optimizer(schedule=sched, grad_clip=1.0, fused=True)
+    opt_r = make_optimizer(schedule=sched, grad_clip=1.0, fused=False)
+    sf, sr = opt_f.init(params), opt_r.init(params)
+    pf, pr = params, params
+    for i in range(3):
+        g = {"w": jnp.full((256, 1024), 5.0)}   # triggers clipping
+        uf, sf = opt_f.update(g, sf, pf)
+        pf = uf                                  # returns new params
+        ur, sr = opt_r.update(g, sr, pr)
+        pr = optax.apply_updates(pr, ur)
+    np.testing.assert_allclose(np.asarray(pf["w"]), np.asarray(pr["w"]),
+                               rtol=1e-6, atol=1e-7)
