@@ -53,6 +53,9 @@ class ViTConfig:
     qkv_bias: bool = False
     proj_bias: bool = True
     dropout: float = 0.0
+    # Stochastic depth (DeiT recipe): max residual-branch drop rate, scaled
+    # linearly from 0 at the first block to this value at the last.
+    drop_path: float = 0.0
 
     # --- classifier head ---
     # "reference": Linear(E,4E) -> GELU -> LayerNorm(4E) -> Linear(4E,classes)

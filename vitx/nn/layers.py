@@ -71,3 +71,17 @@ def dropout(x, rate: float, rng, *, deterministic: bool):
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def drop_path(x, rate, rng, *, deterministic: bool):
+    """Stochastic depth (per-SAMPLE residual-branch drop, Huang et al. 2016;
+    the DeiT training recipe's regularizer). ``rate`` may be a traced
+    per-layer value (the model passes a linearly increasing schedule through
+    the encoder scan). Identity when deterministic."""
+    if deterministic or rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                     jnp.zeros_like(x))

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from vitx.core.config import ViTConfig
 from vitx.nn.attention import multi_head_attention
-from vitx.nn.layers import activation, add_layer_norm, dropout, layer_norm, mlp
+from vitx.nn.layers import (activation, add_layer_norm, drop_path, dropout,
+                            layer_norm, mlp)
 
 Params = dict
 
@@ -156,7 +157,7 @@ def _use_fused_mlp(cfg: ViTConfig) -> bool:
 
 
 def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
-                   return_probs, probs_mode="full"):
+                   return_probs, probs_mode="full", dp_rate=0.0):
     """Pre-LN block: x + MHA(LN1(x)); x + MLP(LN2(x)). (transformer.py:66-79)
 
     The previous block's MLP output arrives as ``pending`` so every residual
@@ -165,9 +166,16 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
 
     Fast path: the whole LN1 -> QKV -> attention -> out-proj half runs as
     one fused Pallas kernel (vitx/kernels/mha_block.py) when enabled.
+
+    ``dp_rate``: this block's stochastic-depth rate (traced; from the
+    linear schedule in ``encode``). Applied to both residual branches.
     """
+    r_dp1 = r_dp2 = None
     if rng is not None:
-        r_attn, r_mlp = jax.random.split(rng)
+        if cfg.drop_path:
+            r_attn, r_mlp, r_dp1, r_dp2 = jax.random.split(rng, 4)
+        else:
+            r_attn, r_mlp = jax.random.split(rng)
     else:
         r_attn = r_mlp = None
 
@@ -194,6 +202,9 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
             return_probs=return_probs, probs_mode=probs_mode,
         )
     attn_out = dropout(attn_out, cfg.dropout, r_attn, deterministic=deterministic)
+    if cfg.drop_path:
+        attn_out = drop_path(attn_out, dp_rate, r_dp1,
+                             deterministic=deterministic)
 
     if _use_fused_mlp(cfg):
         from vitx.kernels.mlp_block import fused_mlp_block
@@ -211,6 +222,9 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
         mlp_out = mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"],
                       act=cfg.mlp_act)
     mlp_out = dropout(mlp_out, cfg.dropout, r_mlp, deterministic=deterministic)
+    if cfg.drop_path:
+        mlp_out = drop_path(mlp_out, dp_rate, r_dp2,
+                            deterministic=deterministic)
     return x, mlp_out, probs
 
 
@@ -237,13 +251,17 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
 
     if rng is not None:
         def block_fn(carry, layer_in):
-            bp, r = layer_in
+            bp, r, dp_rate = layer_in
             y, pend, probs = _encoder_block(
                 *carry, bp, cfg, rng=r, deterministic=deterministic,
                 return_probs=return_probs, probs_mode=probs_mode,
+                dp_rate=dp_rate,
             )
             return (y, pend), (probs if return_probs else None)
-        xs = (params["blocks"], jax.random.split(rng, cfg.depth))
+        # stochastic-depth schedule: 0 at block 0 -> cfg.drop_path at the top
+        dp_rates = (jnp.linspace(0.0, cfg.drop_path, cfg.depth)
+                    if cfg.drop_path else jnp.zeros((cfg.depth,)))
+        xs = (params["blocks"], jax.random.split(rng, cfg.depth), dp_rates)
     else:
         def block_fn(carry, bp):
             y, pend, probs = _encoder_block(

@@ -156,7 +156,9 @@ def place_state(state: TrainState, cfg: ViTConfig, mesh: Mesh,
 
 def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                              tp: bool = False, zero1: bool = False,
-                             state_shardings=None):
+                             state_shardings=None,
+                             label_smoothing: float = 0.0,
+                             mixup_alpha: float | None = None):
     """Jitted SPMD train step. State donated; grads psum over ``data``.
 
     Shardings are inferred from the placed inputs (pjit committed-input
@@ -164,7 +166,9 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
     output state layout explicitly — required for zero1 so the updated
     moments stay sharded rather than following the replicated params.
     """
-    step_fn = partial(train_step, cfg=cfg, optimizer=optimizer)
+    step_fn = partial(train_step, cfg=cfg, optimizer=optimizer,
+                      label_smoothing=label_smoothing,
+                      mixup_alpha=mixup_alpha)
 
     def wrapped(state, batch, rng):
         return step_fn(state, batch, rng)

@@ -37,6 +37,9 @@ class TrainerConfig:
     lr: float = 1e-4                  # reference default (train.py:137)
     weight_decay: float = 1e-4        # reference default (train.py:66)
     grad_clip: float | None = None
+    # DeiT-style recipe knobs (vitx/train/step.py::loss_fn)
+    label_smoothing: float = 0.0
+    mixup_alpha: float | None = None
     log_every: int = 50               # steps between scalar flushes
     checkpoint_dir: str | None = None
     log_dir: str | None = None
@@ -95,11 +98,16 @@ class Trainer:
                          if zero1 else None)
             self.train_step = train_step or make_parallel_train_step(
                 cfg, self.optimizer, mesh, tp=tp, zero1=zero1,
-                state_shardings=shardings)
+                state_shardings=shardings,
+                label_smoothing=tcfg.label_smoothing,
+                mixup_alpha=tcfg.mixup_alpha)
             self.eval_step = eval_step or make_parallel_eval_step(cfg, mesh)
         else:
             self.train_step = (train_step
-                               or make_train_step(cfg, self.optimizer))
+                               or make_train_step(
+                                   cfg, self.optimizer,
+                                   label_smoothing=tcfg.label_smoothing,
+                                   mixup_alpha=tcfg.mixup_alpha))
             self.eval_step = eval_step or make_eval_step(cfg)
         self.preprocess = preprocess
         if mesh is not None:

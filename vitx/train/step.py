@@ -88,37 +88,66 @@ def create_train_state(rng, cfg: ViTConfig, optimizer) -> TrainState:
                       opt_state=opt_state)
 
 
-def cross_entropy_loss(logits, labels, mask=None):
+def cross_entropy_loss(logits, labels, mask=None, label_smoothing=0.0):
     """Mean softmax cross-entropy — nn.CrossEntropyLoss parity (train.py:81).
 
     ``mask`` (0/1 per row) excludes the loader's padding rows from the mean
     so ragged final batches don't bias the loss or the gradients.
+    ``label_smoothing``: standard uniform smoothing (the DeiT recipe knob;
+    matches torch CrossEntropyLoss(label_smoothing=s)).
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if label_smoothing:
+        s = label_smoothing
+        nll = (1.0 - s) * nll + s * (-jnp.mean(logp, axis=-1))
     if mask is None:
         return jnp.mean(nll)
     mask = mask.astype(jnp.float32)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def loss_fn(params, batch, cfg: ViTConfig, rng):
+def loss_fn(params, batch, cfg: ViTConfig, rng, *,
+            label_smoothing: float = 0.0, mixup_alpha: float | None = None):
+    """Training loss. ``label_smoothing`` / ``mixup_alpha`` implement the
+    DeiT-style recipe knobs (mixup: Zhang et al. 2018 — convex input/target
+    mixing with Beta(alpha, alpha) weights; needs ``rng``; pair with
+    drop_last loaders so padded rows are never mixed into real ones)."""
     if cfg.fuse_mlp == "auto":
         # measured (round 2, v5e): the fused MLP kernel wins on inference
         # (no LN/bias/act HBM seams) but its M=T per-item matmuls pay ~30%
         # MXU tile padding that XLA's full-batch weight-grad matmuls don't —
         # net ~1 ms/layer slower under grad. Keep it for eval/serving only.
         cfg = cfg.replace(fuse_mlp="off")
-    logits = forward(params, batch["image"], cfg, rng=rng,
+    image = batch["image"]
+    mask = batch.get("mask")
+    if mixup_alpha and rng is not None:
+        rng, k_perm, k_lam = jax.random.split(rng, 3)
+        perm = jax.random.permutation(k_perm, image.shape[0])
+        lam = jax.random.beta(k_lam, mixup_alpha, mixup_alpha)
+        image = (lam * image.astype(jnp.float32)
+                 + (1.0 - lam) * image[perm].astype(jnp.float32)
+                 ).astype(image.dtype)
+        logits = forward(params, image, cfg, rng=rng, deterministic=False)
+        loss = (lam * cross_entropy_loss(
+                    logits, batch["label"], mask, label_smoothing)
+                + (1.0 - lam) * cross_entropy_loss(
+                    logits, batch["label"][perm], mask, label_smoothing))
+        return loss, logits
+    logits = forward(params, image, cfg, rng=rng,
                      deterministic=rng is None)
-    loss = cross_entropy_loss(logits, batch["label"], batch.get("mask"))
+    loss = cross_entropy_loss(logits, batch["label"], mask, label_smoothing)
     return loss, logits
 
 
-def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer):
+def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
+               label_smoothing: float = 0.0,
+               mixup_alpha: float | None = None):
     """One SGD step. batch: {"image": (B,H,W,C), "label": (B,)}."""
     step_rng = jax.random.fold_in(rng, state.step) if rng is not None else None
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_fn = jax.value_and_grad(
+        partial(loss_fn, label_smoothing=label_smoothing,
+                mixup_alpha=mixup_alpha), has_aux=True)
     (loss, logits), grads = grad_fn(state.params, batch, cfg, step_rng)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     if getattr(optimizer, "returns_new_params", False):
@@ -163,10 +192,13 @@ def eval_step(params, batch, *, cfg: ViTConfig):
     return cm, loss
 
 
-def make_train_step(cfg: ViTConfig, optimizer):
+def make_train_step(cfg: ViTConfig, optimizer, *,
+                    label_smoothing: float = 0.0,
+                    mixup_alpha: float | None = None):
     """Jitted train step with the state donated (in-place on device)."""
     return jax.jit(
-        partial(train_step, cfg=cfg, optimizer=optimizer),
+        partial(train_step, cfg=cfg, optimizer=optimizer,
+                label_smoothing=label_smoothing, mixup_alpha=mixup_alpha),
         donate_argnums=(0,),
     )
 
