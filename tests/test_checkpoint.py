@@ -195,3 +195,30 @@ def test_reference_pt_loads_into_torch_oracle(tmp_path):
     assert tuple(sd["emdeddings.cls_tkn_embd"].shape) == (2, 1, 16)
     assert "transformer_encoder.blocks.1.multi_head.heads.1.value.weight" in sd
     assert tuple(sd["mlp.3.weight"].shape) == (4, 64)
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """backend='orbax' saves/restores behind the same {epoch} discovery
+    convention, interoperable with npz checkpoints in the same directory."""
+    state, step, _ = _state_and_step()
+    state, _ = step(state, _batch(), jax.random.PRNGKey(1))
+    save_checkpoint(tmp_path, jax.device_get(state), epoch=1,
+                    meta={"loss": 0.7}, backend="orbax")
+    # an older npz checkpoint coexists; discovery picks the newest (orbax)
+    save_checkpoint(tmp_path, jax.device_get(state), epoch=0, backend="npz")
+    assert list_checkpoints(tmp_path) == [0, 1]
+    assert find_latest(tmp_path) == 1
+
+    fresh, _, _ = _state_and_step()
+    restored, meta = restore_latest(tmp_path, fresh)
+    assert meta["epoch"] == 1 and meta["loss"] == 0.7
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_backend_keep_n(tmp_path):
+    state, _, _ = _state_and_step()
+    host = jax.device_get(state)
+    for epoch in range(4):
+        save_checkpoint(tmp_path, host, epoch=epoch, backend="orbax", keep=2)
+    assert list_checkpoints(tmp_path) == [2, 3]

@@ -18,6 +18,7 @@ import numpy as np
 
 _STEM_RE = re.compile(r"^(\d+)$")
 SUFFIX = ".ckpt"
+ORBAX_SUFFIX = ".orbax"
 
 
 def _flatten(tree):
@@ -25,32 +26,82 @@ def _flatten(tree):
     return leaves, treedef
 
 
-def save_checkpoint(ckpt_dir, state, epoch: int, meta: dict | None = None,
-                    keep: int | None = None):
-    """Write ``{epoch}.ckpt``. ``meta`` must be JSON-serializable.
+def _ckpt_path(ckpt_dir, epoch: int):
+    """Path of epoch's checkpoint: the orbax directory if present, else .ckpt."""
+    ckpt_dir = pathlib.Path(ckpt_dir)
+    orbax = ckpt_dir / f"{epoch}{ORBAX_SUFFIX}"
+    if orbax.is_dir():
+        return orbax
+    return ckpt_dir / f"{epoch}{SUFFIX}"
 
-    ``keep``: if set, delete all but the newest `keep` checkpoints after
-    saving (the reference kept every epoch; this is opt-in).
+
+def _save_orbax(path, state, meta):
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    (path / "vitx_meta.json").write_text(json.dumps(meta))
+
+
+def _restore_orbax(path, template_state):
+    import orbax.checkpoint as ocp
+
+    path = pathlib.Path(path).absolute()
+    meta = json.loads((path / "vitx_meta.json").read_text())
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        template_state)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, abstract)
+    # re-place with the template's shardings (mesh runs)
+    restored = jax.tree.map(
+        lambda arr, tmpl: (jax.device_put(arr, tmpl.sharding)
+                           if hasattr(tmpl, "sharding") else arr),
+        restored, template_state)
+    return restored, meta
+
+
+def save_checkpoint(ckpt_dir, state, epoch: int, meta: dict | None = None,
+                    keep: int | None = None, backend: str = "npz"):
+    """Write ``{epoch}.ckpt`` (flat npz) or ``{epoch}.orbax/``.
+
+    ``backend="orbax"`` uses orbax-checkpoint (the multi-host / sharded-save
+    path for pod-scale runs); both live behind the same integer-epoch
+    discovery convention (train.py:52-58). ``meta`` must be
+    JSON-serializable. ``keep``: if set, delete all but the newest `keep`
+    checkpoints after saving (the reference kept every epoch; opt-in).
     """
     ckpt_dir = pathlib.Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    leaves, _ = _flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     meta = dict(meta or {})
     meta["epoch"] = epoch
-    payload = {"__meta__": np.frombuffer(
-        json.dumps(meta).encode(), dtype=np.uint8)}
-    payload.update(arrays)
-    path = ckpt_dir / f"{epoch}{SUFFIX}"
-    tmp = path.with_suffix(".tmp.npz")
-    with open(tmp, "wb") as f:
-        np.savez(f, **payload)
-    tmp.replace(path)          # atomic: no torn checkpoint on preemption
+    if backend == "orbax":
+        path = ckpt_dir / f"{epoch}{ORBAX_SUFFIX}"
+        _save_orbax(path, state, meta)
+    elif backend == "npz":
+        leaves, _ = _flatten(state)
+        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        payload = {"__meta__": np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8)}
+        payload.update(arrays)
+        path = ckpt_dir / f"{epoch}{SUFFIX}"
+        tmp = path.with_suffix(".tmp.npz")
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        tmp.replace(path)      # atomic: no torn checkpoint on preemption
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
 
     if keep is not None:
-        found = sorted(list_checkpoints(ckpt_dir))
-        for old in found[:-keep]:
-            (ckpt_dir / f"{old}{SUFFIX}").unlink(missing_ok=True)
+        for old in sorted(list_checkpoints(ckpt_dir))[:-keep]:
+            stale = _ckpt_path(ckpt_dir, old)
+            if stale.is_dir():
+                import shutil
+
+                shutil.rmtree(stale)
+            else:
+                stale.unlink(missing_ok=True)
     return path
 
 
@@ -58,11 +109,15 @@ def list_checkpoints(ckpt_dir) -> list[int]:
     ckpt_dir = pathlib.Path(ckpt_dir)
     if not ckpt_dir.is_dir():
         return []
-    out = []
+    out = set()
     for p in ckpt_dir.glob(f"*{SUFFIX}"):
         m = _STEM_RE.match(p.stem)
         if m:
-            out.append(int(m.group(1)))
+            out.add(int(m.group(1)))
+    for p in ckpt_dir.glob(f"*{ORBAX_SUFFIX}"):
+        m = _STEM_RE.match(p.stem)
+        if m and p.is_dir():
+            out.add(int(m.group(1)))
     return sorted(out)
 
 
@@ -77,7 +132,11 @@ def restore_checkpoint(path, template_state):
 
     Returns (state, meta). Leaves are restored with the template's sharding
     (device_put onto each template leaf's sharding when available).
+    Accepts both backends (.ckpt npz file or .orbax directory).
     """
+    path = pathlib.Path(path)
+    if path.is_dir():
+        return _restore_orbax(path, template_state)
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
         leaves, treedef = _flatten(template_state)
@@ -95,8 +154,8 @@ def restore_latest(ckpt_dir, template_state):
     latest = find_latest(ckpt_dir)
     if latest is None:
         return template_state, None
-    path = pathlib.Path(ckpt_dir) / f"{latest}{SUFFIX}"
-    state, meta = restore_checkpoint(path, template_state)
+    state, meta = restore_checkpoint(_ckpt_path(ckpt_dir, latest),
+                                     template_state)
     return state, meta
 
 
