@@ -70,6 +70,22 @@ def read_output_bin(path, batch, classes):
     return np.fromfile(path, dtype="<f4").reshape(batch, classes)
 
 
+def write_train_bin(path, images, labels):
+    """Training batch for trainc: int32 B, int32 labels, fp32 images NHWC."""
+    images = np.ascontiguousarray(np.asarray(images), dtype="<f4")
+    labels = np.ascontiguousarray(np.asarray(labels), dtype="<i4")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<i", images.shape[0]))
+        f.write(labels.tobytes())
+        f.write(images.tobytes())
+
+
+def read_model_bin(path, cfg: ViTConfig):
+    """model.bin -> flat fp32 param vector (after the 11-int header)."""
+    raw = np.fromfile(path, dtype="<f4")
+    return raw[11:]   # header is 11 int32 == 11 float32 slots
+
+
 def build_vitc(src, out, *, openmp: bool = False):
     """Compile the C oracle. Returns the binary path."""
     cmd = ["gcc", "-O2", "-std=c99", "-o", str(out), str(src), "-lm"]
