@@ -11,9 +11,11 @@ psums XLA inserts after the attention output projection and the MLP second
 matmul — exactly the Megatron pattern, derived automatically from the
 shardings below.
 
-Optimizer state: AdamW moments follow their parameter's sharding (ZeRO-1
-style sharding over ``data`` is a planned extension; moments here are
-replicated like params unless the param itself is model-sharded).
+Optimizer state: AdamW moments follow their parameter's sharding, or shard
+over ``data`` with ``zero1=True`` (ZeRO-1). ``zero3=True`` shards the
+parameters themselves over ``data`` (ZeRO-3 / FSDP) — XLA all-gathers
+weights on use and reduce-scatters gradients, all derived from the
+PartitionSpecs in ``state_sharding``.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vitx.core.config import ViTConfig
@@ -79,8 +82,21 @@ def param_sharding(cfg: ViTConfig, mesh: Mesh, tp: bool = False):
                         is_leaf=lambda x: isinstance(x, P))
 
 
+def _data_shard(shard, shape, dp, mesh):
+    """Extend a sharding with a ``data``-axis split of the largest free dim."""
+    spec = list(shard.spec) + [None] * (len(shape) - len(shard.spec))
+    if DATA_AXIS in spec:        # already data-sharded (zero3 params)
+        return shard
+    for d in sorted(range(len(shape)), key=lambda d: -shape[d]):
+        if spec[d] is None and shape[d] % dp == 0:
+            spec[d] = DATA_AXIS
+            return NamedSharding(mesh, P(*spec))
+    return shard
+
+
 def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
-                   tp: bool = False, zero1: bool = False):
+                   tp: bool = False, zero1: bool = False,
+                   zero3: bool = False):
     """Sharding for the full TrainState.
 
     Params follow param_sharding; optimizer moments follow their parameter —
@@ -88,8 +104,22 @@ def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
     (ZeRO-1: each data-parallel rank owns a slice of the Adam moments; XLA's
     SPMD partitioner derives the gather/scatter around the update). Scalars
     stay replicated.
+
+    ``zero3=True`` (implies zero1) additionally shards the PARAMETERS over
+    ``data`` — fully-sharded data parallelism: XLA all-gathers each layer's
+    weights on use (the scan slices one layer at a time, so only one layer
+    is ever gathered) and reduce-scatters its gradients into the sharded
+    update. The TPU-native expression of ZeRO-3/FSDP: no hand-written
+    collectives, just these PartitionSpecs.
     """
+    zero1 = zero1 or zero3
     pshard = param_sharding(cfg, mesh, tp)
+    if zero3:
+        dp_size = mesh.shape[DATA_AXIS]
+        pshard = jax.tree.map(
+            lambda shard, p: (_data_shard(shard, np.shape(p), dp_size, mesh)
+                              if np.size(p) >= 1024 else shard),
+            pshard, state.params)
     # Moments live inside optax state pytrees whose leaf paths END with the
     # parameter's own path (e.g. ...ScaleByAdamState.mu['blocks']['wqkv']).
     # Key the lookup by that path suffix — a (shape, dtype) key collides when
@@ -115,13 +145,7 @@ def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
         if not zero1 or x.ndim == 0 or x.size < 1024:
             return shard
         # shard the moment's largest unsharded dim over `data`
-        spec = list(shard.spec) + [None] * (x.ndim - len(shard.spec))
-        dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
-        for d in dims:
-            if spec[d] is None and x.shape[d] % dp == 0:
-                spec[d] = DATA_AXIS
-                return NamedSharding(mesh, P(*spec))
-        return shard
+        return _data_shard(shard, x.shape, dp, mesh)
 
     return TrainState(
         step=rep,
@@ -148,15 +172,16 @@ def shard_batch(batch, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 def place_state(state: TrainState, cfg: ViTConfig, mesh: Mesh,
-                tp: bool = False, zero1: bool = False) -> TrainState:
+                tp: bool = False, zero1: bool = False,
+                zero3: bool = False) -> TrainState:
     """Place an (unsharded, host or single-device) state onto the mesh."""
-    shardings = state_sharding(state, cfg, mesh, tp, zero1)
+    shardings = state_sharding(state, cfg, mesh, tp, zero1, zero3)
     return jax.tree.map(jax.device_put, state, shardings)
 
 
 def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                              tp: bool = False, zero1: bool = False,
-                             state_shardings=None,
+                             zero3: bool = False, state_shardings=None,
                              label_smoothing: float = 0.0,
                              mixup_alpha: float | None = None):
     """Jitted SPMD train step. State donated; grads psum over ``data``.
@@ -178,7 +203,7 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
         rep = NamedSharding(mesh, P())
         metric_shardings = {"loss": rep, "accuracy": rep, "grad_norm": rep}
         kw["out_shardings"] = (state_shardings, metric_shardings)
-    del tp, zero1  # encoded in the shardings; kept for call-site clarity
+    del tp, zero1, zero3  # encoded in the shardings; call-site clarity
     return jax.jit(wrapped, donate_argnums=(0,), **kw)
 
 

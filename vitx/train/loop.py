@@ -73,7 +73,8 @@ class Trainer:
     def __init__(self, cfg: ViTConfig, tcfg: TrainerConfig, *,
                  preprocess: Callable | None = None,
                  train_step=None, eval_step=None, init_state=None,
-                 mesh=None, tp: bool = False, zero1: bool = False):
+                 mesh=None, tp: bool = False, zero1: bool = False,
+                 zero3: bool = False):
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
@@ -93,11 +94,12 @@ class Trainer:
             )
 
             self.state = place_state(self.state, cfg, mesh, tp=tp,
-                                     zero1=zero1)
-            shardings = (state_sharding(self.state, cfg, mesh, tp, zero1)
-                         if zero1 else None)
+                                     zero1=zero1, zero3=zero3)
+            shardings = (state_sharding(self.state, cfg, mesh, tp, zero1,
+                                        zero3)
+                         if (zero1 or zero3) else None)
             self.train_step = train_step or make_parallel_train_step(
-                cfg, self.optimizer, mesh, tp=tp, zero1=zero1,
+                cfg, self.optimizer, mesh, tp=tp, zero1=zero1, zero3=zero3,
                 state_shardings=shardings,
                 label_smoothing=tcfg.label_smoothing,
                 mixup_alpha=tcfg.mixup_alpha)
