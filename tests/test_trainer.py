@@ -234,3 +234,24 @@ def test_loader_early_abandon_no_hang():
         next(it)
         it.close()     # generator finalizer -> stop event -> join
     assert threading.active_count() <= before + 1
+
+
+def test_cli_recipe_and_fsdp_flags(tmp_path, capsys):
+    """CLI exposes the recipe knobs and ZeRO/dp scale-out flags."""
+    import jax as _jax
+
+    from vitx.cli.train import main
+
+    argv = [
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "16", "--lr", "1e-3", "--compute-dtype", "float32",
+        "--label-smoothing", "0.1", "--mixup-alpha", "0.2",
+        "--drop-path", "0.05", "--grad-clip", "1.0",
+    ]
+    if len(_jax.devices()) >= 8:
+        argv += ["--dp", "8", "--zero", "3"]
+    rc = main(argv)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    final = json.loads(out[-1])
+    assert np.isfinite(final["loss"])

@@ -39,6 +39,20 @@ def build_argparser():
                    help="disable normalization + flips (reference parity)")
     p.add_argument("--compute-dtype", default=None,
                    choices=["float32", "bfloat16"])
+    # DeiT-style recipe knobs
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--mixup-alpha", type=float, default=None)
+    p.add_argument("--drop-path", type=float, default=0.0,
+                   help="max stochastic-depth rate (linear over depth)")
+    p.add_argument("--grad-clip", type=float, default=None)
+    p.add_argument("--progress", action="store_true",
+                   help="per-flush in-epoch progress line")
+    # scale-out: shard over all visible devices
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel size (default: single device)")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--zero", type=int, default=0, choices=[0, 1, 3],
+                   help="ZeRO stage: 1 = moments, 3 = params+moments (FSDP)")
     return p
 
 
@@ -83,11 +97,22 @@ def main(argv=None):
         std=None if args.no_augment else (0.5, 0.5, 0.5),
         random_flip=not args.no_augment)
 
+    if args.drop_path:
+        cfg = cfg.replace(drop_path=args.drop_path)
     tcfg = TrainerConfig(
         epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,
+        grad_clip=args.grad_clip, label_smoothing=args.label_smoothing,
+        mixup_alpha=args.mixup_alpha, progress=args.progress,
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
         eval_every=args.eval_every, log_every=args.log_every, seed=args.seed)
-    trainer = Trainer(cfg, tcfg, preprocess=pre)
+    mesh = None
+    if args.dp is not None:
+        from vitx.parallel import make_mesh
+
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+    trainer = Trainer(cfg, tcfg, preprocess=pre, mesh=mesh,
+                      tp=args.tp > 1, zero1=args.zero == 1,
+                      zero3=args.zero == 3)
     history = trainer.fit(train_loader, eval_loader)
     if history:
         final = history[-1]
