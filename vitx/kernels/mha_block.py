@@ -261,14 +261,15 @@ def supports_fused_mha(x_shape, num_heads: int, dtype) -> bool:
     if D % 32 or T > 2048:
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    need = (8 * E * E * itemsize            # wqkv + wo resident
+    need = (4 * E * E * itemsize            # wqkv (E,3E) + wo (E,E) resident
             + 2 * T * E * itemsize          # x + out blocks
             + T * 3 * E * 4                 # qkv fp32
             + 2 * T * T * 4                 # score/prob temporaries
             + 4 * T * E * itemsize          # head slices / o_all
             + 4 * T * E * itemsize)         # stash output blocks (VJP path)
     # 16 MB VMEM; moving blocks are small, weights single-buffered —
-    # ViT-B (14.5 MB estimated incl. stash) compiles and runs (measured r2)
+    # ViT-B needs ~10 MB incl. stash (measured working, round 2); ViT-L@384
+    # (~22 MB: the fp32 qkv at T=577 dominates) correctly falls back.
     return need <= 15 * 1024 * 1024
 
 
