@@ -247,7 +247,8 @@ def test_label_smoothing_loss():
         torch.asarray(np.asarray(logits)),
         torch.asarray(np.asarray(labels).astype(np.int64)),
         label_smoothing=s)
-    np.testing.assert_allclose(float(got), float(tref), rtol=1e-6)
+    # cross-backend (TPU log_softmax vs torch CPU): fp32 accumulation order
+    np.testing.assert_allclose(float(got), float(tref), rtol=1e-4)
 
 
 def test_mixup_and_recipe_train_step():
