@@ -260,6 +260,9 @@ def supports_fused_mha(x_shape, num_heads: int, dtype) -> bool:
     D = E // num_heads
     if D % 32 or T > 2048:
         return False
+    if T < 128 or E < 256:
+        # tiny shapes are dispatch-bound — XLA wins (see mlp_block guard)
+        return False
     itemsize = jnp.dtype(dtype).itemsize
     need = (4 * E * E * itemsize            # wqkv (E,3E) + wo (E,E) resident
             + 2 * T * E * itemsize          # x + out blocks

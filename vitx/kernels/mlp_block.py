@@ -198,6 +198,11 @@ def supports_fused_mlp(x_shape, mlp_dim: int, dtype) -> bool:
     B, T, E = x_shape
     if T > 2048:
         return False
+    if T < 128 or E < 256:
+        # tiny shapes are dispatch/launch-bound: the per-batch-item kernel
+        # grid loses to XLA's fused batched matmuls (measured: ViT-Tiny
+        # train 2492 -> 2001 img/s with the kernel forced on)
+        return False
     itemsize = jnp.dtype(dtype).itemsize
     need = (2 * E * mlp_dim * itemsize      # w1 + w2 resident
             + 2 * T * E * itemsize          # x + out blocks
