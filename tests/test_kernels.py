@@ -312,3 +312,50 @@ def test_fused_adamw_with_schedule_and_clip():
         pr = optax.apply_updates(pr, ur)
     np.testing.assert_allclose(np.asarray(pf["w"]), np.asarray(pr["w"]),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_ln_bwd_kernel_matches_autodiff():
+    """The batched LN-backward kernel (vitx/kernels/layer_norm.py::ln_bwd)
+    that layer_norm/add_layer_norm route their VJPs through on TPU."""
+    from vitx.kernels.layer_norm import ln_bwd
+    from vitx.nn.layers import _jnp_layer_norm, _ln_bwd_math
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (6, 37, 256), jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(1), (256,)) * 0.5 + 1.0
+    dy = jax.random.normal(jax.random.PRNGKey(2), x.shape, jnp.float32)
+
+    dx_k, dg_k, db_k = ln_bwd(x, s, dy)
+    dx_m, dg_m, db_m = _ln_bwd_math(x, s, dy, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_m),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dg_k), np.asarray(dg_m),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db_k), np.asarray(db_m),
+                               rtol=1e-4, atol=1e-4)
+
+    # against plain-jnp autodiff through layer_norm's public surface
+    b = jnp.zeros((256,))
+    def ref(x, s, b):
+        return jnp.sum(jnp.sin(_jnp_layer_norm(x, s, b)))
+    from vitx.nn.layers import layer_norm
+    def viavjp(x, s, b):
+        return jnp.sum(jnp.sin(layer_norm(x, s, b)))
+    ga = jax.grad(ref, argnums=(0, 1, 2))(x, s, b)
+    gb = jax.grad(viavjp, argnums=(0, 1, 2))(x, s, b)
+    for a, c, name in zip(ga, gb, ["dx", "dscale", "dbias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_layer_norm_vjp_2d_input():
+    """The head LayerNorm takes a 2-D (B, F) input — the custom VJP must
+    handle the rank-2 reshape path."""
+    from vitx.nn.layers import _jnp_layer_norm, layer_norm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 128), jnp.float32)
+    s = jnp.ones((128,)) * 1.1
+    b = jnp.zeros((128,)) + 0.2
+    ga = jax.grad(lambda x: jnp.sum(jnp.tanh(layer_norm(x, s, b))))(x)
+    gr = jax.grad(lambda x: jnp.sum(jnp.tanh(_jnp_layer_norm(x, s, b))))(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)

@@ -296,3 +296,26 @@ def test_drop_path_identity_in_eval_and_active_in_train():
     y = drop_path(x, 0.9, jax.random.PRNGKey(0), deterministic=False)
     row_vals = np.asarray(y).reshape(4, -1)
     assert set(np.unique(row_vals.round(3))) <= {0.0, 10.0}
+
+
+def test_remat_modes_trajectory_identical():
+    """remat='save_stash' (keep the fused-MHA stash, skip its recompute) and
+    remat='none' must produce the SAME training trajectory as the default
+    remat='block' — remat is a memory/speed knob, never a numerics knob."""
+    def run(remat):
+        cfg = TINY.replace(remat=remat, fuse_mha="on")
+        opt = make_optimizer(lr=3e-3)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+        step = make_train_step(cfg, opt)
+        batch = _batch(11, cfg, batch=4)
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(3):
+            state, metrics = step(state, batch, rng)
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    base = run("block")
+    for mode in ("save_stash", "none"):
+        np.testing.assert_allclose(run(mode), base, rtol=1e-6,
+                                   err_msg=mode)

@@ -247,3 +247,24 @@ def test_zero3_with_tp_composes():
     assert np.isfinite(float(m["loss"]))
     wqkv = state.params["blocks"]["wqkv"]
     assert "model" in [s for s in wqkv.sharding.spec if s]
+
+
+def test_ln_bwd_kernel_under_spmd():
+    """The Pallas LN-backward (vitx/kernels/layer_norm.py::ln_bwd, the VJP
+    behind nn.layers.layer_norm on TPU) under a batch-sharded jit: its
+    custom_partitioning rule shards B over `data`; results must match the
+    unsharded call exactly."""
+    from vitx.kernels.layer_norm import ln_bwd
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 9, 256), jnp.float32)
+    s = jax.random.normal(jax.random.PRNGKey(1), (256,)) * 0.3 + 1.0
+    dy = jax.random.normal(jax.random.PRNGKey(2), x.shape, jnp.float32)
+    ref = ln_bwd(x, s, dy)
+
+    mesh = make_mesh(dp=8, tp=1)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    dys = jax.device_put(dy, NamedSharding(mesh, P("data", None, None)))
+    out = jax.jit(lambda x, s, dy: ln_bwd(x, s, dy))(xs, s, dys)
+    for a, b, name in zip(out, ref, ["dx", "dscale", "dbias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)

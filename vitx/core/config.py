@@ -117,7 +117,7 @@ class ViTConfig:
             raise ValueError(f"unknown mlp_act {self.mlp_act!r}")
         if self.head_type not in ("reference", "standard"):
             raise ValueError(f"unknown head_type {self.head_type!r}")
-        if self.remat not in ("block", "dots", "none"):
+        if self.remat not in ("block", "dots", "save_stash", "none"):
             raise ValueError(f"unknown remat {self.remat!r}")
         if self.fuse_mha not in ("auto", "on", "off"):
             raise ValueError(f"unknown fuse_mha {self.fuse_mha!r}")

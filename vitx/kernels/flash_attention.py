@@ -384,6 +384,7 @@ _def_bh_partition(
     rule="b h i d, b h j d, b h j d, b h i d -> b h i d, b h j d, b h j d")
 
 
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------

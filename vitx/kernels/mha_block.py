@@ -211,6 +211,16 @@ def _fused_op_fwd(x, wqkv, wo, bo, g, b, eps):
     # backward below needs NO forward recompute and NO relayout copies
     out, qkv, o_all = _fused_fwd_sharded(x, wqkv, wo, bo, g, b, eps=eps,
                                          stash=True)
+    # Under jax.checkpoint this fwd rule runs in BOTH passes (remat of a
+    # custom_vjp re-runs the rule; profiled round 2). Naming the outputs
+    # lets remat="save_stash" (vitx/nn/vit.py) keep them instead of
+    # re-running the kernel in the backward — the fwd pass already paid
+    # for these HBM writes.
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "mha_out")
+    qkv = checkpoint_name(qkv, "mha_qkv")
+    o_all = checkpoint_name(o_all, "mha_oall")
     return out, (x, wqkv, wo, g, b, qkv, o_all)
 
 
@@ -231,7 +241,11 @@ def _fused_op_bwd(eps, res, dout):
                     wo.astype(dout.dtype).reshape(H, D, E),
                     preferred_element_type=jnp.float32).astype(dout.dtype)
 
-    # attention grads via the flash backward kernel (qkv already native)
+    # attention grads via the flash backward kernel (qkv already native).
+    # NOTE (measured round 2): a stacked-IO variant consuming/producing the
+    # (B, 3, H, T, D) layout directly saved only ~0.14 ms/layer but cost
+    # 400+ s of Mosaic compile time (5-D blocks with a size-3 dim) — the
+    # slice/stack glue stays, deliberately.
     dq, dk, dv = _bwd_sharded(qkv[:, 0], qkv[:, 1], qkv[:, 2], do)
     dqkv = jnp.stack([dq, dk, dv])                       # (3, B, H, T, D)
 
@@ -242,7 +256,7 @@ def _fused_op_bwd(eps, res, dout):
     dh = jnp.einsum("sbhtd,eshd->bte", dqkv, wqkv.astype(dqkv.dtype),
                     preferred_element_type=jnp.float32).astype(x.dtype)
 
-    # LayerNorm backward
+    # LayerNorm backward (custom VJP -> fused Pallas pass on TPU)
     _, ln_vjp = jax.vjp(
         lambda x_, g_, b_: layer_norm(x_, g_, b_, eps=eps), x, g, b)
     dx, dg, db = ln_vjp(dh)

@@ -278,6 +278,15 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
         body = jax.checkpoint(
             block_fn,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif cfg.remat == "save_stash":
+        # Block remat, but KEEP the fused-MHA kernel's stash outputs (they
+        # are written in the forward pass either way — remat of a custom_vjp
+        # re-runs its fwd rule) so the backward skips the whole MHA
+        # recompute. Saves ~1 ms/layer/step at ViT-B b128 (profiled).
+        body = jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "mha_out", "mha_qkv", "mha_oall"))
     else:
         body = block_fn
     (x, pending), probs = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs,
