@@ -22,6 +22,8 @@ from vitx.core.config import ViTConfig, PRESETS, get_config
 from vitx.nn.vit import (init_params, forward, forward_with_attn,
                          forward_with_rollout)
 from vitx.nn.rollout import attention_rollout
+from vitx.nn.mae import (MAEConfig, init_mae_params, mae_forward,
+                         mae_to_vit_params)
 
 __version__ = "0.1.0"
 
@@ -34,5 +36,9 @@ __all__ = [
     "forward_with_attn",
     "forward_with_rollout",
     "attention_rollout",
+    "MAEConfig",
+    "init_mae_params",
+    "mae_forward",
+    "mae_to_vit_params",
     "__version__",
 ]

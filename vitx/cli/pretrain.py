@@ -1,0 +1,192 @@
+"""MAE pretraining CLI: ``python -m vitx.cli.pretrain --preset tiny ...``.
+
+Self-supervised masked-autoencoder pretraining (He et al. 2022) — a
+beyond-reference training family (the reference's ``src/train.py`` is
+supervised only). Mask a large fraction of patches, reconstruct their
+pixels, checkpoint the encoder, and optionally export a fine-tune-ready
+classifier pytree for ``vitx.cli.train``:
+
+    python -m vitx.cli.pretrain --preset tiny --data synthetic \
+        --epochs 20 --checkpoint-dir ckpt/mae --export-vit ckpt/vit_init.npz
+    python -m vitx.cli.train --preset tiny --init-from ckpt/vit_init.npz
+
+Labels are ignored; any ``--data`` spec the train CLI accepts works here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from vitx.core.config import PRESETS, ViTConfig, get_config
+from vitx.data import BatchLoader
+from vitx.data.pipeline import device_prefetch, make_preprocess
+from vitx.nn.mae import (MAEConfig, create_mae_train_state,
+                         make_mae_train_step, mae_to_vit_params)
+from vitx.train.checkpoint import (find_latest, restore_latest,
+                                   save_checkpoint)
+from vitx.train.logging import ScalarWriter
+from vitx.train.step import make_optimizer
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(
+        prog="vitx.pretrain", description="MAE-pretrain a ViT encoder on TPU")
+    p.add_argument("--preset", default="tiny", choices=sorted(PRESETS))
+    p.add_argument("--config-json", default=None,
+                   help="path to a ViTConfig JSON (overrides --preset)")
+    p.add_argument("--data", default="synthetic",
+                   help="'synthetic', 'cifar10:<dir>' or 'folder:<dir>' "
+                        "(labels are ignored)")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1.5e-4)
+    p.add_argument("--weight-decay", type=float, default=0.05)
+    p.add_argument("--mask-ratio", type=float, default=0.75)
+    p.add_argument("--decoder-dim", type=int, default=512)
+    p.add_argument("--decoder-depth", type=int, default=8)
+    p.add_argument("--decoder-heads", type=int, default=16)
+    p.add_argument("--no-norm-pix", action="store_true",
+                   help="raw-pixel targets instead of per-patch normalized")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute-dtype", default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--export-vit", default=None,
+                   help="after training, write a fine-tune-ready classifier "
+                        "pytree (npz) with the pretrained encoder weights")
+    return p
+
+
+def main(argv=None):
+    from vitx.cli.train import make_datasets
+    from vitx.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    args = build_argparser().parse_args(argv)
+    if args.config_json:
+        cfg = ViTConfig.from_json(open(args.config_json).read())
+    else:
+        cfg = get_config(args.preset)
+    if args.compute_dtype:
+        cfg = cfg.replace(compute_dtype=args.compute_dtype)
+
+    mcfg = MAEConfig(encoder=cfg, decoder_dim=args.decoder_dim,
+                     decoder_depth=args.decoder_depth,
+                     decoder_heads=args.decoder_heads,
+                     mask_ratio=args.mask_ratio,
+                     norm_pix_loss=not args.no_norm_pix)
+
+    train_ds, _ = make_datasets(args.data, cfg, args.seed)
+    # drop_last: MAE has no per-sample valid mask, so a zero-padded final
+    # batch would pollute the reconstruction loss.
+    loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
+                         seed=args.seed, drop_last=True)
+    pre = make_preprocess(out_size=cfg.image_size)
+
+    opt = make_optimizer(lr=args.lr, weight_decay=args.weight_decay)
+    state = create_mae_train_state(jax.random.PRNGKey(args.seed), mcfg, opt)
+    start_epoch = 0
+    if args.checkpoint_dir and find_latest(args.checkpoint_dir) is not None:
+        state, meta = restore_latest(args.checkpoint_dir, state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        print(f"resumed MAE pretraining at epoch {start_epoch}")
+
+    step_fn = make_mae_train_step(mcfg, opt)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    writer = ScalarWriter(args.log_dir) if args.log_dir else None
+    last = {}
+
+    for epoch in range(start_epoch, args.epochs):
+        loader.set_epoch(epoch)
+        t0 = time.time()
+        losses, pending = [], []
+        n_steps = 0
+        for batch in device_prefetch(iter(loader)):
+            images = pre(batch["image"], jax.random.fold_in(rng, n_steps),
+                         train=True)
+            state, metrics = step_fn(state, {"image": images}, rng)
+            pending.append(metrics["loss"])
+            n_steps += 1
+            if len(pending) >= args.log_every:
+                losses.extend(float(x) for x in jax.device_get(pending))
+                pending = []
+                if writer:
+                    writer.add_scalar("Loss/pretrain_batch", losses[-1],
+                                      int(state.step))
+        losses.extend(float(x) for x in jax.device_get(pending))
+        dt = time.time() - t0
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        imgs_per_sec = n_steps * args.batch_size / dt if dt else 0.0
+        last = {"epoch": epoch, "loss": mean_loss,
+                "images_per_sec": round(imgs_per_sec, 1)}
+        print(f"epoch {epoch}: mae_loss {mean_loss:.4f} "
+              f"({imgs_per_sec:.0f} img/s)")
+        if writer:
+            writer.add_scalar("Loss/pretrain_epoch", mean_loss, epoch)
+        if args.checkpoint_dir:
+            save_checkpoint(args.checkpoint_dir, state, epoch,
+                            meta={"epoch": epoch, "loss": mean_loss,
+                                  "kind": "mae"})
+
+    if args.export_vit:
+        ft_cfg = cfg.replace(final_norm=True)
+        vit_params = mae_to_vit_params(state.params, ft_cfg,
+                                       jax.random.PRNGKey(args.seed + 2))
+        flat = {"/".join(path): np.asarray(leaf) for path, leaf in
+                _flatten_strs(vit_params)}
+        np.savez(args.export_vit, **flat)
+        print(f"exported fine-tune-ready encoder to {args.export_vit} "
+              f"(load with vitx.cli.train --init-from)")
+
+    if writer:
+        writer.close()
+    print(json.dumps(last))
+    return 0
+
+
+def _flatten_strs(tree, prefix=()):
+    if isinstance(tree, dict):
+        for key in sorted(tree):
+            yield from _flatten_strs(tree[key], prefix + (str(key),))
+    else:
+        yield prefix, tree
+
+
+def load_vit_init(path, cfg: ViTConfig, rng):
+    """Load an ``--export-vit`` npz back into a classifier pytree.
+
+    Leaves missing from the file or with mismatched shapes (e.g. the head
+    when fine-tuning on a different class count) keep their fresh init.
+    """
+    import warnings
+
+    from vitx.nn.vit import init_params
+
+    template = init_params(rng, cfg)
+    data = np.load(path)
+    fresh = []
+
+    def pick(kp, leaf):
+        key = "/".join(str(k.key) for k in kp)
+        if key in data.files and data[key].shape == leaf.shape:
+            return jax.numpy.asarray(data[key], leaf.dtype)
+        fresh.append(key)
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(pick, template)
+    if fresh:
+        warnings.warn(f"init-from {path}: fresh init kept for {fresh} "
+                      "(missing or shape-mismatched in the export)")
+    return out
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,6 +37,9 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-augment", action="store_true",
                    help="disable normalization + flips (reference parity)")
+    p.add_argument("--init-from", default=None,
+                   help="npz pytree to initialize params from (e.g. a "
+                        "vitx.cli.pretrain --export-vit MAE encoder)")
     p.add_argument("--compute-dtype", default=None,
                    choices=["float32", "bfloat16"])
     # DeiT-style recipe knobs
@@ -99,6 +102,24 @@ def main(argv=None):
 
     if args.drop_path:
         cfg = cfg.replace(drop_path=args.drop_path)
+
+    init_state = None
+    if args.init_from:
+        import jax
+        import jax.numpy as jnp
+
+        from vitx.cli.pretrain import load_vit_init
+        from vitx.train.step import TrainState, make_optimizer
+
+        # MAE encoders always normalize their output (vitx/nn/mae.py)
+        cfg = cfg.replace(final_norm=True)
+        params = load_vit_init(args.init_from, cfg,
+                               jax.random.PRNGKey(args.seed))
+        opt = make_optimizer(lr=args.lr, weight_decay=args.weight_decay,
+                             grad_clip=args.grad_clip)
+        init_state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                opt_state=opt.init(params))
+
     tcfg = TrainerConfig(
         epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,
         grad_clip=args.grad_clip, label_smoothing=args.label_smoothing,
@@ -112,7 +133,7 @@ def main(argv=None):
         mesh = make_mesh(dp=args.dp, tp=args.tp)
     trainer = Trainer(cfg, tcfg, preprocess=pre, mesh=mesh,
                       tp=args.tp > 1, zero1=args.zero == 1,
-                      zero3=args.zero == 3)
+                      zero3=args.zero == 3, init_state=init_state)
     history = trainer.fit(train_loader, eval_loader)
     if history:
         final = history[-1]

@@ -41,11 +41,43 @@ def _trunc_normal(rng, shape, std, dtype):
         .astype(dtype)
 
 
-def init_params(rng, cfg: ViTConfig) -> Params:
-    """Initialize the full parameter pytree (trunc-normal 0.02, zero biases)."""
+def init_blocks(rng, cfg: ViTConfig) -> Params:
+    """Initialize the stacked block params for ``cfg``'s geometry — the
+    pytree ``run_blocks`` scans over. Also used standalone by the MAE
+    decoder (vitx/nn/mae.py)."""
     pdt = cfg.pdtype()
     E, H, D, L, M = (cfg.embed_dim, cfg.num_heads, cfg.head_dim, cfg.depth,
                      cfg.mlp_dim)
+    std = cfg.init_std
+    keys = jax.random.split(rng, 4)
+
+    def stack_init(key, shape):
+        return _trunc_normal(key, (L,) + shape, std, pdt)
+
+    blocks = {
+        "ln1_scale": jnp.ones((L, E), pdt),
+        "ln1_bias": jnp.zeros((L, E), pdt),
+        "wqkv": stack_init(keys[0], (E, 3, H, D)),
+        "wo": stack_init(keys[1], (E, E)),
+        "ln2_scale": jnp.ones((L, E), pdt),
+        "ln2_bias": jnp.zeros((L, E), pdt),
+        "w1": stack_init(keys[2], (E, M)),
+        "b1": jnp.zeros((L, M), pdt),
+        "w2": stack_init(keys[3], (M, E)),
+        "b2": jnp.zeros((L, E), pdt),
+    }
+    if cfg.qkv_bias:
+        blocks["bqkv"] = jnp.zeros((L, 3, H, D), pdt)
+    if cfg.proj_bias:
+        # reference attention has an output-projection bias (transformer.py:38)
+        blocks["bo"] = jnp.zeros((L, E), pdt)
+    return blocks
+
+
+def init_params(rng, cfg: ViTConfig) -> Params:
+    """Initialize the full parameter pytree (trunc-normal 0.02, zero biases)."""
+    pdt = cfg.pdtype()
+    E = cfg.embed_dim
     P, C = cfg.patch_size, cfg.num_channels
     std = cfg.init_std
 
@@ -60,28 +92,7 @@ def init_params(rng, cfg: ViTConfig) -> Params:
         "cls_token": _trunc_normal(next(k), (1, 1, E), std, pdt),
         "pos_embed": _trunc_normal(next(k), (1, cfg.seq_len, E), std, pdt),
     }
-
-    def stack_init(key, shape):
-        return _trunc_normal(key, (L,) + shape, std, pdt)
-
-    blocks = {
-        "ln1_scale": jnp.ones((L, E), pdt),
-        "ln1_bias": jnp.zeros((L, E), pdt),
-        "wqkv": stack_init(next(k), (E, 3, H, D)),
-        "wo": stack_init(next(k), (E, E)),
-        "ln2_scale": jnp.ones((L, E), pdt),
-        "ln2_bias": jnp.zeros((L, E), pdt),
-        "w1": stack_init(next(k), (E, M)),
-        "b1": jnp.zeros((L, M), pdt),
-        "w2": stack_init(next(k), (M, E)),
-        "b2": jnp.zeros((L, E), pdt),
-    }
-    if cfg.qkv_bias:
-        blocks["bqkv"] = jnp.zeros((L, 3, H, D), pdt)
-    if cfg.proj_bias:
-        # reference attention has an output-projection bias (transformer.py:38)
-        blocks["bo"] = jnp.zeros((L, E), pdt)
-    params["blocks"] = blocks
+    params["blocks"] = init_blocks(next(k), cfg)
 
     if cfg.final_norm:
         params["final_norm"] = {
@@ -228,14 +239,70 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
     return x, mlp_out, probs
 
 
+def run_blocks(blocks: Params, x, cfg: ViTConfig, *, rng=None,
+               deterministic: bool = True, return_probs: bool = False,
+               probs_mode: str = "full"):
+    """Run the stacked pre-LN blocks over tokens x (B, T, E) as ONE lax.scan.
+
+    The TPU-native replacement for the reference's nn.Sequential of Blocks
+    (transformer.py:82-90); shared by the classifier encoder (``encode``)
+    and the MAE encoder/decoder (vitx/nn/mae.py). ``cfg`` supplies the block
+    geometry (embed_dim/num_heads/mlp), regularization, remat policy and
+    kernel-fusion knobs — blocks of any dimensions run through the same
+    machinery.
+    """
+    if rng is not None:
+        def block_fn(carry, layer_in):
+            bp, r, dp_rate = layer_in
+            y, pend, probs = _encoder_block(
+                *carry, bp, cfg, rng=r, deterministic=deterministic,
+                return_probs=return_probs, probs_mode=probs_mode,
+                dp_rate=dp_rate,
+            )
+            return (y, pend), (probs if return_probs else None)
+        # stochastic-depth schedule: 0 at block 0 -> cfg.drop_path at the top
+        dp_rates = (jnp.linspace(0.0, cfg.drop_path, cfg.depth)
+                    if cfg.drop_path else jnp.zeros((cfg.depth,)))
+        xs = (blocks, jax.random.split(rng, cfg.depth), dp_rates)
+    else:
+        def block_fn(carry, bp):
+            y, pend, probs = _encoder_block(
+                *carry, bp, cfg, rng=None, deterministic=deterministic,
+                return_probs=return_probs, probs_mode=probs_mode,
+            )
+            return (y, pend), (probs if return_probs else None)
+        xs = blocks
+    # Rematerialize each block in the backward pass: HBM, not FLOPs, is the
+    # training-memory bottleneck (SURVEY §7 / scaling-book recipe).
+    if cfg.remat == "block":
+        body = jax.checkpoint(block_fn)
+    elif cfg.remat == "dots":
+        body = jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif cfg.remat == "save_stash":
+        # Block remat, but KEEP the fused-MHA kernel's stash outputs (they
+        # are written in the forward pass either way — remat of a custom_vjp
+        # re-runs its fwd rule) so the backward skips the whole MHA
+        # recompute (see ROADMAP.md for the measured tradeoff).
+        body = jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "mha_out", "mha_qkv", "mha_oall"))
+    else:
+        body = block_fn
+    (x, pending), probs = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs,
+                                       unroll=cfg.scan_unroll)
+    return x + pending, probs
+
+
 def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
            deterministic: bool = True, return_probs: bool = False,
            probs_mode: str = "full"):
     """Images -> encoder output tokens (B, T, E) [+ per-layer attention probs].
 
-    The encoder is a single lax.scan over the stacked block params — the
-    TPU-native replacement for the reference's nn.Sequential of Blocks
-    (transformer.py:82-90).
+    The encoder is a single lax.scan over the stacked block params (see
+    ``run_blocks``).
     """
     cdt = cfg.cdtype()
     tokens = patch_embed(params, images, cfg)
@@ -249,49 +316,9 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
         rng, r = jax.random.split(rng)
         x = dropout(x, cfg.dropout, r, deterministic=deterministic)
 
-    if rng is not None:
-        def block_fn(carry, layer_in):
-            bp, r, dp_rate = layer_in
-            y, pend, probs = _encoder_block(
-                *carry, bp, cfg, rng=r, deterministic=deterministic,
-                return_probs=return_probs, probs_mode=probs_mode,
-                dp_rate=dp_rate,
-            )
-            return (y, pend), (probs if return_probs else None)
-        # stochastic-depth schedule: 0 at block 0 -> cfg.drop_path at the top
-        dp_rates = (jnp.linspace(0.0, cfg.drop_path, cfg.depth)
-                    if cfg.drop_path else jnp.zeros((cfg.depth,)))
-        xs = (params["blocks"], jax.random.split(rng, cfg.depth), dp_rates)
-    else:
-        def block_fn(carry, bp):
-            y, pend, probs = _encoder_block(
-                *carry, bp, cfg, rng=None, deterministic=deterministic,
-                return_probs=return_probs, probs_mode=probs_mode,
-            )
-            return (y, pend), (probs if return_probs else None)
-        xs = params["blocks"]
-    # Rematerialize each block in the backward pass: HBM, not FLOPs, is the
-    # training-memory bottleneck (SURVEY §7 / scaling-book recipe).
-    if cfg.remat == "block":
-        body = jax.checkpoint(block_fn)
-    elif cfg.remat == "dots":
-        body = jax.checkpoint(
-            block_fn,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-    elif cfg.remat == "save_stash":
-        # Block remat, but KEEP the fused-MHA kernel's stash outputs (they
-        # are written in the forward pass either way — remat of a custom_vjp
-        # re-runs its fwd rule) so the backward skips the whole MHA
-        # recompute. Saves ~1 ms/layer/step at ViT-B b128 (profiled).
-        body = jax.checkpoint(
-            block_fn,
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "mha_out", "mha_qkv", "mha_oall"))
-    else:
-        body = block_fn
-    (x, pending), probs = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs,
-                                   unroll=cfg.scan_unroll)
-    x = x + pending
+    x, probs = run_blocks(params["blocks"], x, cfg, rng=rng,
+                          deterministic=deterministic,
+                          return_probs=return_probs, probs_mode=probs_mode)
 
     if cfg.final_norm:
         fn = params["final_norm"]
