@@ -59,12 +59,14 @@ def _kernel(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref, *rest,
         k = qkv[:, E + head * D:E + (head + 1) * D].astype(s.dtype)
         v = qkv[:, 2 * E + head * D:2 * E + (head + 1) * D].astype(s.dtype)
         if stash:
-            # write the kernel-native (3, H, T, D) planes the flash backward
-            # kernel consumes — the VJP needs zero relayouts for q/k/v
-            qkv_ref = rest[0]
-            qkv_ref[0, 0, head] = q0
-            qkv_ref[0, 1, head] = k
-            qkv_ref[0, 2, head] = v
+            # write the kernel-native (H, T, D) planes the flash backward
+            # kernel consumes — three separate outputs, so the VJP needs
+            # zero relayouts AND zero slice copies (a stacked (B,3,H,T,D)
+            # stash cost a 9.4 ms/step slice fusion in the backward,
+            # profiled round 2)
+            rest[0][0, head] = q0
+            rest[1][0, head] = k
+            rest[2][0, head] = v
         q = (q0.astype(jnp.float32) * scale).astype(s.dtype)
         sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -76,15 +78,16 @@ def _kernel(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref, *rest,
         outs.append(o.astype(s.dtype))
     o_all = jnp.concatenate(outs, axis=1)               # (T, E)
     if stash:
-        rest[1][0] = o_all
+        rest[3][0] = o_all
     out = jnp.dot(o_all, wo_ref[...],
                   preferred_element_type=jnp.float32) + bo_ref[...]
     o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _fused_fwd(x, wqkv, wo, bo, g, b, *, eps: float, stash: bool = False):
-    """stash=True additionally returns (qkv (B,3,H,T,D), o_all (B,T,E)) —
-    the VJP's residuals, written in the flash-bwd kernel's native layout."""
+    """stash=True additionally returns (q, k, v each (B,H,T,D), o_all
+    (B,T,E)) — the VJP's residuals, written in the flash-bwd kernel's
+    native layout as separate arrays (no backward slicing)."""
     B, T, E = x.shape
     H = wqkv.shape[2]
     D = E // H
@@ -95,11 +98,11 @@ def _fused_fwd(x, wqkv, wo, bo, g, b, *, eps: float, stash: bool = False):
     out_specs = [pl.BlockSpec((1, T, E), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)]
     if stash:
-        out_shape += [jax.ShapeDtypeStruct((B, 3, H, T, D), x.dtype),
-                      jax.ShapeDtypeStruct((B, T, E), x.dtype)]
-        out_specs += [pl.BlockSpec((1, 3, H, T, D),
-                                   lambda i: (i, 0, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
+        qkv_spec = pl.BlockSpec((1, H, T, D), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape += [jax.ShapeDtypeStruct((B, H, T, D), x.dtype)] * 3
+        out_shape += [jax.ShapeDtypeStruct((B, T, E), x.dtype)]
+        out_specs += [qkv_spec, qkv_spec, qkv_spec,
                       pl.BlockSpec((1, T, E), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)]
     outs = pl.pallas_call(
@@ -158,14 +161,13 @@ def _make_sharded(eps: float, stash: bool):
         return _fused_fwd(x, wqkv, wo, bo, g, b, eps=eps, stash=stash)
 
     f = custom_partitioning(_positional)
-    n_out = 3 if stash else 1
 
     def _out_shardings(mesh, x_spec):
         sh = NamedSharding(mesh, _b_spec(x_spec))
         if not stash:
             return sh
         qkv_sh = NamedSharding(mesh, _P(_b_spec(x_spec)[0]))
-        return (sh, qkv_sh, sh)
+        return (sh, qkv_sh, qkv_sh, qkv_sh, sh)
 
     def infer(mesh, arg_infos, result_infos):
         return _out_shardings(mesh, arg_infos[0].sharding.spec)
@@ -177,7 +179,8 @@ def _make_sharded(eps: float, stash: bool):
         return (mesh, _positional,
                 _out_shardings(mesh, arg_infos[0].sharding.spec), arg_sh)
 
-    rule_out = ("b t e, b s h t d, b t e" if stash else "b t e")
+    rule_out = ("b t e, b h t d, b h t d, b h t d, b t e" if stash
+                else "b t e")
     f.def_partition(
         part, infer_sharding_from_operands=infer,
         # x (b,t,e); wqkv (e,s,h,d); wo (f,g); bo/g/b (o, p, q)
@@ -206,11 +209,12 @@ def _fused_op(x, wqkv, wo, bo, g, b, eps):
 
 
 def _fused_op_fwd(x, wqkv, wo, bo, g, b, eps):
-    # the stash variant writes qkv in the flash-bwd kernel's native
-    # (B, 3, H, T, D) layout and the pre-projection head outputs — the
-    # backward below needs NO forward recompute and NO relayout copies
-    out, qkv, o_all = _fused_fwd_sharded(x, wqkv, wo, bo, g, b, eps=eps,
-                                         stash=True)
+    # the stash variant writes q/k/v in the flash-bwd kernel's native
+    # (B, H, T, D) layout as three separate arrays plus the pre-projection
+    # head outputs — the backward below needs NO forward recompute, NO
+    # relayout copies, and NO slice of a stacked stash
+    out, q, k, v, o_all = _fused_fwd_sharded(x, wqkv, wo, bo, g, b, eps=eps,
+                                             stash=True)
     # Under jax.checkpoint this fwd rule runs in BOTH passes (remat of a
     # custom_vjp re-runs the rule; profiled round 2). Naming the outputs
     # lets remat="save_stash" (vitx/nn/vit.py) keep them instead of
@@ -219,16 +223,18 @@ def _fused_op_fwd(x, wqkv, wo, bo, g, b, eps):
     from jax.ad_checkpoint import checkpoint_name
 
     out = checkpoint_name(out, "mha_out")
-    qkv = checkpoint_name(qkv, "mha_qkv")
+    q = checkpoint_name(q, "mha_q")
+    k = checkpoint_name(k, "mha_k")
+    v = checkpoint_name(v, "mha_v")
     o_all = checkpoint_name(o_all, "mha_oall")
-    return out, (x, wqkv, wo, g, b, qkv, o_all)
+    return out, (x, wqkv, wo, g, b, q, k, v, o_all)
 
 
 def _fused_op_bwd(eps, res, dout):
     from vitx.kernels.flash_attention import _bwd_sharded
     from vitx.nn.layers import layer_norm
 
-    x, wqkv, wo, g, b, qkv, o_all = res
+    x, wqkv, wo, g, b, q, k, v, o_all = res
     H = wqkv.shape[2]
     E = x.shape[-1]
     D = E // H
@@ -241,20 +247,25 @@ def _fused_op_bwd(eps, res, dout):
                     wo.astype(dout.dtype).reshape(H, D, E),
                     preferred_element_type=jnp.float32).astype(dout.dtype)
 
-    # attention grads via the flash backward kernel (qkv already native).
-    # NOTE (measured round 2): a stacked-IO variant consuming/producing the
-    # (B, 3, H, T, D) layout directly saved only ~0.14 ms/layer but cost
-    # 400+ s of Mosaic compile time (5-D blocks with a size-3 dim) — the
-    # slice/stack glue stays, deliberately.
-    dq, dk, dv = _bwd_sharded(qkv[:, 0], qkv[:, 1], qkv[:, 2], do)
-    dqkv = jnp.stack([dq, dk, dv])                       # (3, B, H, T, D)
+    # attention grads via the flash backward kernel (q/k/v already native)
+    dq, dk, dv = _bwd_sharded(q, k, v, do)
 
-    # qkv-projection grads (qkv = LN(x) @ wqkv)
+    # qkv-projection grads (qkv = LN(x) @ wqkv), per projection — stacking
+    # only the WEIGHT-sized grads (E,3,H,D), never a (3,B,H,T,D) activation
+    # stack (the old stacked einsums cost a full extra HBM round trip of
+    # the activation gradients, profiled round 2)
     h = layer_norm(x, g, b, eps=eps)
-    dwqkv = jnp.einsum("bte,sbhtd->eshd", h, dqkv,
-                       preferred_element_type=jnp.float32).astype(wqkv.dtype)
-    dh = jnp.einsum("sbhtd,eshd->bte", dqkv, wqkv.astype(dqkv.dtype),
-                    preferred_element_type=jnp.float32).astype(x.dtype)
+    wq, wk, wv = (wqkv[:, s].astype(dq.dtype) for s in range(3))
+    dwqkv = jnp.stack(
+        [jnp.einsum("bte,bhtd->ehd", h, d,
+                    preferred_element_type=jnp.float32).astype(wqkv.dtype)
+         for d in (dq, dk, dv)], axis=1)                 # (E, 3, H, D)
+    dh = (jnp.einsum("bhtd,ehd->bte", dq, wq,
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum("bhtd,ehd->bte", dk, wk,
+                       preferred_element_type=jnp.float32)
+          + jnp.einsum("bhtd,ehd->bte", dv, wv,
+                       preferred_element_type=jnp.float32)).astype(x.dtype)
 
     # LayerNorm backward (custom VJP -> fused Pallas pass on TPU)
     _, ln_vjp = jax.vjp(

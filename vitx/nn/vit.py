@@ -288,7 +288,7 @@ def run_blocks(blocks: Params, x, cfg: ViTConfig, *, rng=None,
         body = jax.checkpoint(
             block_fn,
             policy=jax.checkpoint_policies.save_only_these_names(
-                "mha_out", "mha_qkv", "mha_oall"))
+                "mha_out", "mha_q", "mha_k", "mha_v", "mha_oall"))
     else:
         body = block_fn
     (x, pending), probs = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs,
