@@ -177,14 +177,21 @@ PRESETS: dict[str, ViTConfig] = {
         embed_dim=64, depth=4, num_heads=4,
     ),
     # BASELINE.json config 2: ViT-Small/16 @224.
+    # remat="none" + full unroll: no scan DUS-stacking of saved residuals
+    # and no backward recompute — measured 1918 -> 2460 img/s train at b32
+    # (v5e-1). Set remat="block" for memory-constrained batches.
     "small16": ViTConfig(
         image_size=224, patch_size=16, num_classes=4,
         embed_dim=384, depth=12, num_heads=6,
+        remat="none", scan_unroll=12,
     ),
     # BASELINE.json configs 3/4: ViT-Base/16 @224.
+    # remat="none" + full unroll: 788 -> 1046 img/s train at b128 (v5e-1);
+    # residuals fit HBM to b128 — use remat="block" beyond that.
     "base16": ViTConfig(
         image_size=224, patch_size=16, num_classes=1000,
         embed_dim=768, depth=12, num_heads=12,
+        remat="none", scan_unroll=12,
     ),
     # BASELINE.json config 5: ViT-Large/16 @384.
     "large16_384": ViTConfig(
