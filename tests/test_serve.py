@@ -1,0 +1,124 @@
+"""Serving layer tests (vitx/serve.py + vitx/cli/serve.py).
+
+Beyond-reference capability (the reference's only inference surface is a
+notebook cell): dynamic batching over one compiled forward, padding-masked
+results, checkpoint loading, and the HTTP front end.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+
+from vitx import forward, get_config, init_params
+from vitx.serve import InferenceServer, load_server
+
+CFG = get_config("tiny", compute_dtype="float32")
+
+
+def _img(seed):
+    return np.asarray(jax.random.normal(
+        jax.random.PRNGKey(seed), (CFG.image_size, CFG.image_size, 3)),
+        np.float32)
+
+
+def _expected_top1(params, img):
+    logits = forward(params, img[None].astype(np.float32), CFG)
+    return int(np.argmax(np.asarray(logits)[0]))
+
+
+def test_predict_matches_direct_forward():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with InferenceServer(params, CFG, batch_size=4, top_k=3) as srv:
+        img = _img(1)
+        out = srv.predict(img)
+        assert len(out["classes"]) == 3
+        assert out["classes"][0] == _expected_top1(params, img)
+        # probs sorted descending and in [0, 1]
+        assert out["probs"] == sorted(out["probs"], reverse=True)
+        assert all(0.0 <= p <= 1.0 for p in out["probs"])
+
+
+def test_concurrent_requests_batch_and_match():
+    """N concurrent clients -> identical answers to direct forward; the
+    collector actually batches (fewer batches than requests)."""
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with InferenceServer(params, CFG, batch_size=8, top_k=1,
+                         max_delay_ms=50.0) as srv:
+        imgs = [_img(i) for i in range(8)]
+        results = [None] * 8
+
+        def call(i):
+            results[i] = srv.predict(imgs[i])
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(8):
+            assert results[i]["classes"][0] == _expected_top1(params, imgs[i])
+        s = srv.stats.summary()
+        assert s["requests"] == 8
+        assert s["batches"] < 8            # batching happened
+        assert 0 < s["batch_occupancy"] <= 1
+
+
+def test_shape_validation():
+    import pytest
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with InferenceServer(params, CFG, batch_size=2) as srv:
+        with pytest.raises(ValueError):
+            srv.predict(np.zeros((8, 8, 3), np.float32))
+
+
+def test_load_server_from_checkpoint(tmp_path):
+    """Round trip: save a trained state -> serve it -> predictions match."""
+    from vitx.train import create_train_state
+    from vitx.train.checkpoint import save_checkpoint
+    from vitx.train.step import make_optimizer
+
+    state = create_train_state(jax.random.PRNGKey(3), CFG, make_optimizer())
+    save_checkpoint(tmp_path, state, epoch=2)
+    srv = load_server(tmp_path, CFG, batch_size=2, top_k=1)
+    try:
+        img = _img(7)
+        out = srv.predict(img)
+        assert out["classes"][0] == _expected_top1(state.params, img)
+    finally:
+        srv.close()
+
+
+def test_http_front_end():
+    from vitx.cli.serve import serve_in_thread
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with InferenceServer(params, CFG, batch_size=2, top_k=2) as srv:
+        httpd, _ = serve_in_thread(srv)
+        base = f"http://127.0.0.1:{httpd.server_port}"
+        try:
+            ok = json.loads(urllib.request.urlopen(base + "/healthz").read())
+            assert ok["status"] == "ok"
+
+            img = _img(9)
+            buf = io.BytesIO()
+            np.save(buf, img)
+            req = urllib.request.Request(base + "/predict",
+                                         data=buf.getvalue(), method="POST")
+            out = json.loads(urllib.request.urlopen(req).read())
+            assert out["classes"][0] == _expected_top1(params, img)
+
+            # raw float32 payload path
+            req = urllib.request.Request(base + "/predict",
+                                         data=img.tobytes(), method="POST")
+            out2 = json.loads(urllib.request.urlopen(req).read())
+            assert out2["classes"] == out["classes"]
+
+            stats = json.loads(urllib.request.urlopen(base + "/stats").read())
+            assert stats["requests"] >= 2
+        finally:
+            httpd.shutdown()

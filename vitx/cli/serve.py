@@ -1,0 +1,124 @@
+"""Serving CLI: ``python -m vitx.cli.serve --preset base16 --checkpoint ...``
+
+A stdlib HTTP front end over ``vitx.serve.InferenceServer`` (dynamic
+batching, one compiled forward, on-device top-k). Endpoints:
+
+- ``POST /predict`` — body is a raw float32 (H, W, C) image (``.npy`` bytes
+  or raw little-endian floats); response JSON ``{"probs": [...],
+  "classes": [...]}`` for the top-k classes.
+- ``GET /stats`` — JSON throughput/latency/occupancy counters.
+- ``GET /healthz`` — 200 once the model is compiled and serving.
+
+Client example:
+
+    import io, numpy as np, urllib.request
+    buf = io.BytesIO(); np.save(buf, img.astype(np.float32))
+    req = urllib.request.Request("http://127.0.0.1:8808/predict",
+                                 data=buf.getvalue(), method="POST")
+    print(urllib.request.urlopen(req).read())
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from vitx.core.config import PRESETS, ViTConfig, get_config
+
+
+def make_handler(server):
+    cfg = server.cfg
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):            # quiet access log
+            pass
+
+        def _reply(self, code, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._reply(200, server.stats.summary())
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._reply(404, {"error": "unknown path"})
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n)
+            try:
+                if raw[:6] == b"\x93NUMPY":
+                    img = np.load(io.BytesIO(raw))
+                else:
+                    img = np.frombuffer(raw, np.float32).reshape(
+                        cfg.image_size, cfg.image_size, cfg.num_channels)
+                out = server.predict(np.asarray(img, np.float32))
+                self._reply(200, out)
+            except Exception as e:   # noqa: BLE001 — surface to the client
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main(argv=None):
+    from vitx.core.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    p = argparse.ArgumentParser(prog="vitx.serve")
+    p.add_argument("--preset", default="tiny", choices=sorted(PRESETS))
+    p.add_argument("--config-json", default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="{epoch}.ckpt file, checkpoint dir (newest epoch), "
+                        "orbax dir, or reference .pt; omit for fresh params")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8808)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--max-delay-ms", type=float, default=5.0)
+    args = p.parse_args(argv)
+
+    from vitx.serve import load_server
+
+    cfg = (ViTConfig.from_json(open(args.config_json).read())
+           if args.config_json else get_config(args.preset))
+    server = load_server(args.checkpoint, cfg, batch_size=args.batch_size,
+                         top_k=args.top_k, max_delay_ms=args.max_delay_ms)
+    httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
+    print(f"serving {args.preset} on http://{args.host}:{httpd.server_port} "
+          f"(batch {args.batch_size}, top-{server.top_k})", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown_called = True
+        server.close()
+    return 0
+
+
+def serve_in_thread(server, host="127.0.0.1", port=0):
+    """Start the HTTP front end on a background thread (tests / embedding).
+    Returns (httpd, thread); ``httpd.server_port`` has the bound port."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd, t
+
+
+if __name__ == "__main__":
+    sys.exit(main())
