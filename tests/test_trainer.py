@@ -255,3 +255,34 @@ def test_cli_recipe_and_fsdp_flags(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     final = json.loads(out[-1])
     assert np.isfinite(final["loss"])
+
+
+def test_cli_cosine_schedule(tmp_path, capsys):
+    """--schedule cosine trains through the CLI; the schedule is really
+    applied (injected optimizer): with warmup covering the whole run the
+    early updates are tiny, so the final loss stays near the const-lr
+    run's starting point is NOT asserted — instead we assert the run is
+    finite and the checkpoint resumes under the same flags."""
+    from vitx.cli.train import main
+
+    args = [
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "16", "--lr", "1e-3", "--compute-dtype", "float32",
+        "--schedule", "cosine", "--warmup-steps", "4",
+        "--checkpoint-dir", str(tmp_path / "c"),
+    ]
+    assert main(args) == 0
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(final["loss"])
+    # resume path with an injected-schedule optimizer state
+    assert main(args + ["--epochs", "2"]) == 0
+
+
+def test_warmup_cosine_schedule_shape():
+    """warmup_cosine: 0 at step 0, peak at warmup end, ~0 at the end."""
+    from vitx.train.step import warmup_cosine
+
+    sched = warmup_cosine(1e-3, total_steps=100, warmup_steps=10)
+    assert float(sched(0)) < 1.5e-4
+    assert abs(float(sched(10)) - 1e-3) < 1e-9
+    assert float(sched(100)) < 1e-4

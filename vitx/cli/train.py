@@ -48,6 +48,10 @@ def build_argparser():
     p.add_argument("--drop-path", type=float, default=0.0,
                    help="max stochastic-depth rate (linear over depth)")
     p.add_argument("--grad-clip", type=float, default=None)
+    p.add_argument("--schedule", default="const", choices=["const", "cosine"],
+                   help="lr schedule: constant (reference semantics) or "
+                        "linear-warmup + cosine decay over the full run")
+    p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--progress", action="store_true",
                    help="per-flush in-epoch progress line")
     # scale-out: shard over all visible devices
@@ -103,6 +107,15 @@ def main(argv=None):
     if args.drop_path:
         cfg = cfg.replace(drop_path=args.drop_path)
 
+    optimizer = None
+    if args.schedule == "cosine":
+        from vitx.train.step import make_optimizer, warmup_cosine
+
+        total_steps = args.epochs * len(train_loader)
+        optimizer = make_optimizer(
+            schedule=warmup_cosine(args.lr, total_steps, args.warmup_steps),
+            weight_decay=args.weight_decay, grad_clip=args.grad_clip)
+
     init_state = None
     if args.init_from:
         import jax
@@ -115,8 +128,9 @@ def main(argv=None):
         cfg = cfg.replace(final_norm=True)
         params = load_vit_init(args.init_from, cfg,
                                jax.random.PRNGKey(args.seed))
-        opt = make_optimizer(lr=args.lr, weight_decay=args.weight_decay,
-                             grad_clip=args.grad_clip)
+        opt = optimizer if optimizer is not None else make_optimizer(
+            lr=args.lr, weight_decay=args.weight_decay,
+            grad_clip=args.grad_clip)
         init_state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=opt.init(params))
 
@@ -133,7 +147,8 @@ def main(argv=None):
         mesh = make_mesh(dp=args.dp, tp=args.tp)
     trainer = Trainer(cfg, tcfg, preprocess=pre, mesh=mesh,
                       tp=args.tp > 1, zero1=args.zero == 1,
-                      zero3=args.zero == 3, init_state=init_state)
+                      zero3=args.zero == 3, init_state=init_state,
+                      optimizer=optimizer)
     history = trainer.fit(train_loader, eval_loader)
     if history:
         final = history[-1]

@@ -74,13 +74,15 @@ class Trainer:
                  preprocess: Callable | None = None,
                  train_step=None, eval_step=None, init_state=None,
                  mesh=None, tp: bool = False, zero1: bool = False,
-                 zero3: bool = False):
+                 zero3: bool = False, optimizer=None):
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
-        self.optimizer = make_optimizer(
-            lr=tcfg.lr, weight_decay=tcfg.weight_decay,
-            grad_clip=tcfg.grad_clip)
+        # ``optimizer``: inject a custom optax transform (e.g. one built on
+        # warmup_cosine); default is the reference's AdamW semantics
+        self.optimizer = optimizer if optimizer is not None else \
+            make_optimizer(lr=tcfg.lr, weight_decay=tcfg.weight_decay,
+                           grad_clip=tcfg.grad_clip)
         rng = jax.random.PRNGKey(tcfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.state = (init_state if init_state is not None
