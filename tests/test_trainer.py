@@ -286,3 +286,62 @@ def test_warmup_cosine_schedule_shape():
     assert float(sched(0)) < 1.5e-4
     assert abs(float(sched(10)) - 1e-3) < 1e-9
     assert float(sched(100)) < 1e-4
+
+
+def test_ema_params_shadow_and_eval():
+    """EMA transform: trajectory identical to no-EMA; the shadow lags the
+    live params and converges toward them; Trainer.eval_params picks it."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitx.train import create_train_state, make_train_step
+    from vitx.train.step import get_ema_params, make_optimizer
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    batch = {"image": jax.random.normal(k1, (8, 16, 16, 3)),
+             "label": jax.random.randint(k2, (8,), 0, 4)}
+
+    opt_plain = make_optimizer(lr=1e-3)
+    opt_ema = make_optimizer(lr=1e-3, ema_decay=0.9)
+    s_plain = create_train_state(jax.random.PRNGKey(0), CFG, opt_plain)
+    s_ema = create_train_state(jax.random.PRNGKey(0), CFG, opt_ema)
+    step_p = make_train_step(CFG, opt_plain)
+    step_e = make_train_step(CFG, opt_ema)
+
+    assert get_ema_params(s_plain.opt_state) is None
+    for _ in range(10):
+        s_plain, m_p = step_p(s_plain, batch, None)
+        s_ema, m_e = step_e(s_ema, batch, None)
+    # the EMA transform must not change the training trajectory
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_e["loss"]),
+                               rtol=1e-6)
+    ema = get_ema_params(s_ema.opt_state)
+    assert ema is not None
+    # shadow lags the live params but has moved off the init
+    p_live = s_ema.params["blocks"]["wqkv"]
+    p_init = create_train_state(jax.random.PRNGKey(0), CFG,
+                                opt_ema).params["blocks"]["wqkv"]
+    d_live = float(jnp.linalg.norm(ema["blocks"]["wqkv"] - p_live))
+    d_init = float(jnp.linalg.norm(ema["blocks"]["wqkv"] - p_init))
+    assert 0 < d_live and 0 < d_init
+
+    # Trainer.eval_params returns the shadow when enabled
+    tcfg = TrainerConfig(epochs=1, lr=1e-3, ema_decay=0.9)
+    tr = Trainer(CFG, tcfg)
+    tr.state = s_ema
+    np.testing.assert_array_equal(
+        np.asarray(tr.eval_params()["blocks"]["wqkv"]),
+        np.asarray(ema["blocks"]["wqkv"]))
+
+
+def test_cli_ema_flag(tmp_path, capsys):
+    from vitx.cli.train import main
+
+    rc = main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "16", "--lr", "1e-3", "--compute-dtype", "float32",
+        "--ema-decay", "0.99", "--checkpoint-dir", str(tmp_path / "c"),
+    ])
+    assert rc == 0
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(final["loss"])

@@ -52,6 +52,8 @@ def build_argparser():
                    help="lr schedule: constant (reference semantics) or "
                         "linear-warmup + cosine decay over the full run")
     p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="EMA of params (shadow in opt_state); eval uses it")
     p.add_argument("--progress", action="store_true",
                    help="per-flush in-epoch progress line")
     # scale-out: shard over all visible devices
@@ -114,7 +116,8 @@ def main(argv=None):
         total_steps = args.epochs * len(train_loader)
         optimizer = make_optimizer(
             schedule=warmup_cosine(args.lr, total_steps, args.warmup_steps),
-            weight_decay=args.weight_decay, grad_clip=args.grad_clip)
+            weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+            ema_decay=args.ema_decay)
 
     init_state = None
     if args.init_from:
@@ -139,7 +142,8 @@ def main(argv=None):
         grad_clip=args.grad_clip, label_smoothing=args.label_smoothing,
         mixup_alpha=args.mixup_alpha, progress=args.progress,
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
-        eval_every=args.eval_every, log_every=args.log_every, seed=args.seed)
+        eval_every=args.eval_every, log_every=args.log_every,
+        ema_decay=args.ema_decay, seed=args.seed)
     mesh = None
     if args.dp is not None:
         from vitx.parallel import make_mesh

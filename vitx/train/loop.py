@@ -52,6 +52,9 @@ class TrainerConfig:
     # Save a checkpoint and stop cleanly on SIGTERM/SIGINT (TPU preemption
     # notice) — the reference could only resume from the last epoch boundary.
     preemption_safe: bool = True
+    # Exponential moving average of params (shadow kept in opt_state; eval
+    # and export use it when set). Typical: 0.999-0.9999.
+    ema_decay: float | None = None
     seed: int = 0
 
 
@@ -82,7 +85,8 @@ class Trainer:
         # warmup_cosine); default is the reference's AdamW semantics
         self.optimizer = optimizer if optimizer is not None else \
             make_optimizer(lr=tcfg.lr, weight_decay=tcfg.weight_decay,
-                           grad_clip=tcfg.grad_clip)
+                           grad_clip=tcfg.grad_clip,
+                           ema_decay=tcfg.ema_decay)
         rng = jax.random.PRNGKey(tcfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.state = (init_state if init_state is not None
@@ -161,15 +165,24 @@ class Trainer:
         return device_prefetch(iter(loader), size=2,
                                sharding=self._data_sharding)
 
+    def eval_params(self):
+        """Params to evaluate/export: the EMA shadow when the optimizer
+        maintains one (TrainerConfig.ema_decay), else the live params."""
+        from vitx.train.step import get_ema_params
+
+        ema = get_ema_params(self.state.opt_state)
+        return ema if ema is not None else self.state.params
+
     def evaluate(self, eval_loader):
         """Accumulate ONE confusion matrix on device over the loader, then a
         single host transfer (vs the reference's per-batch host sync,
-        train.py:29-44)."""
+        train.py:29-44). Uses the EMA shadow params when enabled."""
         cm = None
         loss_sum = None
+        params = self.eval_params()
         for batch in self._prefetch(eval_loader):
             prepped = self._prep(batch, None, train=False, placed=True)
-            cm_b, loss = self.eval_step(self.state.params, prepped)
+            cm_b, loss = self.eval_step(params, prepped)
             # weight each batch-mean loss by its valid-sample count (the CM
             # total) so a padded ragged final batch doesn't bias the mean —
             # the same fix the CM metrics already have

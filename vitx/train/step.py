@@ -39,9 +39,49 @@ class _FusedOptimizer(NamedTuple):
     returns_new_params: bool = True
 
 
+class EmaState(NamedTuple):
+    """State of the params_ema transform: the shadow parameter pytree."""
+    ema: Any
+
+
+def params_ema(decay: float) -> optax.GradientTransformation:
+    """Maintain an exponential moving average of the POST-update parameters
+    inside the optimizer state (so it checkpoints/shards with everything
+    else), passing updates through unchanged. Extract with
+    ``get_ema_params(opt_state)``.
+    """
+
+    def init(params):
+        # materialize a DISTINCT buffer per leaf: aliasing params here makes
+        # the donated train step hand the same buffer to XLA twice
+        return EmaState(ema=jax.tree.map(lambda p: jnp.array(p, copy=True),
+                                         params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("params_ema requires params in update()")
+        new_p = optax.apply_updates(params, updates)
+        ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                           state.ema, new_p)
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """Find the EMA shadow params inside a (possibly chained) opt_state;
+    returns None when the optimizer was built without ``ema_decay``."""
+    for leaf_state in jax.tree.leaves(
+            opt_state, is_leaf=lambda x: isinstance(x, EmaState)):
+        if isinstance(leaf_state, EmaState):
+            return leaf_state.ema
+    return None
+
+
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
                    schedule=None, grad_clip: float | None = None,
-                   accum_steps: int = 1, fused: bool | str = "auto"):
+                   accum_steps: int = 1, fused: bool | str = "auto",
+                   ema_decay: float | None = None):
     """AdamW (train.py:66 semantics) with optional schedule / grad clipping /
     gradient accumulation (`accum_steps` micro-batches per update).
 
@@ -53,7 +93,7 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
     HBM traffic dominates. Incompatible with accum_steps > 1 (MultiSteps'
     zero-update convention vs params-returning updates).
     """
-    use_fused = fused is True and accum_steps == 1
+    use_fused = fused is True and accum_steps == 1 and ema_decay is None
     tx = []
     if grad_clip is not None:
         tx.append(optax.clip_by_global_norm(grad_clip))
@@ -65,6 +105,9 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
         opt = optax.chain(*tx)
         return _FusedOptimizer(init=opt.init, update=opt.update)
     tx.append(optax.adamw(lr_or_sched, weight_decay=weight_decay))
+    if ema_decay is not None:
+        # last in the chain: sees the final updates, shadows the params
+        tx.append(params_ema(ema_decay))
     opt = optax.chain(*tx)
     if accum_steps > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=accum_steps)
