@@ -1,0 +1,75 @@
+"""Knowledge-distillation tests (vitx/train/distill.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vitx import get_config, init_params
+from vitx.core.config import ViTConfig
+from vitx.train import create_train_state
+from vitx.train.distill import (distill_loss, make_distill_train_step)
+from vitx.train.step import cross_entropy_loss, make_optimizer
+
+TEACHER_CFG = get_config("tiny", compute_dtype="float32")
+STUDENT_CFG = ViTConfig(image_size=64, patch_size=8, num_classes=4,
+                        embed_dim=32, depth=2, num_heads=2,
+                        compute_dtype="float32")
+
+
+def test_distill_loss_limits():
+    """alpha=0 is plain CE; soft KD with an identical teacher is ~0;
+    tau scaling is applied."""
+    k = jax.random.PRNGKey(0)
+    logits = jax.random.normal(k, (8, 4))
+    labels = jnp.array([0, 1, 2, 3, 0, 1, 2, 3])
+
+    ce = cross_entropy_loss(logits, labels)
+    np.testing.assert_allclose(
+        float(distill_loss(logits, logits, labels, alpha=0.0)), float(ce),
+        rtol=1e-6)
+    # teacher == student -> KL term vanishes
+    np.testing.assert_allclose(
+        float(distill_loss(logits, logits, labels, alpha=1.0)), 0.0,
+        atol=1e-6)
+    # hard distillation vs a disagreeing teacher is positive
+    other = jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+    assert float(distill_loss(logits, other, labels, alpha=1.0,
+                              hard=True)) > 0.1
+
+
+def test_student_learns_teacher():
+    """A student distilled from a frozen random teacher (alpha=1) comes to
+    agree with it on the training batch."""
+    opt = make_optimizer(lr=3e-3)
+    teacher_params = init_params(jax.random.PRNGKey(0), TEACHER_CFG)
+    state = create_train_state(jax.random.PRNGKey(1), STUDENT_CFG, opt)
+    step = make_distill_train_step(STUDENT_CFG, TEACHER_CFG, opt,
+                                   alpha=1.0, tau=2.0)
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (16, 64, 64, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(3), (16,), 0, 4)
+    batch = {"image": imgs, "label": labels}
+
+    first = None
+    for _ in range(60):
+        state, m = step(state, batch, teacher_params, None)
+        if first is None:
+            first = m
+    assert float(m["loss"]) < float(first["loss"]) * 0.5
+    assert float(m["teacher_agreement"]) > float(first["teacher_agreement"])
+    assert float(m["teacher_agreement"]) >= 0.75
+
+
+def test_distill_step_with_mask_and_hard():
+    """Padded rows are excluded; hard mode runs and is finite."""
+    opt = make_optimizer(lr=1e-3)
+    teacher_params = init_params(jax.random.PRNGKey(0), TEACHER_CFG)
+    state = create_train_state(jax.random.PRNGKey(1), STUDENT_CFG, opt)
+    step = make_distill_train_step(STUDENT_CFG, TEACHER_CFG, opt,
+                                   alpha=0.5, hard=True)
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (8, 64, 64, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(3), (8,), 0, 4)
+    mask = jnp.array([1, 1, 1, 1, 1, 1, 0, 0], jnp.int32)
+    state, m = step(state, {"image": imgs, "label": labels, "mask": mask},
+                    teacher_params, jax.random.PRNGKey(4))
+    assert np.isfinite(float(m["loss"]))
+    assert 0.0 <= float(m["teacher_agreement"]) <= 1.0
