@@ -166,3 +166,52 @@ def test_device_prefetch_with_mesh_sharding():
     assert out[0]["image"].sharding.spec == P("data")
     np.testing.assert_array_equal(np.asarray(out[2]["image"]),
                                   batches[2]["image"])
+
+
+def test_random_resized_crop_and_jitter():
+    """Train-time RRC/jitter: static output shape, per-sample variation,
+    deterministic in rng; eval path ignores them entirely."""
+    import jax
+
+    pre = make_preprocess(out_size=16, mean=None, random_flip=False,
+                          random_crop=True, color_jitter=0.4)
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (4, 32, 32, 3), np.uint8)
+    rng = jax.random.PRNGKey(0)
+
+    out = np.asarray(pre(imgs, rng, train=True))
+    assert out.shape == (4, 16, 16, 3)
+    assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0
+    # deterministic in rng; different rng -> different crops
+    out2 = np.asarray(pre(imgs, rng, train=True))
+    np.testing.assert_array_equal(out, out2)
+    out3 = np.asarray(pre(imgs, jax.random.PRNGKey(1), train=True))
+    assert not np.array_equal(out, out3)
+    # per-sample variation: identical inputs get different crops
+    same = np.repeat(imgs[:1], 4, axis=0)
+    outs = np.asarray(pre(same, rng, train=True))
+    assert not np.array_equal(outs[0], outs[1])
+
+    # eval path = plain resize, identical to an augmentation-free pipeline
+    plain = make_preprocess(out_size=16, mean=None, random_flip=False)
+    np.testing.assert_allclose(np.asarray(pre(imgs, rng, train=False)),
+                               np.asarray(plain(imgs, rng, train=False)),
+                               rtol=1e-6)
+
+
+def test_full_scale_crop_approximates_resize():
+    """With crop area pinned to the full image and square aspect, RRC
+    reduces to the plain bilinear resize (up to resampler boundary
+    handling)."""
+    import jax
+
+    pre = make_preprocess(out_size=16, mean=None, random_flip=False,
+                          random_crop=True, crop_scale=(1.0, 1.0))
+    imgs = np.random.default_rng(1).integers(
+        0, 255, (2, 32, 32, 3), np.uint8)
+    out = np.asarray(pre(imgs, jax.random.PRNGKey(0), train=True))
+    plain = make_preprocess(out_size=16, mean=None, random_flip=False)
+    ref = np.asarray(plain(imgs, jax.random.PRNGKey(0), train=False))
+    # aspect still samples in [3/4, 4/3]; only compare the scale of values
+    assert out.shape == ref.shape
+    assert abs(out.mean() - ref.mean()) < 0.05

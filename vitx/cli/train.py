@@ -37,6 +37,10 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-augment", action="store_true",
                    help="disable normalization + flips (reference parity)")
+    p.add_argument("--random-crop", action="store_true",
+                   help="per-sample random-resized crop (device-resident)")
+    p.add_argument("--color-jitter", type=float, default=None,
+                   help="brightness/contrast/saturation jitter strength")
     p.add_argument("--init-from", default=None,
                    help="npz pytree to initialize params from (e.g. a "
                         "vitx.cli.pretrain --export-vit MAE encoder)")
@@ -104,7 +108,9 @@ def main(argv=None):
         out_size=cfg.image_size,
         mean=None if args.no_augment else (0.5, 0.5, 0.5),
         std=None if args.no_augment else (0.5, 0.5, 0.5),
-        random_flip=not args.no_augment)
+        random_flip=not args.no_augment,
+        random_crop=args.random_crop and not args.no_augment,
+        color_jitter=None if args.no_augment else args.color_jitter)
 
     if args.drop_path:
         cfg = cfg.replace(drop_path=args.drop_path)
