@@ -209,10 +209,64 @@ C.append(code(
     "      float(np.max(np.abs(a - b))))"))
 
 C.append(md(
+    "## MAE self-supervised pretraining\n\n"
+    "Beyond-reference capability: mask 75% of patches, reconstruct pixels "
+    "(He et al. 2022), then fine-tune the encoder. The decoder here is tiny "
+    "and the run short — enough to watch the reconstruction improve."))
+
+C.append(code(
+    "from vitx import MAEConfig, mae_forward\n"
+    "from vitx.nn.mae import (create_mae_train_state, make_mae_train_step,\n"
+    "                         unpatchify_pixels, mae_to_vit_params)\n"
+    "from vitx.train.step import make_optimizer\n\n"
+    "enc_cfg = get_config('tiny', compute_dtype='float32', final_norm=True)\n"
+    "# norm_pix_loss=False: predictions stay in pixel space so the\n"
+    "# reconstructions below render directly\n"
+    "mcfg = MAEConfig(encoder=enc_cfg, decoder_dim=96, decoder_depth=2,\n"
+    "                 decoder_heads=3, mask_ratio=0.75, norm_pix_loss=False)\n"
+    "opt = make_optimizer(lr=3e-3)\n"
+    "mstate = create_mae_train_state(jax.random.PRNGKey(0), mcfg, opt)\n"
+    "mstep = make_mae_train_step(mcfg, opt)\n"
+    "mb = next(iter(BatchLoader(train_ds, 64, shuffle=True)))\n"
+    "imgs = pre(mb['image'], jax.random.PRNGKey(1), train=False)\n"
+    "losses = []\n"
+    "for i in range(120):\n"
+    "    mstate, mm = mstep(mstate, {'image': imgs}, jax.random.PRNGKey(2))\n"
+    "    losses.append(float(mm['loss']))\n"
+    "plt.figure(figsize=(4, 2.5)); plt.plot(losses)\n"
+    "plt.xlabel('step'); plt.ylabel('MAE loss'); plt.title('masked-patch "
+    "reconstruction loss'); plt.show()\n"
+    "print(f'loss {losses[0]:.3f} -> {losses[-1]:.3f}')"))
+
+C.append(code(
+    "# visualize: original | 75%-masked input | reconstruction\n"
+    "loss, pred, mask = jax.jit(lambda p, x, r: mae_forward(p, x, mcfg, r,\n"
+    "    deterministic=True))(mstate.params, imgs[:4], jax.random.PRNGKey(5))\n"
+    "from vitx.nn.mae import patchify_pixels\n"
+    "patches = patchify_pixels(imgs[:4], enc_cfg)\n"
+    "vis_masked = patches * (1 - np.asarray(mask)[..., None])\n"
+    "recon = np.asarray(pred) * np.asarray(mask)[..., None] + \\\n"
+    "    np.asarray(patches) * (1 - np.asarray(mask)[..., None])\n"
+    "fig, axes = plt.subplots(3, 4, figsize=(8, 6))\n"
+    "rows = [np.asarray(imgs[:4]),\n"
+    "        np.asarray(unpatchify_pixels(jnp.asarray(vis_masked), enc_cfg)),\n"
+    "        np.asarray(unpatchify_pixels(jnp.asarray(recon), enc_cfg))]\n"
+    "for r, (row, name) in enumerate(zip(rows, ['original', 'masked 75%',\n"
+    "                                           'reconstruction'])):\n"
+    "    for c in range(4):\n"
+    "        axes[r, c].imshow(np.clip(row[c] * 0.5 + 0.5, 0, 1))\n"
+    "        axes[r, c].axis('off')\n"
+    "    axes[r, 0].set_ylabel(name)\n"
+    "plt.tight_layout(); plt.show()"))
+
+C.append(md(
     "## Pointers\n\n"
     "- `examples/quickstart.py` — the 30-second training script\n"
     "- `examples/attention_rollout.py` — rollout overlay as a CLI\n"
-    "- `python -m vitx.cli.train / .eval / .bench` — full CLIs\n"
+    "- `python -m vitx.cli.train / .eval / .bench / .pretrain / .serve` — "
+    "full CLIs\n"
+    "- `vitx.cli.pretrain --export-vit` → `vitx.cli.train --init-from` — "
+    "the MAE pretrain→fine-tune loop at CLI scale\n"
     "- `vitx/parallel` — the same Trainer scaled over a `jax.sharding.Mesh` "
     "(pass `mesh=make_mesh(dp=..., tp=...)`)"))
 
