@@ -122,3 +122,39 @@ def test_http_front_end():
             assert stats["requests"] >= 2
         finally:
             httpd.shutdown()
+
+
+def test_sharded_serving_matches_single_device():
+    """Serving over a dp mesh (batch sharded over the data axis) returns
+    the same predictions as the single-device server."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from vitx.parallel import make_mesh
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    mesh = make_mesh(dp=8, tp=1)
+    imgs = [_img(i + 20) for i in range(3)]
+    with InferenceServer(params, CFG, batch_size=8, top_k=3,
+                         mesh=mesh) as sharded:
+        got = [sharded.predict(im) for im in imgs]
+    with InferenceServer(params, CFG, batch_size=8, top_k=3) as single:
+        want = [single.predict(im) for im in imgs]
+    for g, w in zip(got, want):
+        assert g["classes"] == w["classes"]
+        np.testing.assert_allclose(g["probs"], w["probs"], rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_sharded_serving_batch_divisibility():
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from vitx.parallel import make_mesh
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with pytest.raises(ValueError):
+        InferenceServer(params, CFG, batch_size=6,
+                        mesh=make_mesh(dp=8, tp=1))

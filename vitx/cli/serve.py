@@ -90,14 +90,22 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--max-delay-ms", type=float, default=5.0)
+    p.add_argument("--dp", type=int, default=None,
+                   help="serve over a data-parallel mesh of this many chips")
     args = p.parse_args(argv)
 
     from vitx.serve import load_server
 
     cfg = (ViTConfig.from_json(open(args.config_json).read())
            if args.config_json else get_config(args.preset))
+    mesh = None
+    if args.dp is not None:
+        from vitx.parallel import make_mesh
+
+        mesh = make_mesh(dp=args.dp, tp=1)
     server = load_server(args.checkpoint, cfg, batch_size=args.batch_size,
-                         top_k=args.top_k, max_delay_ms=args.max_delay_ms)
+                         top_k=args.top_k, max_delay_ms=args.max_delay_ms,
+                         mesh=mesh)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
     print(f"serving {args.preset} on http://{args.host}:{httpd.server_port} "
           f"(batch {args.batch_size}, top-{server.top_k})", flush=True)

@@ -72,7 +72,11 @@ class InferenceServer:
     """
 
     def __init__(self, params, cfg: ViTConfig, *, batch_size: int = 32,
-                 top_k: int = 5, max_delay_ms: float = 5.0):
+                 top_k: int = 5, max_delay_ms: float = 5.0, mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` (vitx.parallel.make_mesh) turns
+        this into multi-chip serving — batches shard over the ``data`` axis
+        (batch_size must be divisible by its size), params replicate, and
+        the same collector feeds the whole slice from one host queue."""
         self.cfg = cfg
         self.batch_size = batch_size
         self.top_k = min(top_k, cfg.num_classes)
@@ -89,8 +93,23 @@ class InferenceServer:
             top = jax.lax.top_k(probs, self.top_k)
             return top  # (values (B,k), indices (B,k))
 
-        self._params = jax.device_put(params)
-        self._run = jax.jit(run)
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape["data"]
+            if batch_size % dp:
+                raise ValueError(f"batch_size {batch_size} not divisible by "
+                                 f"the mesh's data axis ({dp})")
+            rep = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(mesh, P("data", None, None,
+                                                         None))
+            self._params = jax.device_put(params, rep)
+            self._run = jax.jit(run, in_shardings=(rep,
+                                                   self._batch_sharding))
+        else:
+            self._params = jax.device_put(params)
+            self._run = jax.jit(run)
         # warmup compile at the serving shape — first real request must not
         # eat the compile
         dummy = jnp.zeros((batch_size, cfg.image_size, cfg.image_size,
@@ -150,8 +169,11 @@ class InferenceServer:
         if pad:
             images = np.concatenate(
                 [images, np.zeros((pad,) + images.shape[1:], np.float32)])
-        values, indices = self._run(
-            self._params, jnp.asarray(images, self.cfg.cdtype()))
+        device_images = jnp.asarray(images, self.cfg.cdtype())
+        if self._batch_sharding is not None:
+            device_images = jax.device_put(device_images,
+                                           self._batch_sharding)
+        values, indices = self._run(self._params, device_images)
         values = np.asarray(values[:n])
         indices = np.asarray(indices[:n])
         now = time.perf_counter()
