@@ -268,3 +268,21 @@ def test_ln_bwd_kernel_under_spmd():
     for a, b, name in zip(out, ref, ["dx", "dscale", "dbias"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_shard_host_batch_single_process_equals_shard_batch():
+    """shard_host_batch is the multi-host input path; with one process it
+    must reduce exactly to shard_batch (same shardings, same values)."""
+    import numpy as np
+
+    from vitx.parallel import make_mesh, shard_batch, shard_host_batch
+
+    mesh = make_mesh(dp=8, tp=1)
+    batch = {"image": np.random.default_rng(0)
+             .normal(size=(16, 8, 8, 3)).astype(np.float32),
+             "label": np.arange(16, dtype=np.int32)}
+    a = shard_batch(batch, mesh)
+    b = shard_host_batch(batch, mesh)
+    for k in batch:
+        assert a[k].sharding == b[k].sharding
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

@@ -182,12 +182,21 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="vitx.bench")
     p.add_argument("--config", default="all",
                    help="benchmark number 1-5 or 'all'")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="also capture a jax.profiler trace of each bench "
+                        "into DIR (open with xprof/tensorboard-profile)")
     args = p.parse_args(argv)
     enable_persistent_cache()
     which = (sorted(BENCHES) if args.config == "all"
              else [int(args.config)])
     for i in which:
-        print(json.dumps(BENCHES[i]()))
+        if args.profile:
+            with jax.profiler.trace(f"{args.profile}/bench_{i}"):
+                res = BENCHES[i]()
+            res["trace_dir"] = f"{args.profile}/bench_{i}"
+        else:
+            res = BENCHES[i]()
+        print(json.dumps(res))
     return 0
 
 

@@ -5,6 +5,7 @@ from vitx.parallel.sharded import (
     make_parallel_train_step,
     param_sharding,
     shard_batch,
+    shard_host_batch,
     state_sharding,
 )
 
@@ -14,6 +15,7 @@ __all__ = [
     "state_sharding",
     "batch_sharding",
     "shard_batch",
+    "shard_host_batch",
     "make_parallel_train_step",
     "make_parallel_eval_step",
 ]

@@ -167,6 +167,24 @@ def shard_batch(batch, mesh: Mesh):
     return {k: jax.device_put(v, spec) for k, v in batch.items()}
 
 
+def shard_host_batch(batch, mesh: Mesh):
+    """Multi-host batch placement: each PROCESS contributes its local shard
+    of the global batch (a host-sharded input pipeline — every host loads
+    only ``global_batch / process_count`` examples), assembled into global
+    arrays via ``jax.make_array_from_process_local_data``.
+
+    Single-process (including the virtual CPU mesh) this reduces exactly to
+    ``shard_batch``. On a multi-host pod, run the SAME code per host with
+    each host's BatchLoader covering a disjoint slice of the dataset (e.g.
+    ``dataset[process_index::process_count]``).
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    spec = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: jax.make_array_from_process_local_data(spec, v)
+            for k, v in batch.items()}
+
+
 # ---------------------------------------------------------------------------
 # Sharded steps
 # ---------------------------------------------------------------------------
