@@ -188,3 +188,40 @@ def test_mae_batch_sharded_matches_unsharded():
         lambda p, x: mae_forward(p, x, MCFG, rng, deterministic=True))(
             ps, xs)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+
+def test_mae_train_step_dp_sharded_trajectory_matches():
+    """One MAE train step under a dp=8 mesh (batch sharded, state
+    replicated) matches the single-device trajectory."""
+    import pytest
+
+    if len(jax.device_count() * [0]) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vitx.parallel import make_mesh, shard_batch
+
+    opt = make_optimizer(lr=1e-3)
+    rng = jax.random.PRNGKey(2)
+    imgs = _images(6, batch=8)
+    step = make_mae_train_step(MCFG, opt)
+
+    ref = create_mae_train_state(jax.random.PRNGKey(0), MCFG, opt)
+    ref, m_ref = step(ref, {"image": imgs}, rng)
+
+    mesh = make_mesh(dp=8, tp=1)
+    st = create_mae_train_state(jax.random.PRNGKey(0), MCFG, opt)
+    st = jax.device_put(st, NamedSharding(mesh, P()))
+    sharded_imgs = shard_batch({"image": imgs}, mesh)["image"]
+    st, m_sh = step(st, {"image": sharded_imgs}, rng)
+
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    # cross-shard grad reduction order differs from the single-device sum;
+    # Adam's normalization amplifies ulp-level grad noise into ~1e-5-scale
+    # param deltas after one step — same tolerance class as the padded-batch
+    # trajectory test in test_trainer.py
+    np.testing.assert_allclose(
+        np.asarray(st.params["encoder"]["blocks"]["wqkv"]),
+        np.asarray(ref.params["encoder"]["blocks"]["wqkv"]),
+        rtol=5e-4, atol=2e-5)

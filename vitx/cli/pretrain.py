@@ -62,6 +62,9 @@ def build_argparser():
     p.add_argument("--export-vit", default=None,
                    help="after training, write a fine-tune-ready classifier "
                         "pytree (npz) with the pretrained encoder weights")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel size: shard pretraining batches "
+                        "over a mesh (params/moments replicated)")
     return p
 
 
@@ -99,6 +102,20 @@ def main(argv=None):
         start_epoch = int(meta.get("epoch", -1)) + 1
         print(f"resumed MAE pretraining at epoch {start_epoch}")
 
+    mesh = None
+    if args.dp is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vitx.parallel import make_mesh
+
+        mesh = make_mesh(dp=args.dp, tp=1)
+        # dp-only SPMD: params/moments replicated, batches sharded over
+        # ``data`` — the jitted step's shardings follow the committed inputs
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        if args.batch_size % args.dp:
+            raise SystemExit(f"--batch-size {args.batch_size} must be "
+                             f"divisible by --dp {args.dp}")
+
     step_fn = make_mae_train_step(mcfg, opt)
     rng = jax.random.PRNGKey(args.seed + 1)
     writer = ScalarWriter(args.log_dir) if args.log_dir else None
@@ -112,6 +129,10 @@ def main(argv=None):
         for batch in device_prefetch(iter(loader)):
             images = pre(batch["image"], jax.random.fold_in(rng, n_steps),
                          train=True)
+            if mesh is not None:
+                from vitx.parallel import shard_batch
+
+                images = shard_batch({"image": images}, mesh)["image"]
             state, metrics = step_fn(state, {"image": images}, rng)
             pending.append(metrics["loss"])
             n_steps += 1
