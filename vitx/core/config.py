@@ -57,6 +57,15 @@ class ViTConfig:
     # linearly from 0 at the first block to this value at the last.
     drop_path: float = 0.0
 
+    # --- stem ---
+    # "patch": space-to-depth + matmul patchify (the reference's Conv2d
+    #   stride=patch, vit.py:20-30, in MXU form).
+    # "conv": convolutional stem ("Early convolutions help transformers see
+    #   better", Xiao et al. 2021): log2(patch_size) 3x3 stride-2 convs
+    #   (channels doubling to embed_dim, GELU between) + a 1x1 projection.
+    #   Requires patch_size to be a power of two.
+    stem: str = "patch"
+
     # --- classifier head ---
     # "reference": Linear(E,4E) -> GELU -> LayerNorm(4E) -> Linear(4E,classes)
     #   (the reference's unusual head, vit.py:69-74).
@@ -117,6 +126,13 @@ class ViTConfig:
             raise ValueError(f"unknown mlp_act {self.mlp_act!r}")
         if self.head_type not in ("reference", "standard"):
             raise ValueError(f"unknown head_type {self.head_type!r}")
+        if self.stem not in ("patch", "conv"):
+            raise ValueError(f"unknown stem {self.stem!r}")
+        if self.stem == "conv" and (
+                self.patch_size < 2
+                or self.patch_size & (self.patch_size - 1)):
+            raise ValueError("stem='conv' needs a power-of-two patch_size, "
+                             f"got {self.patch_size}")
         if self.remat not in ("block", "dots", "save_stash", "none"):
             raise ValueError(f"unknown remat {self.remat!r}")
         if self.fuse_mha not in ("auto", "on", "off"):

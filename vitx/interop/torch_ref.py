@@ -107,6 +107,9 @@ def export_reference_state_dict(params: dict, cfg: ViTConfig,
     P, C = cfg.patch_size, cfg.num_channels
     if "head" not in params or "w1" not in params["head"]:
         raise ValueError("export requires head_type='reference' params")
+    if "kernel" not in params["patch_embed"]:
+        raise ValueError("export requires stem='patch' params (the "
+                         "reference has no conv-stem equivalent)")
     if "bo" not in params["blocks"]:
         raise ValueError("export requires proj_bias=True params (the "
                          "reference projection always has a bias, "

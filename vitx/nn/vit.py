@@ -84,11 +84,31 @@ def init_params(rng, cfg: ViTConfig) -> Params:
     keys = jax.random.split(rng, 16)
     k = iter(keys)
 
-    params: Params = {
-        "patch_embed": {
+    if cfg.stem == "conv":
+        # Xiao et al. 2021 conv stem: log2(P) 3x3/s2 convs, channels
+        # doubling up to E, GELU between, then a 1x1 projection
+        n = P.bit_length() - 1
+        widths = [max(E >> (n - 1 - i), 8) for i in range(n)]
+        stem: Params = {}
+        in_ch = C
+        for i, w in enumerate(widths):
+            stem[f"conv{i}"] = {
+                "kernel": _trunc_normal(next(k), (3, 3, in_ch, w), std, pdt),
+                "bias": jnp.zeros((w,), pdt),
+            }
+            in_ch = w
+        stem["proj"] = {
+            "kernel": _trunc_normal(next(k), (1, 1, in_ch, E), std, pdt),
+            "bias": jnp.zeros((E,), pdt),
+        }
+        embed: Params = stem
+    else:
+        embed = {
             "kernel": _trunc_normal(next(k), (P * P * C, E), std, pdt),
             "bias": jnp.zeros((E,), pdt),
-        },
+        }
+    params: Params = {
+        "patch_embed": embed,
         "cls_token": _trunc_normal(next(k), (1, 1, E), std, pdt),
         "pos_embed": _trunc_normal(next(k), (1, cfg.seq_len, E), std, pdt),
     }
@@ -129,12 +149,43 @@ def param_count(params: Params) -> int:
 # Forward
 # ---------------------------------------------------------------------------
 
+def _conv_stem(params: Params, images, cfg: ViTConfig):
+    """Conv stem (cfg.stem="conv"): 3x3/s2 conv stack + 1x1 proj -> tokens.
+
+    Convs lower onto the MXU as implicit matmuls (NHWC/HWIO); spatial size
+    halves per conv so the output grid equals image_size / patch_size.
+    """
+    cdt = cfg.cdtype()
+    x = images.astype(cdt)
+    n = cfg.patch_size.bit_length() - 1
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, params["patch_embed"]["conv0"]["kernel"].shape,
+        ("NHWC", "HWIO", "NHWC"))
+    for i in range(n):
+        p = params["patch_embed"][f"conv{i}"]
+        x = jax.lax.conv_general_dilated(
+            x, p["kernel"].astype(cdt), (2, 2), "SAME",
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32).astype(cdt)
+        x = jax.nn.gelu(x + p["bias"].astype(cdt))
+    p = params["patch_embed"]["proj"]
+    x = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(cdt), (1, 1), "SAME", dimension_numbers=dn,
+        preferred_element_type=jnp.float32).astype(cdt)
+    x = x + p["bias"].astype(cdt)
+    B = x.shape[0]
+    return x.reshape(B, cfg.grid_size * cfg.grid_size, cfg.embed_dim)
+
+
 def patch_embed(params: Params, images, cfg: ViTConfig):
     """(B, H, W, C) images -> (B, N, E) patch tokens.
 
-    Conv2d(stride=patch) (reference vit.py:20-30) expressed as
-    space-to-depth + matmul: one big (B*N, P*P*C) x (P*P*C, E) MXU matmul.
+    cfg.stem="patch": Conv2d(stride=patch) (reference vit.py:20-30)
+    expressed as space-to-depth + matmul — one big (B*N, P*P*C) x (P*P*C, E)
+    MXU matmul. cfg.stem="conv": the Xiao et al. 2021 conv stem.
     """
+    if cfg.stem == "conv":
+        return _conv_stem(params, images, cfg)
     B = images.shape[0]
     P, g, C, E = cfg.patch_size, cfg.grid_size, cfg.num_channels, cfg.embed_dim
     x = images.astype(cfg.cdtype())
