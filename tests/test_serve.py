@@ -158,3 +158,25 @@ def test_sharded_serving_batch_divisibility():
     with pytest.raises(ValueError):
         InferenceServer(params, CFG, batch_size=6,
                         mesh=make_mesh(dp=8, tp=1))
+
+
+def test_backpressure_rejects_when_queue_full():
+    """predict raises ServerOverloaded (HTTP 503) instead of queueing
+    unboundedly; the stats record the rejection."""
+    import pytest
+
+    from vitx.serve import ServerOverloaded
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    srv = InferenceServer(params, CFG, batch_size=2, max_queue=1,
+                          max_delay_ms=0.0)
+    try:
+        # wedge the collector so the queue can fill: stop it entirely
+        srv._stop.set()
+        srv._thread.join(timeout=5)
+        srv._queue.put_nowait(object())          # occupy the single slot
+        with pytest.raises(ServerOverloaded):
+            srv.predict(_img(0), timeout=0.1)
+        assert srv.stats.summary()["rejected"] == 1
+    finally:
+        srv.close()

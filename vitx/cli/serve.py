@@ -70,7 +70,10 @@ def make_handler(server):
                 out = server.predict(np.asarray(img, np.float32))
                 self._reply(200, out)
             except Exception as e:   # noqa: BLE001 — surface to the client
-                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                from vitx.serve import ServerOverloaded
+
+                code = 503 if isinstance(e, ServerOverloaded) else 400
+                self._reply(code, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 

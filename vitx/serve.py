@@ -34,11 +34,16 @@ import numpy as np
 from vitx.core.config import ViTConfig
 
 
+class ServerOverloaded(RuntimeError):
+    """Raised by ``predict`` when the request queue is at ``max_queue``."""
+
+
 @dataclass
 class ServerStats:
     requests: int = 0
     batches: int = 0
     padded_slots: int = 0
+    rejected: int = 0
     latencies_ms: list = field(default_factory=list)
 
     def summary(self) -> dict:
@@ -49,6 +54,7 @@ class ServerStats:
         if self.requests + self.padded_slots:
             occupancy = self.requests / (self.requests + self.padded_slots)
         return {"requests": self.requests, "batches": self.batches,
+                "rejected": self.rejected,
                 "batch_occupancy": round(occupancy, 3),
                 "p50_ms": round(pct(0.50), 2), "p99_ms": round(pct(0.99), 2)}
 
@@ -72,17 +78,27 @@ class InferenceServer:
     """
 
     def __init__(self, params, cfg: ViTConfig, *, batch_size: int = 32,
-                 top_k: int = 5, max_delay_ms: float = 5.0, mesh=None):
+                 top_k: int = 5, max_delay_ms: float = 5.0, mesh=None,
+                 max_queue: int | None = None):
         """``mesh``: a ``jax.sharding.Mesh`` (vitx.parallel.make_mesh) turns
         this into multi-chip serving — batches shard over the ``data`` axis
         (batch_size must be divisible by its size), params replicate, and
-        the same collector feeds the whole slice from one host queue."""
+        the same collector feeds the whole slice from one host queue.
+
+        ``max_queue``: backpressure bound — beyond this many queued requests
+        ``predict`` raises ``ServerOverloaded`` immediately (the HTTP front
+        end maps it to 503) instead of growing an unbounded latency tail.
+        Default: 8 device batches worth.
+        """
         self.cfg = cfg
         self.batch_size = batch_size
         self.top_k = min(top_k, cfg.num_classes)
         self.max_delay_s = max_delay_ms / 1000.0
+        self.max_queue = (max_queue if max_queue is not None
+                          else 8 * batch_size)
         self.stats = ServerStats()
-        self._queue: queue.Queue[_Pending] = queue.Queue()
+        self._queue: queue.Queue[_Pending] = queue.Queue(
+            maxsize=self.max_queue)
         self._stop = threading.Event()
 
         from vitx.nn.vit import forward
@@ -128,7 +144,12 @@ class InferenceServer:
             raise ValueError(f"expected image shape {expect}, "
                              f"got {tuple(image.shape)}")
         item = _Pending(np.asarray(image, np.float32))
-        self._queue.put(item)
+        try:
+            self._queue.put_nowait(item)
+        except queue.Full:
+            self.stats.rejected += 1
+            raise ServerOverloaded(
+                f"queue full ({self.max_queue} pending)") from None
         if not item.event.wait(timeout):
             raise TimeoutError("inference request timed out")
         return item.result
