@@ -345,3 +345,31 @@ def test_cli_ema_flag(tmp_path, capsys):
     assert rc == 0
     final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(final["loss"])
+
+
+def test_cli_eval_predict_output(tmp_path, capsys):
+    """--predict writes one JSON line per (unpadded) eval example with the
+    argmax class and its probability."""
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--lr", "3e-3",
+        "--checkpoint-dir", str(tmp_path / "c"),
+        "--compute-dtype", "float32",
+    ])
+    capsys.readouterr()
+    out_path = tmp_path / "preds.jsonl"
+    rc = eval_main(["--preset", "tiny", "--data", "synthetic",
+                    "--checkpoint", str(tmp_path / "c"),
+                    "--batch-size", "48",          # ragged final batch
+                    "--predict", str(out_path)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rows = [json.loads(line) for line in out_path.read_text().splitlines()]
+    assert len(rows) == summary["num_examples"]
+    assert all(0.0 < r["prob"] <= 1.0 for r in rows)
+    # accuracy recomputed from the rows matches the CM-derived accuracy
+    acc = sum(r["pred"] == r["label"] for r in rows) / len(rows)
+    assert abs(acc - summary["accuracy"]) < 1e-6

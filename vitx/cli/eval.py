@@ -35,6 +35,9 @@ def main(argv=None):
                    help="'synthetic', 'cifar10:<dir>' or 'folder:<dir>'")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--predict", default=None, metavar="OUT.jsonl",
+                   help="also write per-example predictions (id, label, "
+                        "pred, prob) as JSON lines")
     args = p.parse_args(argv)
 
     from vitx.cli.train import make_datasets
@@ -65,12 +68,42 @@ def main(argv=None):
         random_flip=False)
     eval_step = make_eval_step(cfg)
 
+    predict_fn = None
+    pred_file = None
+    if args.predict:
+        import jax.numpy as jnp
+
+        from vitx.nn.vit import forward
+
+        predict_fn = jax.jit(lambda p, x: jax.nn.softmax(
+            forward(p, x, cfg).astype(jnp.float32), axis=-1))
+        pred_file = open(args.predict, "w")
+    paths = getattr(eval_ds, "paths", None)
+
     cm = None
+    seen = 0
     for batch in BatchLoader(eval_ds, args.batch_size):
         prepped = {"image": pre(batch["image"], None, train=False),
                    "label": batch["label"], "mask": batch["mask"]}
         cm_b, _ = eval_step(state.params, prepped)
         cm = cm_b if cm is None else cm + cm_b
+        if predict_fn is not None:
+            probs = np.asarray(predict_fn(state.params, prepped["image"]))
+            mask = np.asarray(batch["mask"])
+            for j in range(probs.shape[0]):
+                if not mask[j]:
+                    continue
+                pred = int(np.argmax(probs[j]))
+                row = {"id": (str(paths[seen]) if paths is not None
+                              else seen),
+                       "label": (classes[int(batch['label'][j])]
+                                 if classes else int(batch["label"][j])),
+                       "pred": classes[pred] if classes else pred,
+                       "prob": round(float(probs[j, pred]), 6)}
+                pred_file.write(json.dumps(row) + "\n")
+                seen += 1
+    if pred_file is not None:
+        pred_file.close()
 
     metrics = jax.device_get(confusion_to_metrics(cm))
     out = {
