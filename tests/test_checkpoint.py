@@ -222,3 +222,37 @@ def test_orbax_backend_keep_n(tmp_path):
     for epoch in range(4):
         save_checkpoint(tmp_path, host, epoch=epoch, backend="orbax", keep=2)
     assert list_checkpoints(tmp_path) == [2, 3]
+
+
+def test_checkpoints_are_self_describing(tmp_path, capsys):
+    """Trainer stores the exact model config in checkpoint meta; the eval
+    CLI rebuilds the trained geometry from it even when it differs from the
+    named preset (e.g. a final_norm=True fine-tune from an MAE export)."""
+    import json
+
+    from vitx.cli.eval import main as eval_main
+    from vitx.core.config import ViTConfig
+    from vitx.data import BatchLoader, SyntheticDataset
+    from vitx.train.checkpoint import peek_meta
+    from vitx.train.loop import Trainer, TrainerConfig
+
+    cfg = ViTConfig(image_size=16, patch_size=4, num_classes=4, embed_dim=32,
+                    depth=2, num_heads=2, compute_dtype="float32",
+                    final_norm=True)
+    loader = BatchLoader(SyntheticDataset(num_examples=64, image_size=16,
+                                          num_classes=4), 16)
+    tcfg = TrainerConfig(epochs=1, lr=1e-3,
+                         checkpoint_dir=str(tmp_path / "c"))
+    Trainer(cfg, tcfg).fit(loader)
+
+    meta = peek_meta(tmp_path / "c")
+    assert ViTConfig.from_json(json.dumps(meta["config"])) == cfg
+
+    capsys.readouterr()
+    # preset 'tiny' describes a DIFFERENT geometry — the stored config wins
+    rc = eval_main(["--preset", "tiny", "--data", "synthetic",
+                    "--checkpoint", str(tmp_path / "c"),
+                    "--batch-size", "16"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= out["accuracy"] <= 1.0

@@ -42,8 +42,18 @@ def main(argv=None):
 
     from vitx.cli.train import make_datasets
 
-    cfg = (ViTConfig.from_json(open(args.config_json).read())
-           if args.config_json else get_config(args.preset))
+    from vitx.train.checkpoint import peek_meta
+
+    saved = peek_meta(args.checkpoint)
+    if args.config_json:
+        cfg = ViTConfig.from_json(open(args.config_json).read())
+    elif saved and "config" in saved:
+        # checkpoints are self-describing (Trainer stores the exact model
+        # config in meta) — the restored geometry always matches, even when
+        # training mutated the preset (e.g. --init-from sets final_norm)
+        cfg = ViTConfig.from_json(json.dumps(saved["config"]))
+    else:
+        cfg = get_config(args.preset)
     _, eval_ds = make_datasets(args.data, cfg, seed=0)
     classes = getattr(eval_ds, "classes", None)
     # mirror the train CLI's class-count adjustment (cli/train.py), else the

@@ -101,6 +101,16 @@ def main(argv=None):
 
     cfg = (ViTConfig.from_json(open(args.config_json).read())
            if args.config_json else get_config(args.preset))
+    if args.checkpoint and not args.config_json:
+        import pathlib
+
+        from vitx.train.checkpoint import peek_meta
+
+        p_ckpt = pathlib.Path(args.checkpoint)
+        saved = peek_meta(p_ckpt) if p_ckpt.is_dir() else None
+        if saved and "config" in saved:
+            # self-describing checkpoints: serve the exact trained geometry
+            cfg = ViTConfig.from_json(json.dumps(saved["config"]))
     mesh = None
     if args.dp is not None:
         from vitx.parallel import make_mesh

@@ -127,6 +127,21 @@ def find_latest(ckpt_dir) -> int | None:
     return found[-1] if found else None
 
 
+def peek_meta(ckpt_dir):
+    """Read the newest checkpoint's meta WITHOUT a template state (e.g. to
+    recover the saved model config before building params). Returns None
+    when the directory has no checkpoints."""
+    latest = find_latest(ckpt_dir)
+    if latest is None:
+        return None
+    path = _ckpt_path(ckpt_dir, latest)
+    if path.is_dir():
+        meta_file = path / "vitx_meta.json"
+        return json.loads(meta_file.read_text()) if meta_file.exists() else {}
+    with np.load(path) as z:
+        return json.loads(bytes(z["__meta__"]).decode())
+
+
 def restore_checkpoint(path, template_state):
     """Load a checkpoint into the structure of ``template_state``.
 

@@ -245,8 +245,13 @@ class Trainer:
                     jax.profiler.stop_trace()
 
                 if tcfg.checkpoint_dir is not None:
+                    import json as _json
+
+                    # self-describing: consumers (eval/serve CLIs) rebuild
+                    # the exact model geometry from the checkpoint itself
                     meta = {"loss": stats.get("loss", 0.0),
-                            "step": int(self.state.step)}
+                            "step": int(self.state.step),
+                            "config": _json.loads(self.cfg.to_json())}
                     if self._preempted:
                         # epoch was cut short — resume must re-run it
                         meta["partial"] = True
