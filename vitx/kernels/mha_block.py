@@ -132,7 +132,13 @@ def _fused_fwd(x, wqkv, wo, bo, g, b, *, eps: float, stash: bool = False):
 
 
 def _composed(x, wqkv, wo, bo, g, b, *, eps: float):
-    """The unfused path (identical math) — backs the VJP and fallbacks."""
+    """The unfused path (identical math) — backs the VJP and fallbacks.
+
+    q/k/v come from THREE per-projection einsums, not one stacked
+    "bte,eshd->sbhtd" einsum + slices: at ViT-L@384 the stacked form cost a
+    16.7 ms/call slice fusion (pure HBM copy) to split the (3,B,H,T,D)
+    output — profiled round 2. Weight slices are weight-sized and free.
+    """
     from vitx.kernels.flash_attention import flash_attention
     from vitx.nn.layers import layer_norm
 
@@ -140,9 +146,11 @@ def _composed(x, wqkv, wo, bo, g, b, *, eps: float):
     E = x.shape[-1]
     D = E // H
     h = layer_norm(x, g, b, eps=eps)
-    qkv = jnp.einsum("bte,eshd->sbhtd", h, wqkv.astype(h.dtype),
-                     preferred_element_type=jnp.float32).astype(h.dtype)
-    o = flash_attention(qkv[0], qkv[1], qkv[2])
+    w = wqkv.astype(h.dtype)
+    q, k, v = (jnp.einsum("bte,ehd->bhtd", h, w[:, s],
+                          preferred_element_type=jnp.float32).astype(h.dtype)
+               for s in range(3))
+    o = flash_attention(q, k, v)
     out = jnp.einsum("bhtd,hdf->btf", o,
                      wo.astype(h.dtype).reshape(H, D, E),
                      preferred_element_type=jnp.float32).astype(h.dtype)

@@ -79,14 +79,23 @@ def multi_head_attention(
     else:
         use_flash = False
 
-    # XLA emits the transposed sbhtd layout from the projection matmul at no
-    # extra cost (measured: same time as the plain btf matmul on v5e) — the
-    # Pallas kernel consumes the planes with zero further transposes.
-    qkv = jnp.einsum("bte,eshd->sbhtd", x, wqkv.astype(x.dtype),
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    # Three per-projection einsums, each emitting the kernel's (B,H,T,D)
+    # layout directly from the matmul. NOT one stacked "bte,eshd->sbhtd"
+    # einsum + slices: splitting the stacked (3,B,H,T,D) output is a pure
+    # HBM copy that cost 16.7 ms/call at ViT-L@384 (profiled round 2);
+    # weight slices are weight-sized and free.
+    w = wqkv.astype(x.dtype)
+    bq = bk = bv = None
     if bqkv is not None:
-        qkv = qkv + bqkv.astype(x.dtype).reshape(3, 1, H, 1, D)
-    q, k, v = qkv[0], qkv[1], qkv[2]
+        b3 = bqkv.astype(x.dtype).reshape(3, 1, H, 1, D)
+        bq, bk, bv = b3[0], b3[1], b3[2]
+
+    def proj(s, bias):
+        r = jnp.einsum("bte,ehd->bhtd", x, w[:, s],
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        return r if bias is None else r + bias
+
+    q, k, v = proj(0, bq), proj(1, bk), proj(2, bv)
 
     if use_flash and return_probs and probs_mode == "mean":
         from vitx.kernels.flash_attention import (
