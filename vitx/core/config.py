@@ -122,7 +122,7 @@ class ViTConfig:
                 f"embed_dim {self.embed_dim} not divisible by num_heads "
                 f"{self.num_heads}"
             )
-        if self.mlp_act not in ("gelu", "relu"):
+        if self.mlp_act not in ("gelu", "gelu_tanh", "relu"):
             raise ValueError(f"unknown mlp_act {self.mlp_act!r}")
         if self.head_type not in ("reference", "standard"):
             raise ValueError(f"unknown head_type {self.head_type!r}")
@@ -199,7 +199,7 @@ PRESETS: dict[str, ViTConfig] = {
     "small16": ViTConfig(
         image_size=224, patch_size=16, num_classes=4,
         embed_dim=384, depth=12, num_heads=6,
-        remat="none", scan_unroll=12,
+        remat="none", scan_unroll=12, mlp_act="gelu_tanh",
     ),
     # BASELINE.json configs 3/4: ViT-Base/16 @224.
     # remat="none" + full unroll: 788 -> 1046 img/s train at b128 (v5e-1);
@@ -207,12 +207,15 @@ PRESETS: dict[str, ViTConfig] = {
     "base16": ViTConfig(
         image_size=224, patch_size=16, num_classes=1000,
         embed_dim=768, depth=12, num_heads=12,
-        remat="none", scan_unroll=12,
+        remat="none", scan_unroll=12, mlp_act="gelu_tanh",
     ),
     # BASELINE.json config 5: ViT-Large/16 @384.
+    # gelu_tanh: the MLP matmul+act fusion runs ~15% faster than exact-erf
+    # GELU at these shapes (measured v5e); set mlp_act="gelu" for erf parity.
     "large16_384": ViTConfig(
         image_size=384, patch_size=16, num_classes=1000,
         embed_dim=1024, depth=24, num_heads=16,
+        mlp_act="gelu_tanh",
     ),
     # The reference's train.py __main__ config (train.py:126-139): 256x256,
     # patch 16, embed 4, heads 4, blocks 4, fp32. (Its num_classes=100-on-

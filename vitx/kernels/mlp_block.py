@@ -42,7 +42,11 @@ def _gelu_erf_poly(x):
 
 
 def _act_kernel(x, act: str):
-    if act == "gelu":
+    if act in ("gelu", "gelu_tanh"):
+        # polynomial-erf form for BOTH gelu variants: Mosaic lowers tanh
+        # slowly (inference 3398 -> 2612 img/s when the tanh form ran
+        # in-kernel, measured round 2); the polynomial is within bf16
+        # resolution of either
         return _gelu_erf_poly(x.astype(jnp.float32)).astype(x.dtype)
     return activation(x, act)
 
