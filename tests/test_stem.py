@@ -71,3 +71,38 @@ def test_conv_stem_mae_pretrains():
                              jnp.float32)
     state, m = step(state, {"image": imgs}, jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_conv_stem_sharded_trajectory_matches():
+    """Conv-stem params shard cleanly (param_pspecs builds the stem
+    structure); one dp/tp/zero3 step each matches single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from vitx.parallel import make_mesh, make_parallel_train_step, shard_batch
+    from vitx.parallel.sharded import place_state, state_sharding
+    from vitx.train.step import make_train_step
+
+    small = CFG.replace(image_size=16, patch_size=4, embed_dim=32, depth=2,
+                        num_heads=4)
+    opt = make_optimizer(lr=1e-3)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    host_batch = {"image": jax.random.normal(k1, (16, 16, 16, 3)),
+                  "label": jax.random.randint(k2, (16,), 0, 4)}
+    ref = create_train_state(jax.random.PRNGKey(0), small, opt)
+    ref, m_ref = make_train_step(small, opt)(ref, host_batch,
+                                             jax.random.PRNGKey(3))
+
+    for mode in ("dp", "tp", "zero3"):
+        mesh = make_mesh(dp=4 if mode == "tp" else 8,
+                         tp=2 if mode == "tp" else 1)
+        st = create_train_state(jax.random.PRNGKey(0), small, opt)
+        kw = dict(tp=mode == "tp", zero3=mode == "zero3")
+        st = place_state(st, small, mesh, **kw)
+        sh = (state_sharding(st, small, mesh, tp=False, zero1=True,
+                             zero3=True) if mode == "zero3" else None)
+        step = make_parallel_train_step(small, opt, mesh,
+                                        state_shardings=sh, **kw)
+        st, m = step(st, shard_batch(host_batch, mesh),
+                     jax.random.PRNGKey(3))
+        np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]),
+                                   rtol=1e-5, err_msg=mode)

@@ -60,8 +60,16 @@ def _block_specs(cfg: ViTConfig, tp: bool) -> dict:
 
 def param_pspecs(cfg: ViTConfig, tp: bool = False) -> dict:
     """PartitionSpec pytree matching init_params' structure."""
+    if cfg.stem == "conv":
+        # conv-stem params (vitx/nn/vit.py::init_params): one dict per conv
+        # + the 1x1 proj, all replicated (stem weights are tiny vs blocks)
+        n = cfg.patch_size.bit_length() - 1
+        embed = {f"conv{i}": {"kernel": P(), "bias": P()} for i in range(n)}
+        embed["proj"] = {"kernel": P(), "bias": P()}
+    else:
+        embed = {"kernel": P(), "bias": P()}
     specs = {
-        "patch_embed": {"kernel": P(), "bias": P()},
+        "patch_embed": embed,
         "cls_token": P(),
         "pos_embed": P(),
         "blocks": _block_specs(cfg, tp),
