@@ -286,3 +286,45 @@ def test_shard_host_batch_single_process_equals_shard_batch():
     for k in batch:
         assert a[k].sharding == b[k].sharding
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_ema_optimizer_state_shards_cleanly():
+    """The EMA shadow (an extra opt_state leaf pytree) survives dp/tp/zero1
+    placement and the step keeps the single-device trajectory."""
+    import jax
+    import numpy as np
+
+    from vitx.core.config import ViTConfig
+    from vitx.parallel import make_mesh, make_parallel_train_step, shard_batch
+    from vitx.parallel.sharded import place_state, state_sharding
+    from vitx.train import create_train_state, make_train_step
+    from vitx.train.step import get_ema_params, make_optimizer
+
+    cfg = ViTConfig(image_size=16, patch_size=4, num_classes=4, embed_dim=32,
+                    depth=2, num_heads=4, compute_dtype="float32")
+    opt = make_optimizer(lr=1e-3, ema_decay=0.9)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    batch = {"image": jax.random.normal(k1, (16, 16, 16, 3)),
+             "label": jax.random.randint(k2, (16,), 0, 4)}
+    ref = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    ref, m_ref = make_train_step(cfg, opt)(ref, batch, jax.random.PRNGKey(3))
+    ema_ref = get_ema_params(ref.opt_state)
+
+    for mode in ("dp", "tp", "zero1"):
+        mesh = make_mesh(dp=4 if mode == "tp" else 8,
+                         tp=2 if mode == "tp" else 1)
+        st = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+        kw = dict(tp=mode == "tp", zero1=mode == "zero1")
+        st = place_state(st, cfg, mesh, **kw)
+        sh = (state_sharding(st, cfg, mesh, tp=False, zero1=True)
+              if mode == "zero1" else None)
+        step = make_parallel_train_step(cfg, opt, mesh, state_shardings=sh,
+                                        **kw)
+        st, m = step(st, shard_batch(batch, mesh), jax.random.PRNGKey(3))
+        np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]),
+                                   rtol=1e-5, err_msg=mode)
+        ema = get_ema_params(st.opt_state)
+        np.testing.assert_allclose(
+            np.asarray(ema["blocks"]["wqkv"]),
+            np.asarray(ema_ref["blocks"]["wqkv"]), rtol=1e-4, atol=1e-6,
+            err_msg=mode)
