@@ -60,12 +60,13 @@ class ServerStats:
 
 
 class _Pending:
-    __slots__ = ("image", "event", "result", "t0")
+    __slots__ = ("image", "event", "result", "error", "t0")
 
     def __init__(self, image):
         self.image = image
         self.event = threading.Event()
         self.result = None
+        self.error = None
         self.t0 = time.perf_counter()
 
 
@@ -152,6 +153,8 @@ class InferenceServer:
                 f"queue full ({self.max_queue} pending)") from None
         if not item.event.wait(timeout):
             raise TimeoutError("inference request timed out")
+        if item.error is not None:
+            raise RuntimeError(f"inference failed: {item.error}")
         return item.result
 
     def close(self):
@@ -181,7 +184,12 @@ class InferenceServer:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._run_batch(batch)
+            try:
+                self._run_batch(batch)
+            except Exception as e:   # noqa: BLE001 — propagate to waiters
+                for item in batch:
+                    item.error = e
+                    item.event.set()
 
     def _run_batch(self, batch):
         n = len(batch)
@@ -195,8 +203,12 @@ class InferenceServer:
             device_images = jax.device_put(device_images,
                                            self._batch_sharding)
         values, indices = self._run(self._params, device_images)
-        values = np.asarray(values[:n])
-        indices = np.asarray(indices[:n])
+        # fetch the FULL (batch, k) outputs and slice on host: a device-side
+        # values[:n] is a fresh XLA slice op per distinct n — dynamic batch
+        # occupancy would compile one executable per fill level (measured
+        # 22 s per compile through the remote-TPU tunnel)
+        values = np.asarray(values)[:n]
+        indices = np.asarray(indices)[:n]
         now = time.perf_counter()
         for i, item in enumerate(batch):
             item.result = {"probs": values[i].tolist(),
