@@ -373,3 +373,39 @@ def test_cli_eval_predict_output(tmp_path, capsys):
     # accuracy recomputed from the rows matches the CM-derived accuracy
     acc = sum(r["pred"] == r["label"] for r in rows) / len(rows)
     assert abs(acc - summary["accuracy"]) < 1e-6
+
+
+def test_cli_train_eval_on_folder_dataset(tmp_path, capsys):
+    """Full CLI train + eval over a REAL on-disk folder dataset (PNG files,
+    mixed L/RGB modes, ragged class counts) — the reference's
+    BrainTumorDataset usage end to end."""
+    from PIL import Image
+
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    root = tmp_path / "data"
+    rng = np.random.default_rng(0)
+    for cls, n in {"glioma": 9, "meningioma": 8, "none": 11}.items():
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(n):
+            arr = rng.integers(0, 255, (40, 30, 3), dtype=np.uint8)
+            img = Image.fromarray(arr if i % 3 else arr[:, :, 0],
+                                  "RGB" if i % 3 else "L")
+            img.save(d / f"img_{i:03d}.png")
+
+    rc = train_main([
+        "--preset", "tiny", "--data", f"folder:{root}", "--epochs", "1",
+        "--batch-size", "8", "--lr", "1e-3", "--compute-dtype", "float32",
+        "--checkpoint-dir", str(tmp_path / "c"),
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = eval_main(["--data", f"folder:{root}",
+                    "--checkpoint", str(tmp_path / "c"), "--batch-size", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 20% stratified test split of 28 images
+    assert out["num_examples"] == 6
+    assert set(out["per_class_accuracy"]) == {"glioma", "meningioma", "none"}
