@@ -225,3 +225,21 @@ def test_mae_train_step_dp_sharded_trajectory_matches():
         np.asarray(st.params["encoder"]["blocks"]["wqkv"]),
         np.asarray(ref.params["encoder"]["blocks"]["wqkv"]),
         rtol=5e-4, atol=2e-5)
+
+
+def test_pretrain_cli_resumes(tmp_path, capsys):
+    from vitx.cli.pretrain import main as pretrain_main
+
+    args = ["--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+            "--batch-size", "64", "--decoder-dim", "96",
+            "--decoder-depth", "2", "--decoder-heads", "3",
+            "--checkpoint-dir", str(tmp_path / "mae")]
+    assert pretrain_main(args) == 0
+    out1 = capsys.readouterr().out
+    assert "epoch 0" in out1
+    # re-run with more epochs: must resume at epoch 1, not redo epoch 0
+    args[args.index("--epochs") + 1] = "2"
+    assert pretrain_main(args) == 0
+    out2 = capsys.readouterr().out
+    assert "resumed MAE pretraining at epoch 1" in out2
+    assert "epoch 0:" not in out2 and "epoch 1:" in out2
