@@ -359,3 +359,23 @@ def test_layer_norm_vjp_2d_input():
     gr = jax.grad(lambda x: jnp.sum(jnp.tanh(_jnp_layer_norm(x, s, b))))(x)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gr),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_mha_matches_composed_interpret():
+    """Head-chunked fused MHA (the ViT-L@384 inference path) matches the
+    composed path in interpret mode."""
+    import vitx.kernels.mha_block as mb
+
+    B, T, E, H = 2, 160, 256, 8
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    x = jax.random.normal(k[0], (B, T, E), jnp.float32)
+    wqkv = jax.random.normal(k[1], (E, 3, H, E // H), jnp.float32) * 0.02
+    wo = jax.random.normal(k[2], (E, E), jnp.float32) * 0.02
+    bo = jax.random.normal(k[3], (E,), jnp.float32) * 0.01
+    g = jnp.ones((E,), jnp.float32)
+    b = jnp.zeros((E,), jnp.float32)
+
+    ref = mb._composed(x, wqkv, wo, bo, g, b, eps=1e-5)
+    got = mb._chunked_fwd(x, wqkv, wo, bo, g, b, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)

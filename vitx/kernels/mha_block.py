@@ -157,6 +157,188 @@ def _composed(x, wqkv, wo, bo, g, b, *, eps: float):
     return out + bo.astype(h.dtype)
 
 
+# --- head-chunked variant: large models (ViT-L@384) whose weights + fp32
+# qkv blow the single-step VMEM budget. Grid (B, H/hc) with the LayerNorm
+# output cached in VMEM scratch across head chunks, per-chunk column blocks
+# of the QKV weights, and the out-projection accumulated in fp32 scratch.
+# Inference-only fast path: the VJP falls back to differentiating the
+# composed path. ---------------------------------------------------------
+
+def _kernel_hchunk(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
+                   h_scr, acc_scr, *, hc: int, nh: int, head_dim: int,
+                   eps: float, scale: float):
+    j = pl.program_id(1)
+    D = head_dim
+
+    @pl.when(j == 0)
+    def _():
+        s32 = x_ref[0].astype(jnp.float32)
+        mean = jnp.mean(s32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(s32 - mean), axis=-1, keepdims=True)
+        h_scr[...] = ((s32 - mean) * jax.lax.rsqrt(var + eps)
+                      * g_ref[...] + b_ref[...]).astype(h_scr.dtype)
+
+    h = h_scr[...]                                       # (T, E)
+    qkv = jnp.dot(h, wqkv_ref[...],
+                  preferred_element_type=jnp.float32)    # (T, 3*hc*D)
+    qkv_c = qkv.astype(h.dtype)
+    outs = []
+    for i in range(hc):
+        base = i * 3 * D
+        q0 = qkv_c[:, base:base + D]
+        k = qkv_c[:, base + D:base + 2 * D]
+        v = qkv_c[:, base + 2 * D:base + 3 * D]
+        q = (q0.astype(jnp.float32) * scale).astype(h.dtype)
+        sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(h.dtype), v,
+                    preferred_element_type=jnp.float32) / l
+        outs.append(o.astype(h.dtype))
+    o_chunk = jnp.concatenate(outs, axis=1)              # (T, hc*D)
+    partial = jnp.dot(o_chunk, wo_ref[...],
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[...] = partial + bo_ref[...]
+
+    @pl.when(j > 0)
+    def _():
+        acc_scr[...] += partial
+
+    @pl.when(j == nh - 1)
+    def _():
+        o_ref[0] = acc_scr[...].astype(o_ref.dtype)
+
+
+def _chunk_plan(x_shape, num_heads: int, dtype):
+    """-> (hc, est_bytes) for the largest head chunk fitting VMEM."""
+    B, T, E = x_shape
+    D = E // num_heads
+    itemsize = jnp.dtype(dtype).itemsize
+    for hc in _divisors_desc_local(num_heads):
+        need = (E * 3 * hc * D * itemsize      # wqkv column block
+                + hc * D * E * itemsize        # wo row block
+                + 3 * T * E * itemsize         # x + h scratch + out
+                + T * E * 4                    # fp32 out accumulator
+                + T * 3 * hc * D * 4           # qkv fp32
+                + 2 * T * T * 4                # score/prob temps
+                + 2 * hc * T * D * itemsize)   # head slices / o_chunk
+        if need <= 13 * 1024 * 1024:
+            return hc, need
+    return 0, 0
+
+
+def _divisors_desc_local(n: int):
+    return [d for d in range(n, 0, -1) if n % d == 0]
+
+
+def _chunked_fwd(x, wqkv, wo, bo, g, b, *, eps: float):
+    B, T, E = x.shape
+    H = wqkv.shape[2]
+    D = E // H
+    hc, _ = _chunk_plan(x.shape, H, x.dtype)
+    nh = H // hc
+    # per-chunk contiguous (q,k,v) columns: (E, 3, H, D) -> (E, H, 3D)
+    w = wqkv.transpose(0, 2, 1, 3).reshape(E, H * 3 * D)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_hchunk, hc=hc, nh=nh, head_dim=D, eps=eps,
+                          scale=1.0 / D ** 0.5),
+        grid=(B, nh),
+        in_specs=[
+            pl.BlockSpec((1, T, E), lambda b_, j: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 3 * hc * D), lambda b_, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc * D, E), lambda b_, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda b_, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda b_, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda b_, j: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, T, E), x.dtype),
+        out_specs=pl.BlockSpec((1, T, E), lambda b_, j: (b_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((T, E), x.dtype),
+                        pltpu.VMEM((T, E), jnp.float32)],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * E * 4 * E + 4 * B * H * T * T * D,
+            bytes_accessed=2 * B * T * E * 2 + 8 * E * E,
+            transcendentals=B * H * T * T,
+        ),
+    )(x, w, wo, bo, g, b)
+    return out
+
+
+def _make_chunked_sharded(eps: float):
+    def _positional(x, wqkv, wo, bo, g, b):
+        return _chunked_fwd(x, wqkv, wo, bo, g, b, eps=eps)
+
+    f = custom_partitioning(_positional)
+
+    def infer(mesh, arg_infos, result_infos):
+        return NamedSharding(mesh, _b_spec(arg_infos[0].sharding.spec))
+
+    def part(mesh, arg_infos, result_infos):
+        sh = NamedSharding(mesh, _b_spec(arg_infos[0].sharding.spec))
+        rep = NamedSharding(mesh, _P())
+        return (mesh, _positional, sh, (sh, rep, rep, rep, rep, rep))
+
+    f.def_partition(
+        part, infer_sharding_from_operands=infer,
+        sharding_rule="b t e, e s h d, f g, o, p, q -> b t e",
+        need_replication_factors=("t", "e", "s", "h", "d", "f", "g",
+                                  "o", "p", "q"))
+    return f
+
+
+_CHUNKED_CACHE: dict = {}
+
+
+def _make_chunked_op(eps: float):
+    @jax.custom_vjp
+    def op(x, wqkv, wo, bo, g, b):
+        key = float(eps)
+        if key not in _CHUNKED_CACHE:
+            _CHUNKED_CACHE[key] = _make_chunked_sharded(eps)
+        return _CHUNKED_CACHE[key](x, wqkv, wo, bo, g, b)
+
+    def fwd(x, wqkv, wo, bo, g, b):
+        return op(x, wqkv, wo, bo, g, b), (x, wqkv, wo, bo, g, b)
+
+    def bwd(res, dout):
+        # training at these shapes differentiates the composed path (the
+        # chunked kernel is the inference fast path)
+        _, vjp = jax.vjp(
+            lambda *a: _composed(*a, eps=eps), *res)
+        return vjp(dout)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+_CHUNKED_OP_CACHE: dict = {}
+
+
+def supports_chunked_mha(x_shape, num_heads: int, dtype) -> bool:
+    if _use_interpret():
+        return False          # the full kernel already covers interpret mode
+    B, T, E = x_shape
+    D = E // num_heads
+    if D % 32 or T > _MAX_CHUNK_T or T < 128 or E < 256:
+        return False
+    hc, _ = _chunk_plan(x_shape, num_heads, dtype)
+    return hc > 0
+
+
+_MAX_CHUNK_T = 1024
+
+
 # --- SPMD: batch-parallel; weights/params replicated per shard -------------
 
 def _b_spec(spec, ndim=3):
@@ -317,6 +499,13 @@ def fused_mha_block(x, wqkv, wo, bo, g, b, *, eps: float = 1e-5):
     Falls back to the composed XLA + flash path for unsupported shapes.
     """
     H = wqkv.shape[2]
-    if not supports_fused_mha(x.shape, H, x.dtype):
-        return _composed(x, wqkv, wo, bo, g, b, eps=eps)
-    return _fused_op(x, wqkv, wo, bo, g, b, float(eps))
+    if supports_fused_mha(x.shape, H, x.dtype):
+        return _fused_op(x, wqkv, wo, bo, g, b, float(eps))
+    if supports_chunked_mha(x.shape, H, x.dtype):
+        # large models (ViT-L@384): head-chunked kernel, inference-only
+        # fast path (its VJP differentiates the composed path)
+        key = float(eps)
+        if key not in _CHUNKED_OP_CACHE:
+            _CHUNKED_OP_CACHE[key] = _make_chunked_op(float(eps))
+        return _CHUNKED_OP_CACHE[key](x, wqkv, wo, bo, g, b)
+    return _composed(x, wqkv, wo, bo, g, b, eps=eps)
