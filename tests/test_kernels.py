@@ -379,3 +379,29 @@ def test_chunked_mha_matches_composed_interpret():
     got = mb._chunked_fwd(x, wqkv, wo, bo, g, b, eps=1e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_mha_mean_probs_matches_composed_interpret():
+    """Chunked kernel's head-mean probs output (the rollout path) matches
+    the composed reference in interpret mode."""
+    import vitx.kernels.mha_block as mb
+
+    B, T, E, H = 2, 160, 256, 8
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    x = jax.random.normal(k[0], (B, T, E), jnp.float32)
+    wqkv = jax.random.normal(k[1], (E, 3, H, E // H), jnp.float32) * 0.02
+    wo = jax.random.normal(k[2], (E, E), jnp.float32) * 0.02
+    bo = jax.random.normal(k[3], (E,), jnp.float32) * 0.01
+    g = jnp.ones((E,), jnp.float32)
+    b = jnp.zeros((E,), jnp.float32)
+
+    out_r, probs_r = mb._composed_with_mean_probs(x, wqkv, wo, bo, g, b,
+                                                  eps=1e-5)
+    out_c, probs_c = mb._chunked_fwd(x, wqkv, wo, bo, g, b, eps=1e-5,
+                                     mean_probs=True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(probs_c), np.asarray(probs_r),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jnp.sum(probs_c, axis=-1)),
+                               np.ones((B, T)), rtol=1e-5)

@@ -165,8 +165,13 @@ def _composed(x, wqkv, wo, bo, g, b, *, eps: float):
 # composed path. ---------------------------------------------------------
 
 def _kernel_hchunk(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
-                   h_scr, acc_scr, *, hc: int, nh: int, head_dim: int,
-                   eps: float, scale: float):
+                   *rest, hc: int, nh: int, head_dim: int,
+                   eps: float, scale: float, num_heads: int,
+                   mean_probs: bool):
+    if mean_probs:
+        probs_ref, h_scr, acc_scr = rest
+    else:
+        h_scr, acc_scr = rest
     j = pl.program_id(1)
     D = head_dim
 
@@ -183,6 +188,7 @@ def _kernel_hchunk(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
                   preferred_element_type=jnp.float32)    # (T, 3*hc*D)
     qkv_c = qkv.astype(h.dtype)
     outs = []
+    p_sum = None
     for i in range(hc):
         base = i * 3 * D
         q0 = qkv_c[:, base:base + D]
@@ -197,6 +203,9 @@ def _kernel_hchunk(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
         o = jnp.dot(p.astype(h.dtype), v,
                     preferred_element_type=jnp.float32) / l
         outs.append(o.astype(h.dtype))
+        if mean_probs:
+            contrib = p / (l * num_heads)                # (T, T)
+            p_sum = contrib if p_sum is None else p_sum + contrib
     o_chunk = jnp.concatenate(outs, axis=1)              # (T, hc*D)
     partial = jnp.dot(o_chunk, wo_ref[...],
                       preferred_element_type=jnp.float32)
@@ -204,17 +213,21 @@ def _kernel_hchunk(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
     @pl.when(j == 0)
     def _():
         acc_scr[...] = partial + bo_ref[...]
+        if mean_probs:
+            probs_ref[0] = p_sum
 
     @pl.when(j > 0)
     def _():
         acc_scr[...] += partial
+        if mean_probs:
+            probs_ref[0] += p_sum
 
     @pl.when(j == nh - 1)
     def _():
         o_ref[0] = acc_scr[...].astype(o_ref.dtype)
 
 
-def _chunk_plan(x_shape, num_heads: int, dtype):
+def _chunk_plan(x_shape, num_heads: int, dtype, mean_probs: bool = False):
     """-> (hc, est_bytes) for the largest head chunk fitting VMEM."""
     B, T, E = x_shape
     D = E // num_heads
@@ -227,6 +240,8 @@ def _chunk_plan(x_shape, num_heads: int, dtype):
                 + T * 3 * hc * D * 4           # qkv fp32
                 + 2 * T * T * 4                # score/prob temps
                 + 2 * hc * T * D * itemsize)   # head slices / o_chunk
+        if mean_probs:
+            need += 2 * T * T * 4              # probs out block + p_sum
         if need <= 13 * 1024 * 1024:
             return hc, need
     return 0, 0
@@ -236,18 +251,27 @@ def _divisors_desc_local(n: int):
     return [d for d in range(n, 0, -1) if n % d == 0]
 
 
-def _chunked_fwd(x, wqkv, wo, bo, g, b, *, eps: float):
+def _chunked_fwd(x, wqkv, wo, bo, g, b, *, eps: float,
+                 mean_probs: bool = False):
     B, T, E = x.shape
     H = wqkv.shape[2]
     D = E // H
-    hc, _ = _chunk_plan(x.shape, H, x.dtype)
+    hc, _ = _chunk_plan(x.shape, H, x.dtype, mean_probs=mean_probs)
     nh = H // hc
     # per-chunk contiguous (q,k,v) columns: (E, 3, H, D) -> (E, H, 3D)
     w = wqkv.transpose(0, 2, 1, 3).reshape(E, H * 3 * D)
 
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((B, T, E), x.dtype)]
+    out_specs = [pl.BlockSpec((1, T, E), lambda b_, j: (b_, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if mean_probs:
+        out_shape.append(jax.ShapeDtypeStruct((B, T, T), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, T, T), lambda b_, j: (b_, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
         functools.partial(_kernel_hchunk, hc=hc, nh=nh, head_dim=D, eps=eps,
-                          scale=1.0 / D ** 0.5),
+                          scale=1.0 / D ** 0.5, num_heads=H,
+                          mean_probs=mean_probs),
         grid=(B, nh),
         in_specs=[
             pl.BlockSpec((1, T, E), lambda b_, j: (b_, 0, 0),
@@ -260,9 +284,8 @@ def _chunked_fwd(x, wqkv, wo, bo, g, b, *, eps: float):
             pl.BlockSpec((E,), lambda b_, j: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((E,), lambda b_, j: (0,), memory_space=pltpu.VMEM),
         ],
-        out_shape=jax.ShapeDtypeStruct((B, T, E), x.dtype),
-        out_specs=pl.BlockSpec((1, T, E), lambda b_, j: (b_, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((T, E), x.dtype),
                         pltpu.VMEM((T, E), jnp.float32)],
         interpret=_use_interpret(),
@@ -272,7 +295,9 @@ def _chunked_fwd(x, wqkv, wo, bo, g, b, *, eps: float):
             transcendentals=B * H * T * T,
         ),
     )(x, w, wo, bo, g, b)
-    return out
+    if not isinstance(outs, (list, tuple)):
+        outs = [outs]
+    return tuple(outs) if mean_probs else outs[0]
 
 
 def _make_chunked_sharded(eps: float):
@@ -325,18 +350,76 @@ def _make_chunked_op(eps: float):
 _CHUNKED_OP_CACHE: dict = {}
 
 
-def supports_chunked_mha(x_shape, num_heads: int, dtype) -> bool:
+def supports_chunked_mha(x_shape, num_heads: int, dtype,
+                         mean_probs: bool = False) -> bool:
     if _use_interpret():
         return False          # the full kernel already covers interpret mode
     B, T, E = x_shape
     D = E // num_heads
     if D % 32 or T > _MAX_CHUNK_T or T < 128 or E < 256:
         return False
-    hc, _ = _chunk_plan(x_shape, num_heads, dtype)
+    hc, _ = _chunk_plan(x_shape, num_heads, dtype, mean_probs=mean_probs)
     return hc > 0
 
 
 _MAX_CHUNK_T = 1024
+
+
+def _composed_with_mean_probs(x, wqkv, wo, bo, g, b, *, eps: float):
+    """Differentiable reference for the probs-emitting path (O(T^2) probs
+    in HBM — the same cost class as the reference's stashed attention_probs,
+    transformer.py:39,48)."""
+    from vitx.nn.attention import reference_attention
+    from vitx.nn.layers import layer_norm
+
+    H = wqkv.shape[2]
+    E = x.shape[-1]
+    D = E // H
+    h = layer_norm(x, g, b, eps=eps)
+    w = wqkv.astype(h.dtype)
+    q, k, v = (jnp.einsum("bte,ehd->bhtd", h, w[:, s],
+                          preferred_element_type=jnp.float32).astype(h.dtype)
+               for s in range(3))
+    o, p = reference_attention(q, k, v, return_probs=True)
+    out = jnp.einsum("bhtd,hdf->btf", o,
+                     wo.astype(h.dtype).reshape(H, D, E),
+                     preferred_element_type=jnp.float32).astype(h.dtype)
+    return out + bo.astype(h.dtype), jnp.mean(p.astype(jnp.float32), axis=1)
+
+
+def _make_chunked_probs_op(eps: float):
+    @jax.custom_vjp
+    def op(x, wqkv, wo, bo, g, b):
+        return _chunked_fwd(x, wqkv, wo, bo, g, b, eps=eps, mean_probs=True)
+
+    def fwd(x, wqkv, wo, bo, g, b):
+        return op(x, wqkv, wo, bo, g, b), (x, wqkv, wo, bo, g, b)
+
+    def bwd(res, cts):
+        _, vjp = jax.vjp(
+            lambda *a: _composed_with_mean_probs(*a, eps=eps), *res)
+        return vjp(tuple(cts))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+_CHUNKED_PROBS_CACHE: dict = {}
+
+
+def fused_mha_block_with_mean_probs(x, wqkv, wo, bo, g, b, *,
+                                    eps: float = 1e-5):
+    """Fused attention half emitting head-MEAN attention probs (B, T, T) —
+    the rollout path's input — alongside the block output. Uses the
+    head-chunked kernel (probs accumulated across chunks in the output
+    block); falls back to the composed differentiable path elsewhere."""
+    H = wqkv.shape[2]
+    if supports_chunked_mha(x.shape, H, x.dtype, mean_probs=True):
+        key = float(eps)
+        if key not in _CHUNKED_PROBS_CACHE:
+            _CHUNKED_PROBS_CACHE[key] = _make_chunked_probs_op(float(eps))
+        return _CHUNKED_PROBS_CACHE[key](x, wqkv, wo, bo, g, b)
+    return _composed_with_mean_probs(x, wqkv, wo, bo, g, b, eps=eps)
 
 
 # --- SPMD: batch-parallel; weights/params replicated per shard -------------

@@ -241,20 +241,28 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
     else:
         r_attn = r_mlp = None
 
-    if _use_fused_mha(cfg, bp, return_probs):
-        from vitx.kernels.mha_block import fused_mha_block
+    fused_mean_probs = (return_probs and probs_mode == "mean"
+                        and _use_fused_mha(cfg, bp, False))
+    if _use_fused_mha(cfg, bp, return_probs) or fused_mean_probs:
+        from vitx.kernels.mha_block import (fused_mha_block,
+                                            fused_mha_block_with_mean_probs)
 
         x = x + pending
         bo = bp.get("bo")
         if bo is None:
             bo = jnp.zeros((cfg.embed_dim,), jnp.float32)
-        attn_out = fused_mha_block(
-            x, bp["wqkv"].astype(x.dtype), bp["wo"].astype(x.dtype),
-            bo.astype(jnp.float32),
-            bp["ln1_scale"].astype(jnp.float32),
-            bp["ln1_bias"].astype(jnp.float32),
-            eps=cfg.layer_norm_eps)
-        probs = None
+        args = (x, bp["wqkv"].astype(x.dtype), bp["wo"].astype(x.dtype),
+                bo.astype(jnp.float32),
+                bp["ln1_scale"].astype(jnp.float32),
+                bp["ln1_bias"].astype(jnp.float32))
+        if fused_mean_probs:
+            # rollout path: the chunked kernel emits head-mean probs
+            # alongside the block output (vitx/kernels/mha_block.py)
+            attn_out, probs = fused_mha_block_with_mean_probs(
+                *args, eps=cfg.layer_norm_eps)
+        else:
+            attn_out = fused_mha_block(*args, eps=cfg.layer_norm_eps)
+            probs = None
     else:
         x, h = add_layer_norm(x, pending, bp["ln1_scale"], bp["ln1_bias"],
                               eps=cfg.layer_norm_eps)
