@@ -241,8 +241,16 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
     else:
         r_attn = r_mlp = None
 
-    fused_mean_probs = (return_probs and probs_mode == "mean"
-                        and _use_fused_mha(cfg, bp, False))
+    fused_mean_probs = False
+    if return_probs and probs_mode == "mean" and _use_fused_mha(cfg, bp,
+                                                                False):
+        from vitx.kernels.mha_block import supports_chunked_mha
+
+        # only when the chunked kernel really takes it — its composed
+        # fallback materializes full per-head probs, worse than the
+        # flash mean-probs route below for unsupported shapes
+        fused_mean_probs = supports_chunked_mha(
+            x.shape, cfg.num_heads, x.dtype, mean_probs=True)
     if _use_fused_mha(cfg, bp, return_probs) or fused_mean_probs:
         from vitx.kernels.mha_block import (fused_mha_block,
                                             fused_mha_block_with_mean_probs)
