@@ -234,7 +234,10 @@ def test_fused_mlp_block_matches_composed():
     from vitx import ViTConfig, forward, init_params
     from vitx.train.step import cross_entropy_loss
 
-    for act in ("gelu", "relu"):
+    # gelu_tanh included: the kernel computes the TRUE tanh form (via exp),
+    # not an erf-poly stand-in, so fused inference matches the composed
+    # training path (ADVICE r2)
+    for act in ("gelu", "gelu_tanh", "relu"):
         cfg_on = ViTConfig(image_size=16, patch_size=4, num_classes=4,
                            embed_dim=64, depth=2, num_heads=2, mlp_act=act,
                            compute_dtype="float32", fuse_mha="off",

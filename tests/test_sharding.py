@@ -328,3 +328,68 @@ def test_ema_optimizer_state_shards_cleanly():
             np.asarray(ema["blocks"]["wqkv"]),
             np.asarray(ema_ref["blocks"]["wqkv"]), rtol=1e-4, atol=1e-6,
             err_msg=mode)
+
+
+def test_tp_safe_cfg_gates_fusion():
+    """Mesh-aware kernel gating (VERDICT r2 item 4): under tp>1 the 'auto'
+    fusion choices fall back to the composed path (the fused kernels'
+    partition rules replicate weights on the model axis); an explicit 'on'
+    is honored; tp=False passes the config through untouched."""
+    from vitx.parallel.sharded import tp_safe_cfg
+
+    cfg = CFG.replace(fuse_mha="auto", fuse_mlp="auto")
+    gated = tp_safe_cfg(cfg, tp=True)
+    assert gated.fuse_mha == "off" and gated.fuse_mlp == "off"
+    assert tp_safe_cfg(cfg, tp=False) is cfg
+    forced = CFG.replace(fuse_mha="on", fuse_mlp="on")
+    assert tp_safe_cfg(forced, tp=True) is forced
+
+
+def test_tp_train_default_config_needs_no_manual_fusion_off():
+    """A tp run with the DEFAULT config (fuse_mha='auto') builds + steps
+    without any manual fuse override and matches the single-device
+    trajectory — the builder gates fusion itself."""
+    cfg = CFG.replace(fuse_mha="auto", fuse_mlp="auto")
+    opt = make_optimizer(lr=1e-3)
+    ref_state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    ref_step = make_train_step(cfg, opt)
+    ref_state, m_ref = ref_step(ref_state, _batch(0), None)
+
+    mesh = make_mesh(dp=4, tp=2)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    state = place_state(state, cfg, mesh, tp=True)
+    step = make_parallel_train_step(cfg, opt, mesh, tp=True)
+    state, m = step(state, shard_batch(_batch(0), mesh), None)
+    np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]),
+                               rtol=1e-4)
+
+
+def test_chunked_probs_kernel_under_spmd():
+    """The probs-emitting chunked MHA op (rollout fast path) carries the
+    same batch-parallel custom_partitioning rule as every other kernel
+    entry point — under a dp mesh both outputs shard over `data` and match
+    the unsharded kernel exactly (ADVICE r2)."""
+    from vitx.kernels import mha_block as mb
+
+    B, T, E, H = 8, 128, 256, 4
+    ks = jax.random.split(jax.random.PRNGKey(3), 7)
+    x = jax.random.normal(ks[0], (B, T, E), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (E, 3, H, E // H), jnp.float32) * 0.05
+    wo = jax.random.normal(ks[2], (E, E), jnp.float32) * 0.05
+    bo = jax.random.normal(ks[3], (E,), jnp.float32) * 0.05
+    g = jax.random.normal(ks[4], (E,)) * 0.2 + 1.0
+    b = jax.random.normal(ks[5], (E,)) * 0.1
+
+    ref_out, ref_probs = mb._chunked_fwd(x, wqkv, wo, bo, g, b, eps=1e-5,
+                                         mean_probs=True)
+
+    mesh = make_mesh(dp=8, tp=1)
+    op = mb._make_chunked_probs_sharded(1e-5)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    out, probs = jax.jit(op)(xs, wqkv, wo, bo, g, b)
+    assert "data" in [s for s in out.sharding.spec if s]
+    assert "data" in [s for s in probs.sharding.spec if s]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               rtol=2e-5, atol=2e-5)

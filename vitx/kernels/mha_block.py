@@ -19,9 +19,10 @@ Backward: custom VJP that re-derives the intermediates with the composed
 XLA + flash-kernel path (the same work the remat recompute already does) —
 the fused kernel accelerates the forward and the remat recompute.
 
-SPMD: batch-parallel over ``data`` via custom_partitioning; under tensor
-parallelism the weights are gathered (falls back to replicated compute on
-the model axis) — use the composed path (``fuse_mha="off"``) for tp>1.
+SPMD: batch-parallel over ``data`` via custom_partitioning; the partition
+rules replicate weights on the model axis, so tp>1 runs are auto-routed to
+the composed path by ``vitx.parallel.sharded.tp_safe_cfg`` (an explicit
+``fuse_mha="on"`` opts back in and accepts the weight gather).
 """
 
 from __future__ import annotations
@@ -387,10 +388,51 @@ def _composed_with_mean_probs(x, wqkv, wo, bo, g, b, *, eps: float):
     return out + bo.astype(h.dtype), jnp.mean(p.astype(jnp.float32), axis=1)
 
 
+def _make_chunked_probs_sharded(eps: float):
+    """custom_partitioning wrapper for the probs-emitting chunked forward:
+    batch-parallel over ``data`` exactly like every other kernel entry point
+    here (without it, a dp mesh would all-gather the full batch per device
+    or fail to partition — ADVICE r2)."""
+    def _positional(x, wqkv, wo, bo, g, b):
+        return _chunked_fwd(x, wqkv, wo, bo, g, b, eps=eps, mean_probs=True)
+
+    f = custom_partitioning(_positional)
+
+    def _outs(mesh, x_spec):
+        b_axis = _b_spec(x_spec)[0]
+        return (NamedSharding(mesh, _P(b_axis, None, None)),
+                NamedSharding(mesh, _P(b_axis, None, None)))
+
+    def infer(mesh, arg_infos, result_infos):
+        return _outs(mesh, arg_infos[0].sharding.spec)
+
+    def part(mesh, arg_infos, result_infos):
+        sh = NamedSharding(mesh, _b_spec(arg_infos[0].sharding.spec))
+        rep = NamedSharding(mesh, _P())
+        return (mesh, _positional,
+                _outs(mesh, arg_infos[0].sharding.spec),
+                (sh, rep, rep, rep, rep, rep))
+
+    f.def_partition(
+        part, infer_sharding_from_operands=infer,
+        # probs output factors (u, v) are T-sized but must stay unsharded
+        sharding_rule="b t e, e s h d, f g, o, p, q -> b t e, b u v",
+        need_replication_factors=("t", "e", "s", "h", "d", "f", "g",
+                                  "o", "p", "q", "u", "v"))
+    return f
+
+
+_CHUNKED_PROBS_SHARDED_CACHE: dict = {}
+
+
 def _make_chunked_probs_op(eps: float):
     @jax.custom_vjp
     def op(x, wqkv, wo, bo, g, b):
-        return _chunked_fwd(x, wqkv, wo, bo, g, b, eps=eps, mean_probs=True)
+        key = float(eps)
+        if key not in _CHUNKED_PROBS_SHARDED_CACHE:
+            _CHUNKED_PROBS_SHARDED_CACHE[key] = \
+                _make_chunked_probs_sharded(eps)
+        return _CHUNKED_PROBS_SHARDED_CACHE[key](x, wqkv, wo, bo, g, b)
 
     def fwd(x, wqkv, wo, bo, g, b):
         return op(x, wqkv, wo, bo, g, b), (x, wqkv, wo, bo, g, b)

@@ -205,6 +205,23 @@ def place_state(state: TrainState, cfg: ViTConfig, mesh: Mesh,
     return jax.tree.map(jax.device_put, state, shardings)
 
 
+def tp_safe_cfg(cfg: ViTConfig, tp: bool) -> ViTConfig:
+    """Mesh-aware kernel-fusion gating (VERDICT r2 item 4): the fused
+    MHA/MLP kernels' custom_partitioning rules replicate weights on the
+    model axis, so under tp>1 an ``"auto"`` fusion choice would silently
+    all-gather the tp-sharded weights every layer. Route tp runs to the
+    composed path (whose einsums partition Megatron-style) — an explicit
+    ``fuse_*="on"`` is honored (the user accepts the gather)."""
+    if not tp:
+        return cfg
+    rep = {}
+    if cfg.fuse_mha == "auto":
+        rep["fuse_mha"] = "off"
+    if cfg.fuse_mlp == "auto":
+        rep["fuse_mlp"] = "off"
+    return cfg.replace(**rep) if rep else cfg
+
+
 def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                              tp: bool = False, zero1: bool = False,
                              zero3: bool = False, state_shardings=None,
@@ -217,6 +234,7 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
     output state layout explicitly — required for zero1 so the updated
     moments stay sharded rather than following the replicated params.
     """
+    cfg = tp_safe_cfg(cfg, tp)
     step_fn = partial(train_step, cfg=cfg, optimizer=optimizer,
                       label_smoothing=label_smoothing,
                       mixup_alpha=mixup_alpha)
@@ -229,12 +247,13 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
         rep = NamedSharding(mesh, P())
         metric_shardings = {"loss": rep, "accuracy": rep, "grad_norm": rep}
         kw["out_shardings"] = (state_shardings, metric_shardings)
-    del tp, zero1, zero3  # encoded in the shardings; call-site clarity
+    del zero1, zero3  # encoded in the shardings; call-site clarity
     return jax.jit(wrapped, donate_argnums=(0,), **kw)
 
 
-def make_parallel_eval_step(cfg: ViTConfig, mesh: Mesh):
+def make_parallel_eval_step(cfg: ViTConfig, mesh: Mesh, tp: bool = False):
     """Jitted SPMD eval step; confusion matrix psum-reduced to replicated."""
+    cfg = tp_safe_cfg(cfg, tp)
     rep = NamedSharding(mesh, P())
     return jax.jit(partial(eval_step, cfg=cfg),
                    out_shardings=(rep, rep))

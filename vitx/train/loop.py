@@ -109,7 +109,8 @@ class Trainer:
                 state_shardings=shardings,
                 label_smoothing=tcfg.label_smoothing,
                 mixup_alpha=tcfg.mixup_alpha)
-            self.eval_step = eval_step or make_parallel_eval_step(cfg, mesh)
+            self.eval_step = eval_step or make_parallel_eval_step(cfg, mesh,
+                                                                  tp=tp)
         else:
             self.train_step = (train_step
                                or make_train_step(
