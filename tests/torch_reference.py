@@ -165,3 +165,117 @@ def export_to_vitx(model: TorchViT, patch_size: int, num_heads: int):
         },
     }
     return params
+
+
+# ---------------------------------------------------------------------------
+# BUG-EXACT torch oracle — the reference train.py model with its bugs intact
+# ---------------------------------------------------------------------------
+# Re-expression (not a copy) of /root/reference/src/VisionTransformer/
+# {vit.py,transformer.py} keeping the three semantic bugs vitx's
+# parity="bug_exact" mode reproduces: per-batch-slot CLS APPENDED while the
+# head reads token 0 (vit.py:31-41 vs :80), and attention logits MULTIPLIED
+# by sqrt(head_size) (transformer.py:24). Module attribute names are chosen
+# so state_dict() keys match a real reference checkpoint exactly
+# (the key map documented in vitx/interop/torch_ref.py).
+
+class _BuggyHead(nn.Module):
+    def __init__(self, head_size, n_embd):
+        super().__init__()
+        self.key = nn.Linear(n_embd, head_size, bias=False)
+        self.query = nn.Linear(n_embd, head_size, bias=False)
+        self.value = nn.Linear(n_embd, head_size, bias=False)
+
+    def forward(self, x):
+        k, q = self.key(x), self.query(x)
+        wei = (q @ k.transpose(-2, -1)) * (k.shape[-1] ** 0.5)  # BUG: multiply
+        wei = torch.softmax(wei, dim=-1)
+        return wei @ self.value(x)
+
+
+class _BuggyMHA(nn.Module):
+    def __init__(self, num_heads, head_size, n_embd, dropout=0.2):
+        super().__init__()
+        self.heads = nn.ModuleList(
+            _BuggyHead(head_size, n_embd) for _ in range(num_heads))
+        self.proj = nn.Linear(n_embd, n_embd)
+        self.dropout = nn.Dropout(dropout)
+
+    def forward(self, x):
+        out = torch.cat([h(x) for h in self.heads], dim=-1)
+        return self.dropout(self.proj(out))
+
+
+class _BuggyFFwd(nn.Module):
+    def __init__(self, n_embd, dropout=0.2):
+        super().__init__()
+        self.mlp = nn.Sequential(
+            nn.Linear(n_embd, 4 * n_embd), nn.ReLU(),
+            nn.Linear(4 * n_embd, n_embd), nn.Dropout(dropout))
+
+    def forward(self, x):
+        return self.mlp(x)
+
+
+class _BuggyBlock(nn.Module):
+    def __init__(self, n_embd, n_head):
+        super().__init__()
+        self.multi_head = _BuggyMHA(n_head, n_embd // n_head, n_embd)
+        self.ffwd = _BuggyFFwd(n_embd)
+        self.ln1 = nn.LayerNorm(n_embd)
+        self.ln2 = nn.LayerNorm(n_embd)
+
+    def forward(self, x):
+        x = x + self.multi_head(self.ln1(x))
+        x = x + self.ffwd(self.ln2(x))
+        return x
+
+
+class _BuggyEncoder(nn.Module):
+    def __init__(self, n_embd, n_head, n_blocks):
+        super().__init__()
+        self.blocks = nn.Sequential(
+            *[_BuggyBlock(n_embd, n_head) for _ in range(n_blocks)])
+
+    def forward(self, x):
+        return self.blocks(x)
+
+
+class _BuggyEmbeddings(nn.Module):
+    def __init__(self, channels, n_embd, patch, num_patches, batch_size):
+        super().__init__()
+        self.sequence = nn.Sequential(
+            nn.Conv2d(channels, n_embd, kernel_size=patch, stride=patch),
+            nn.Flatten(2))
+        self.cls_tkn_embd = nn.Parameter(
+            torch.randn(batch_size, 1, n_embd))          # BUG: per batch slot
+        self.pos_embd = nn.Parameter(torch.randn(1, num_patches + 1, n_embd))
+
+    def forward(self, x):
+        x = self.sequence(x).permute(0, 2, 1)
+        x = torch.cat([x, self.cls_tkn_embd], dim=1)     # BUG: CLS appended
+        return x + self.pos_embd
+
+
+class TorchBuggyViT(nn.Module):
+    """Bug-exact reference model (NCHW input, batch locked to batch_size).
+
+    ``state_dict()`` keys are identical to a checkpoint written by the
+    reference's train.py, so saving ``{"model_state_dict": sd}`` produces a
+    file both the reference's resume path and vitx's importer accept.
+    """
+
+    def __init__(self, *, image_size, patch_size, num_channels, num_classes,
+                 embed_dim, depth, num_heads, batch_size):
+        super().__init__()
+        grid = image_size // patch_size
+        self.emdeddings = _BuggyEmbeddings(
+            num_channels, embed_dim, patch_size, grid * grid, batch_size)
+        self.transformer_encoder = _BuggyEncoder(embed_dim, num_heads, depth)
+        self.mlp = nn.Sequential(
+            nn.Linear(embed_dim, 4 * embed_dim), nn.GELU(),
+            nn.LayerNorm(4 * embed_dim), nn.Linear(4 * embed_dim, num_classes))
+
+    def forward(self, x):
+        x = self.emdeddings(x)
+        x = self.transformer_encoder(x)
+        return self.mlp(x[:, 0, :])                      # BUG: reads a patch

@@ -77,6 +77,18 @@ class ViTConfig:
 
     layer_norm_eps: float = 1e-5  # torch nn.LayerNorm default, for parity
 
+    # --- reference-semantics mode ---
+    # "corrected": CLS prepended, attention scaled by 1/sqrt(head_dim) (the
+    #   notebook/C semantics; what every preset uses).
+    # "bug_exact": reproduce the reference train.py model EXACTLY so its
+    #   trained checkpoints give identical predictions — CLS APPENDED while
+    #   the head reads token 0 (vit.py:41 vs :80), attention logits
+    #   *multiplied* by sqrt(head_dim) (transformer.py:24), and a
+    #   per-batch-slot CLS honored when the imported checkpoint carries one
+    #   (vit.py:31-33). Forces the composed attention path (the kernels
+    #   implement the corrected scale).
+    parity: str = "corrected"
+
     # --- numerics ---
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
@@ -139,6 +151,8 @@ class ViTConfig:
             raise ValueError(f"unknown fuse_mha {self.fuse_mha!r}")
         if self.fuse_mlp not in ("auto", "on", "off"):
             raise ValueError(f"unknown fuse_mlp {self.fuse_mlp!r}")
+        if self.parity not in ("corrected", "bug_exact"):
+            raise ValueError(f"unknown parity {self.parity!r}")
 
     # -- derived --
     @property

@@ -42,24 +42,31 @@ def _np(t):
 def import_reference_state_dict(sd: dict, cfg: ViTConfig) -> dict:
     """Reference torch state_dict -> vitx param pytree (numpy leaves).
 
-    Key/format compatible, but semantically the vitx model follows the
-    corrected/notebook semantics: CLS PREPENDED and attention scaled by
-    1/sqrt(head_dim). A checkpoint trained with the reference's own
-    ``train.py`` (CLS appended, vit.py:41; logits *multiplied* by
-    sqrt(head_dim), transformer.py:24) will load but not reproduce that
-    model's predictions — hence the runtime warning.
+    With ``cfg.parity == "bug_exact"`` the import is prediction-exact for
+    checkpoints trained by the reference's own ``train.py``: the full
+    per-batch-slot CLS (vit.py:31-33) is kept, and the forward reproduces
+    CLS-appended + *sqrt(head_dim) semantics (vit.py:41, transformer.py:24).
+    With the default corrected parity, keys/format map exactly but vitx
+    computes the corrected semantics (CLS slot 0 prepended, 1/sqrt scaling)
+    — such checkpoints load but won't reproduce train.py's predictions,
+    hence the runtime warning.
     """
-    warnings.warn(
-        "import_reference_state_dict maps keys exactly, but vitx computes the "
-        "corrected semantics (CLS prepended, 1/sqrt(head_dim) scaling); "
-        "checkpoints trained with the reference's train.py will not "
-        "reproduce that model's predictions.", stacklevel=2)
+    if cfg.parity != "bug_exact":
+        warnings.warn(
+            "import_reference_state_dict maps keys exactly, but this config "
+            "computes the corrected semantics (CLS prepended, "
+            "1/sqrt(head_dim) scaling); a checkpoint trained with the "
+            "reference's train.py will not reproduce that model's "
+            "predictions. Use ViTConfig(parity='bug_exact') for "
+            "prediction-exact loading of such checkpoints.", stacklevel=2)
     E, H, D, L = cfg.embed_dim, cfg.num_heads, cfg.head_dim, cfg.depth
     P, C = cfg.patch_size, cfg.num_channels
 
     conv_w = _np(sd["emdeddings.sequence.0.weight"])          # (E, C, P, P)
     kernel = conv_w.transpose(2, 3, 1, 0).reshape(P * P * C, E)
-    cls = _np(sd["emdeddings.cls_tkn_embd"])[:1]              # slot 0 of (B,1,E)
+    cls_full = _np(sd["emdeddings.cls_tkn_embd"])             # (B_train, 1, E)
+    # bug_exact keeps every per-batch-slot CLS; corrected takes slot 0
+    cls = cls_full if cfg.parity == "bug_exact" else cls_full[:1]
 
     blocks = {k: [] for k in ("ln1_scale", "ln1_bias", "wqkv", "wo", "bo",
                               "ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2")}
@@ -118,11 +125,14 @@ def export_reference_state_dict(params: dict, cfg: ViTConfig,
     kernel = np.asarray(params["patch_embed"]["kernel"], np.float32)
     conv_w = kernel.reshape(P, P, C, E).transpose(3, 2, 0, 1)   # (E, C, P, P)
     cls = np.asarray(params["cls_token"], np.float32)
+    # a bug_exact import keeps the per-slot CLS (B, 1, E) — round-trip it
+    # untiled; a single (1, 1, E) vector tiles to the requested batch size
+    cls_out = cls if cls.shape[0] > 1 else np.tile(cls, (batch_size, 1, 1))
     sd = {
         "emdeddings.sequence.0.weight": conv_w,
         "emdeddings.sequence.0.bias":
             np.asarray(params["patch_embed"]["bias"], np.float32),
-        "emdeddings.cls_tkn_embd": np.tile(cls, (batch_size, 1, 1)),
+        "emdeddings.cls_tkn_embd": cls_out,
         "emdeddings.pos_embd": np.asarray(params["pos_embed"], np.float32),
     }
     b = params["blocks"]

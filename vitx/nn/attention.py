@@ -19,15 +19,18 @@ import jax
 import jax.numpy as jnp
 
 
-def reference_attention(q, k, v, *, return_probs=False):
+def reference_attention(q, k, v, *, return_probs=False, scale=None):
     """Plain XLA attention. q/k/v: (B, H, T, D). Returns (out, probs|None).
 
     Stable softmax (max-subtracted) in fp32 — the reference C softmax has no
     max subtraction (csrc/vit.c:215-229) which we deliberately do not copy.
+    ``scale``: override the logit scale (default 1/sqrt(head_dim)); the
+    bug-exact parity mode passes +sqrt(head_dim) (transformer.py:24).
     """
     dtype = q.dtype
     head_dim = q.shape[-1]
-    scale = 1.0 / (head_dim ** 0.5)
+    if scale is None:
+        scale = 1.0 / (head_dim ** 0.5)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -50,6 +53,7 @@ def multi_head_attention(
     impl: str = "auto",
     return_probs: bool = False,
     probs_mode: str = "full",
+    scale: float | None = None,
 ):
     """Fused multi-head self-attention over tokens.
 
@@ -72,7 +76,11 @@ def multi_head_attention(
     H = num_heads
     D = E // H
 
-    if impl == "flash":
+    if scale is not None:
+        # non-standard logit scale (bug-exact parity): the flash kernel
+        # hard-codes 1/sqrt(D) — use the XLA path
+        use_flash = False
+    elif impl == "flash":
         use_flash = True
     elif impl == "auto":
         use_flash = jax.default_backend() == "tpu" and D >= 32 and T >= 128
@@ -113,7 +121,8 @@ def multi_head_attention(
         out = flash_attention(q, k, v)
         probs = None
     else:
-        out, probs = reference_attention(q, k, v, return_probs=return_probs)
+        out, probs = reference_attention(q, k, v, return_probs=return_probs,
+                                         scale=scale)
         if probs is not None and probs_mode == "mean":
             probs = jnp.mean(probs, axis=1)
 

@@ -203,6 +203,8 @@ def patch_embed(params: Params, images, cfg: ViTConfig):
 
 
 def _use_fused_mha(cfg: ViTConfig, bp, return_probs: bool) -> bool:
+    if cfg.parity == "bug_exact":
+        return False     # kernels implement the corrected 1/sqrt(d) scale
     if return_probs or bp.get("bqkv") is not None or cfg.fuse_mha == "off":
         return False
     if cfg.fuse_mha == "on":
@@ -284,6 +286,10 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
             h, bp["wqkv"], bp.get("bqkv"), bp["wo"], bp.get("bo"),
             num_heads=cfg.num_heads, impl=cfg.attn_impl,
             return_probs=return_probs, probs_mode=probs_mode,
+            # bug_exact: logits MULTIPLIED by sqrt(head_dim)
+            # (reference transformer.py:24)
+            scale=(float(cfg.head_dim) ** 0.5
+                   if cfg.parity == "bug_exact" else None),
         )
     attn_out = dropout(attn_out, cfg.dropout, r_attn, deterministic=deterministic)
     if cfg.drop_path:
@@ -369,6 +375,34 @@ def run_blocks(blocks: Params, x, cfg: ViTConfig, *, rng=None,
     return x + pending, probs
 
 
+def _join_cls(params: Params, tokens, cfg: ViTConfig, B: int):
+    """Join the CLS token onto the patch tokens per cfg.parity.
+
+    corrected: the single (1, 1, E) CLS broadcast and PREPENDED (token 0 =
+    CLS, the notebook/C semantics). bug_exact: CLS APPENDED after the
+    patches (reference vit.py:41) — the head still reads token 0 (vit.py:80),
+    i.e. the first patch — honoring a per-batch-slot CLS (vit.py:31-33)
+    when the imported checkpoint carries one.
+    """
+    cdt = cfg.cdtype()
+    cls_p = params["cls_token"].astype(cdt)
+    E = cfg.embed_dim
+    if cfg.parity == "bug_exact":
+        if cls_p.shape[0] == 1:
+            cls = jnp.broadcast_to(cls_p, (B, 1, E))
+        elif cls_p.shape[0] == B:
+            cls = cls_p                      # per-batch-slot CLS, slot i -> row i
+        else:
+            raise ValueError(
+                f"bug_exact parity: checkpoint carries {cls_p.shape[0]} "
+                f"per-slot CLS tokens but the batch has {B} rows (the "
+                f"reference model only runs at its training batch size, "
+                f"vit.py:31-41)")
+        return jnp.concatenate([tokens, cls], axis=1)
+    cls = jnp.broadcast_to(cls_p, (B, 1, E))
+    return jnp.concatenate([cls, tokens], axis=1)
+
+
 def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
            deterministic: bool = True, return_probs: bool = False,
            probs_mode: str = "full"):
@@ -381,9 +415,7 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
     tokens = patch_embed(params, images, cfg)
     B = tokens.shape[0]
 
-    cls = jnp.broadcast_to(params["cls_token"].astype(cdt),
-                           (B, 1, cfg.embed_dim))
-    x = jnp.concatenate([cls, tokens], axis=1)          # CLS prepended
+    x = _join_cls(params, tokens, cfg, B)
     x = x + params["pos_embed"].astype(cdt)
     if rng is not None:
         rng, r = jax.random.split(rng)
@@ -457,10 +489,9 @@ def forward_with_rollout(params: Params, images, cfg: ViTConfig):
     """
     cdt = cfg.cdtype()
     tokens = patch_embed(params, images, cfg)
-    B, T, E = tokens.shape[0], cfg.seq_len, cfg.embed_dim
+    B, T = tokens.shape[0], cfg.seq_len
 
-    cls = jnp.broadcast_to(params["cls_token"].astype(cdt), (B, 1, E))
-    x = jnp.concatenate([cls, tokens], axis=1)
+    x = _join_cls(params, tokens, cfg, B)
     x = x + params["pos_embed"].astype(cdt)
 
     eye = jnp.eye(T, dtype=jnp.float32)
@@ -488,7 +519,12 @@ def forward_with_rollout(params: Params, images, cfg: ViTConfig):
         fn = params["final_norm"]
         x = layer_norm(x, fn["scale"], fn["bias"], eps=cfg.layer_norm_eps)
 
-    cls_to_patches = rollout[:, 0, 1:]
+    if cfg.parity == "bug_exact":
+        # the head reads token 0 = first patch (vit.py:80); its rollout row
+        # over the patch tokens (the appended CLS column is dropped)
+        cls_to_patches = rollout[:, 0, :-1]
+    else:
+        cls_to_patches = rollout[:, 0, 1:]
     denom = jnp.sum(cls_to_patches, axis=-1, keepdims=True)
     weights = cls_to_patches / jnp.maximum(denom, 1e-12)
     return classify(params, x, cfg), weights
