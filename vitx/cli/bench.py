@@ -56,7 +56,8 @@ def _fwd_loop_seconds(body, iters, *args):
     return (time.perf_counter() - t0) / iters
 
 
-def _train_scan_seconds(cfg, opt, state, batch, iters=10, rng=None):
+def _train_scan_seconds(cfg, opt, state, batch, iters=10, rng=None,
+                        out_shardings=None):
     raw = partial(train_step, cfg=cfg, optimizer=opt)
 
     def scan_steps(state, batch):
@@ -65,7 +66,8 @@ def _train_scan_seconds(cfg, opt, state, batch, iters=10, rng=None):
             return st, m["loss"]
         return jax.lax.scan(body, state, None, length=iters)
 
-    f = jax.jit(scan_steps, donate_argnums=(0,))
+    kw = {"out_shardings": out_shardings} if out_shardings else {}
+    f = jax.jit(scan_steps, donate_argnums=(0,), **kw)
     state, losses = f(state, batch)
     _sync(losses)
     t0 = time.perf_counter()
@@ -150,12 +152,21 @@ def bench_4():
     mesh = make_mesh(dp=n, tp=1)
     opt = make_optimizer(lr=1e-4)
     state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    # pin the scan's output state to the input shardings — inferred output
+    # shardings relayout the whole state per dispatch (131 vs 111 ms/step
+    # at dp1, measured round 3; same pinning the Trainer applies)
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+    from vitx.parallel.sharded import state_sharding
+
+    shardings = state_sharding(state, cfg, mesh)
     state = place_state(state, cfg, mesh)
     B = 128 * n
     batch = shard_batch(
         {"image": _images(jax.random.PRNGKey(1), B, 224),
          "label": jnp.zeros((B,), jnp.int32)}, mesh)
-    dt = _train_scan_seconds(cfg, opt, state, batch)
+    dt = _train_scan_seconds(
+        cfg, opt, state, batch,
+        out_shardings=(shardings, NamedSharding(mesh, _P())))
     return {"config": f"4:vit-b16-train-dp{n}", "step_ms": round(dt * 1e3, 2),
             "images_per_sec": round(B / dt, 1), "devices": n,
             "per_device_batch": 128}

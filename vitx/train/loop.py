@@ -101,9 +101,11 @@ class Trainer:
 
             self.state = place_state(self.state, cfg, mesh, tp=tp,
                                      zero1=zero1, zero3=zero3)
-            shardings = (state_sharding(self.state, cfg, mesh, tp, zero1,
-                                        zero3)
-                         if (zero1 or zero3) else None)
+            # ALWAYS pin the output state to its input shardings: left to
+            # infer, the partitioner relayouts the whole state per dispatch
+            # (measured 131 -> 111 ms/step at ViT-B b128 dp1, round 3)
+            shardings = state_sharding(self.state, cfg, mesh, tp, zero1,
+                                       zero3)
             self.train_step = train_step or make_parallel_train_step(
                 cfg, self.optimizer, mesh, tp=tp, zero1=zero1, zero3=zero3,
                 state_shardings=shardings,
