@@ -46,9 +46,12 @@ def _devloop_seconds(body, iters, *args):
             0, iters, lambda i, acc: body(acc, *args), jnp.float32(0))
 
     _sync(fn(*args))                 # compile + warm
-    t0 = time.perf_counter()
-    _sync(fn(*args))
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(3):               # min-of-3: per-dispatch tunnel jitter
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def _train_step_ms(cfg, B=128, iters=10):
@@ -229,10 +232,13 @@ def main():
     scan_jit = jax.jit(scan_steps, donate_argnums=(0,))
     state, losses = scan_jit(state, batch, srng)
     _sync(losses)                    # compile + warm
-    t0 = time.perf_counter()
-    state, losses = scan_jit(state, batch, srng)
-    _sync(losses)
-    train_ips = B_tr * 10 / (time.perf_counter() - t0)
+    best = float("inf")
+    for _ in range(3):               # min-of-3: per-dispatch tunnel jitter
+        t0 = time.perf_counter()
+        state, losses = scan_jit(state, batch, srng)
+        _sync(losses)
+        best = min(best, time.perf_counter() - t0)
+    train_ips = B_tr * 10 / best
     del step
 
     baseline_ips = 372.5               # reference GPU record, BASELINE.md

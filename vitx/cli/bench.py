@@ -43,21 +43,28 @@ def _scl(acc):
     return jnp.bfloat16(1) + jnp.bfloat16(1e-9) * acc.astype(jnp.bfloat16)
 
 
-def _fwd_loop_seconds(body, iters, *args):
-    """body(acc, *args) -> new acc; one dispatch, iters device iterations."""
+def _fwd_loop_seconds(body, iters, *args, reps=3):
+    """body(acc, *args) -> new acc; one dispatch, iters device iterations.
+
+    min-of-reps: per-DISPATCH tunnel jitter is tens of ms (ROADMAP round-3
+    timing trap), so short loops need both enough iters to amortize it AND
+    the min over repeated dispatches."""
     @jax.jit
     def fn(*args):
         return jax.lax.fori_loop(
             0, iters, lambda i, acc: body(acc, *args), jnp.float32(0))
 
     _sync(fn(*args))
-    t0 = time.perf_counter()
-    _sync(fn(*args))
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def _train_scan_seconds(cfg, opt, state, batch, iters=10, rng=None,
-                        out_shardings=None):
+                        out_shardings=None, reps=3):
     raw = partial(train_step, cfg=cfg, optimizer=opt)
 
     def scan_steps(state, batch):
@@ -70,10 +77,13 @@ def _train_scan_seconds(cfg, opt, state, batch, iters=10, rng=None,
     f = jax.jit(scan_steps, donate_argnums=(0,), **kw)
     state, losses = f(state, batch)
     _sync(losses)
-    t0 = time.perf_counter()
-    state, losses = f(state, batch)
-    _sync(losses)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, losses = f(state, batch)
+        _sync(losses)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def _images(rng, b, s, dtype=jnp.bfloat16):
@@ -88,11 +98,13 @@ def bench_1():
     def fwd_body(acc, params, x):
         return acc + jnp.mean(forward(params, x * _scl(acc), cfg))
 
-    dt_f = _fwd_loop_seconds(fwd_body, 20, params, x)
+    # tiny bodies are sub-ms: 100+ device iters or the tunnel jitter IS the
+    # measurement (the round-2 "2844 img/s" record was exactly that artifact)
+    dt_f = _fwd_loop_seconds(fwd_body, 200, params, x)
     opt = make_optimizer(lr=1e-4)
     state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
     batch = {"image": x, "label": jnp.zeros((8,), jnp.int32)}
-    dt_t = _train_scan_seconds(cfg, opt, state, batch)
+    dt_t = _train_scan_seconds(cfg, opt, state, batch, iters=100)
     return {"config": "1:vit-tiny-64", "forward_ms": round(dt_f * 1e3, 3),
             "train_step_ms": round(dt_t * 1e3, 3),
             "train_images_per_sec": round(8 / dt_t, 1)}
@@ -115,15 +127,17 @@ def bench_2():
             imgs = pre(u8, pr, train=True).astype(cfg.cdtype())
             st, m = raw(st, {"image": imgs, "label": labels}, sr)
             return (st, r), m["loss"]
-        return jax.lax.scan(body, (state, rng), None, length=10)
+        return jax.lax.scan(body, (state, rng), None, length=50)
 
     f = jax.jit(scan_steps, donate_argnums=(0,))
     carry, losses = f(state, u8, labels, jax.random.PRNGKey(1))
     _sync(losses)
-    t0 = time.perf_counter()
-    carry, losses = f(carry[0], u8, labels, jax.random.PRNGKey(2))
-    _sync(losses)
-    dt = (time.perf_counter() - t0) / 10
+    dt = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        carry, losses = f(carry[0], u8, labels, jax.random.PRNGKey(2 + rep))
+        _sync(losses)
+        dt = min(dt, (time.perf_counter() - t0) / 50)
     return {"config": "2:vit-s16-augment-train", "step_ms": round(dt * 1e3, 2),
             "images_per_sec": round(32 / dt, 1)}
 
@@ -136,7 +150,7 @@ def bench_3():
     def body(acc, params, x):
         return acc + jnp.mean(forward(params, x * _scl(acc), cfg))
 
-    dt = _fwd_loop_seconds(body, 10, params, x)
+    dt = _fwd_loop_seconds(body, 20, params, x)
     return {"config": "3:vit-b16-infer-256", "step_ms": round(dt * 1e3, 2),
             "images_per_sec": round(256 / dt, 1)}
 
@@ -187,7 +201,7 @@ def bench_5():
         logits, roll = forward_with_rollout(params, x * _scl(acc), cfg)
         return acc + jnp.mean(logits) + jnp.mean(roll).astype(jnp.float32)
 
-    dt = _fwd_loop_seconds(body, 5, params, x)
+    dt = _fwd_loop_seconds(body, 20, params, x)
     return {"config": "5:vit-l16-384-rollout", "step_ms": round(dt * 1e3, 2),
             "images_per_sec": round(B / dt, 1)}
 

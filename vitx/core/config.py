@@ -202,9 +202,12 @@ class ViTConfig:
 
 PRESETS: dict[str, ViTConfig] = {
     # BASELINE.json config 1: ViT-Tiny, 64x64, 4 classes (brain-MRI shape).
+    # remat="none": at 4 layers of (65, 64) activations the saved residuals
+    # are trivial and the backward recompute is pure overhead — measured
+    # 9835 -> 10640 img/s train at b8 (v5e-1, round 3, 100-iter scans).
     "tiny": ViTConfig(
         image_size=64, patch_size=8, num_classes=4,
-        embed_dim=64, depth=4, num_heads=4,
+        embed_dim=64, depth=4, num_heads=4, remat="none",
     ),
     # BASELINE.json config 2: ViT-Small/16 @224.
     # remat="none" + full unroll: no scan DUS-stacking of saved residuals
