@@ -502,11 +502,16 @@ def forward_with_rollout(params: Params, images, cfg: ViTConfig):
             y, pend, bp, cfg, rng=None, deterministic=True,
             return_probs=True, probs_mode="mean",
         )
-        # residual path: half attention, half identity; rows renormalized
-        aug = 0.5 * probs + 0.5 * eye
-        aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
-        rollout = jnp.einsum("bij,bjk->bik", aug, rollout,
-                             preferred_element_type=jnp.float32)
+        # residual path: half attention, half identity; rows renormalized.
+        # aug is never materialized: with M = 0.5P + 0.5I,
+        #   rownorm(M) @ R == rownorm(M @ R)  whenever R's rows sum to 1
+        # (rowsum(MR) = rowsum(M) then), which the carry maintains — so the
+        # chain is one matmul + the identity add + one renormalize, saving
+        # two (B, T, T) fp32 passes per layer vs forming aug explicitly
+        r2 = 0.5 * jnp.einsum("bij,bjk->bik", probs, rollout,
+                              preferred_element_type=jnp.float32) \
+            + 0.5 * rollout
+        rollout = r2 / jnp.sum(r2, axis=-1, keepdims=True)
         return (y, pend, rollout), None
 
     r0 = jnp.broadcast_to(eye, (B, T, T))
