@@ -438,3 +438,53 @@ def test_cli_init_from_with_ema_const_schedule(tmp_path, capsys):
     assert rc == 0
     final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(final["loss"])
+
+
+def test_steps_per_dispatch_matches_single_step_trajectory():
+    """steps_per_dispatch folds k train steps into one scanned dispatch;
+    with dropout off the parameter trajectory is identical to the 1-step
+    path over the same batches (incl. an epoch remainder < k)."""
+    import jax
+
+    from vitx.core.config import ViTConfig
+    from vitx.data import BatchLoader, SyntheticDataset
+
+    cfg = ViTConfig(image_size=16, patch_size=4, num_classes=4, embed_dim=32,
+                    depth=2, num_heads=2, compute_dtype="float32")
+    ds = SyntheticDataset(num_examples=48, image_size=16, num_classes=4)
+
+    def run(k):
+        tcfg = TrainerConfig(epochs=2, lr=1e-3, steps_per_dispatch=k,
+                             log_every=3, seed=7)
+        tr = Trainer(cfg, tcfg)
+        # 6 batches/epoch: with k=4 that is one 4-step dispatch + 2
+        # remainder steps through the single-step path
+        hist = tr.fit(BatchLoader(ds, 8, shuffle=True, seed=1,
+                                  drop_last=True))
+        return tr, hist
+
+    tr1, h1 = run(1)
+    tr4, h4 = run(4)
+    assert int(tr1.state.step) == int(tr4.state.step) == 12
+    for a, b in zip(jax.tree.leaves(jax.device_get(tr1.state.params)),
+                    jax.tree.leaves(jax.device_get(tr4.state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(h1[-1]["epoch_loss_sum"],
+                               h4[-1]["epoch_loss_sum"], rtol=1e-4)
+
+
+def test_steps_per_dispatch_rejects_mesh():
+    import jax
+    import pytest
+
+    from vitx.core.config import ViTConfig
+    from vitx.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 device")
+    cfg = ViTConfig(image_size=16, patch_size=4, num_classes=4, embed_dim=32,
+                    depth=1, num_heads=2, compute_dtype="float32")
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        Trainer(cfg, TrainerConfig(epochs=1, steps_per_dispatch=4),
+                mesh=make_mesh(dp=2, tp=1))

@@ -60,6 +60,10 @@ def build_argparser():
                    help="EMA of params (shadow in opt_state); eval uses it")
     p.add_argument("--progress", action="store_true",
                    help="per-flush in-epoch progress line")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="fold k train steps into one device dispatch "
+                        "(amortizes host/tunnel overhead for small models; "
+                        "single-device only)")
     # scale-out: shard over all visible devices
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel size (default: single device)")
@@ -154,7 +158,8 @@ def main(argv=None):
         mixup_alpha=args.mixup_alpha, progress=args.progress,
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
         eval_every=args.eval_every, log_every=args.log_every,
-        ema_decay=args.ema_decay, seed=args.seed)
+        ema_decay=args.ema_decay, seed=args.seed,
+        steps_per_dispatch=args.steps_per_dispatch)
     mesh = None
     if args.dp is not None:
         from vitx.parallel import make_mesh
