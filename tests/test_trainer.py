@@ -347,6 +347,32 @@ def test_cli_ema_flag(tmp_path, capsys):
     assert np.isfinite(final["loss"])
 
 
+def test_cli_accum_steps(tmp_path, capsys):
+    """--accum-steps k: the optimizer updates every k micro-batches
+    (optax.MultiSteps). The checkpoint records the chain shape so
+    restore_eval_params rebuilds a structure-matched template."""
+    import jax
+
+    from vitx.cli.train import main
+    from vitx.train.checkpoint import peek_meta, restore_eval_params
+
+    rc = main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "16", "--lr", "1e-3", "--compute-dtype", "float32",
+        "--accum-steps", "2", "--checkpoint-dir", str(tmp_path / "c"),
+    ])
+    assert rc == 0
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(final["loss"])
+    saved = peek_meta(tmp_path / "c")
+    assert saved.get("accum_steps") == 2
+    cfg = ViTConfig.from_json(json.dumps(saved["config"]))
+    params, meta = restore_eval_params(tmp_path / "c", cfg)
+    assert params is not None and meta.get("accum_steps") == 2
+    leaf = np.asarray(jax.tree_util.tree_leaves(params)[0])
+    assert np.all(np.isfinite(leaf))
+
+
 def test_cli_eval_predict_output(tmp_path, capsys):
     """--predict writes one JSON line per (unpadded) eval example with the
     argmax class and its probability."""

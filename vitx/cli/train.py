@@ -52,6 +52,9 @@ def build_argparser():
     p.add_argument("--drop-path", type=float, default=0.0,
                    help="max stochastic-depth rate (linear over depth)")
     p.add_argument("--grad-clip", type=float, default=None)
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="average grads over k micro-batches per optimizer "
+                        "update (effective batch = k * batch-size)")
     p.add_argument("--schedule", default="const", choices=["const", "cosine"],
                    help="lr schedule: constant (reference semantics) or "
                         "linear-warmup + cosine decay over the full run")
@@ -127,7 +130,7 @@ def main(argv=None):
         optimizer = make_optimizer(
             schedule=warmup_cosine(args.lr, total_steps, args.warmup_steps),
             weight_decay=args.weight_decay, grad_clip=args.grad_clip,
-            ema_decay=args.ema_decay)
+            ema_decay=args.ema_decay, accum_steps=args.accum_steps)
 
     init_state = None
     if args.init_from:
@@ -148,7 +151,8 @@ def main(argv=None):
         if optimizer is None:
             optimizer = make_optimizer(
                 lr=args.lr, weight_decay=args.weight_decay,
-                grad_clip=args.grad_clip, ema_decay=args.ema_decay)
+                grad_clip=args.grad_clip, ema_decay=args.ema_decay,
+                accum_steps=args.accum_steps)
         init_state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=optimizer.init(params))
 
@@ -159,7 +163,8 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
         eval_every=args.eval_every, log_every=args.log_every,
         ema_decay=args.ema_decay, seed=args.seed,
-        steps_per_dispatch=args.steps_per_dispatch)
+        steps_per_dispatch=args.steps_per_dispatch,
+        accum_steps=args.accum_steps)
     mesh = None
     if args.dp is not None:
         from vitx.parallel import make_mesh

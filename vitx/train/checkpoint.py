@@ -198,6 +198,8 @@ def restore_eval_params(path_or_dir, cfg):
                                  make_optimizer)
 
     path = pathlib.Path(path_or_dir)
+    if not path.exists():
+        return None, None
     if path.is_dir() and not path.suffix.endswith("orbax"):
         latest = find_latest(path)
         if latest is None:
@@ -217,13 +219,19 @@ def restore_eval_params(path_or_dir, cfg):
         # legacy checkpoint: probe by leaf count — the EMA chain link adds
         # exactly one shadow leaf per param leaf at the END of the flat order
         n_saved = _npz_leaf_count(path)
-        plain = create_train_state(_jax.random.PRNGKey(0), cfg,
-                                   make_optimizer())
+        # the accumulation chain (optax.MultiSteps) also adds leaves — build
+        # the probe baseline with the recorded accum_steps so it only trips
+        # on the EMA shadow's extra per-param leaves
+        plain = create_train_state(
+            _jax.random.PRNGKey(0), cfg,
+            make_optimizer(accum_steps=meta.get("accum_steps", 1)))
         if n_saved is not None and \
                 n_saved > len(_jax.tree_util.tree_leaves(plain)):
             ema_decay = 0.999    # value is irrelevant for structure
     template = create_train_state(
-        _jax.random.PRNGKey(0), cfg, make_optimizer(ema_decay=ema_decay))
+        _jax.random.PRNGKey(0), cfg,
+        make_optimizer(ema_decay=ema_decay,
+                       accum_steps=meta.get("accum_steps", 1)))
     state, meta = restore_checkpoint(path, template)
     ema = get_ema_params(state.opt_state)
     return (ema if ema is not None else state.params), meta

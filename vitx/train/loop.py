@@ -61,6 +61,11 @@ class TrainerConfig:
     # compute per step); k=8-32 amortizes it. Single-device only (mesh runs
     # are compute-bound); the epoch remainder runs through the 1-step path.
     steps_per_dispatch: int = 1
+    # Gradient accumulation: average grads over k micro-batches before each
+    # optimizer update (optax.MultiSteps) — effective batch = k × batch_size
+    # without k× activation memory. Composes with dp meshes (per-device
+    # micro-batches) and remat for batch sizes past HBM.
+    accum_steps: int = 1
     seed: int = 0
 
 
@@ -92,7 +97,8 @@ class Trainer:
         self.optimizer = optimizer if optimizer is not None else \
             make_optimizer(lr=tcfg.lr, weight_decay=tcfg.weight_decay,
                            grad_clip=tcfg.grad_clip,
-                           ema_decay=tcfg.ema_decay)
+                           ema_decay=tcfg.ema_decay,
+                           accum_steps=tcfg.accum_steps)
         rng = jax.random.PRNGKey(tcfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.state = (init_state if init_state is not None
@@ -302,6 +308,8 @@ class Trainer:
                         # consumers (eval/serve) rebuild a structure-matched
                         # optimizer template and prefer the EMA shadow
                         meta["ema_decay"] = tcfg.ema_decay
+                    if tcfg.accum_steps > 1:
+                        meta["accum_steps"] = tcfg.accum_steps
                     if self._preempted:
                         # epoch was cut short — resume must re-run it
                         meta["partial"] = True
