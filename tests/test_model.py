@@ -277,6 +277,60 @@ def test_mixup_and_recipe_train_step():
                                   np.asarray(m3["loss"]))
 
 
+def test_cutmix_weight_map_properties():
+    """CutMix map is binary (patch REPLACEMENT, not blending), the zero
+    region is one contiguous rectangle, and the mixup-only map is constant —
+    so mean(map) is the exact target mixing coefficient for both modes."""
+    from vitx.train.step import _mix_weight_map
+
+    shape = (8, 32, 48, 3)
+    w = np.asarray(_mix_weight_map(jax.random.PRNGKey(3), shape, None, 1.0))
+    assert w.shape == (1, 32, 48, 1)
+    assert set(np.unique(w)) <= {0.0, 1.0}
+    # zero region is a rectangle: row/col projections of the cut are
+    # contiguous runs and the cut count factorizes
+    cut = 1.0 - w[0, :, :, 0]
+    rows, cols = np.flatnonzero(cut.sum(1)), np.flatnonzero(cut.sum(0))
+    if rows.size:                       # lam≈1 can produce an empty box
+        assert np.array_equal(rows, np.arange(rows[0], rows[-1] + 1))
+        assert np.array_equal(cols, np.arange(cols[0], cols[-1] + 1))
+        assert cut.sum() == rows.size * cols.size
+    # mixup-only: constant map with a Beta sample
+    w_mix = np.asarray(
+        _mix_weight_map(jax.random.PRNGKey(4), shape, 0.2, None))
+    assert np.unique(w_mix).size == 1 and 0.0 <= float(w_mix[0, 0, 0, 0]) <= 1.0
+    # both enabled: the 50/50 switch picks one of the two forms
+    w_both = np.asarray(
+        _mix_weight_map(jax.random.PRNGKey(5), shape, 0.2, 1.0))
+    assert (np.unique(w_both).size == 1
+            or set(np.unique(w_both)) <= {0.0, 1.0})
+
+
+def test_cutmix_train_step():
+    """Training with cutmix (and the mixup+cutmix switch) runs, decreases
+    loss, and is rng-deterministic."""
+    cfg = TINY
+    opt = make_optimizer(lr=3e-3)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = make_train_step(cfg, opt, mixup_alpha=0.2, cutmix_alpha=1.0)
+    rng = jax.random.PRNGKey(1)
+    batch = _batch(0, TINY, batch=8)
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch, rng)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    state2 = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    for _ in range(3):
+        state2, m2 = step(state2, batch, rng)
+    state3 = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    for _ in range(3):
+        state3, m3 = step(state3, batch, rng)
+    np.testing.assert_array_equal(np.asarray(m2["loss"]),
+                                  np.asarray(m3["loss"]))
+
+
 def test_drop_path_identity_in_eval_and_active_in_train():
     from vitx.nn.layers import drop_path
 

@@ -49,6 +49,9 @@ def build_argparser():
     # DeiT-style recipe knobs
     p.add_argument("--label-smoothing", type=float, default=0.0)
     p.add_argument("--mixup-alpha", type=float, default=None)
+    p.add_argument("--cutmix-alpha", type=float, default=None,
+                   help="CutMix Beta(a,a) patch mixing; with --mixup-alpha "
+                        "the two alternate 50/50 per batch (DeiT recipe)")
     p.add_argument("--drop-path", type=float, default=0.0,
                    help="max stochastic-depth rate (linear over depth)")
     p.add_argument("--grad-clip", type=float, default=None)
@@ -159,7 +162,8 @@ def main(argv=None):
     tcfg = TrainerConfig(
         epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,
         grad_clip=args.grad_clip, label_smoothing=args.label_smoothing,
-        mixup_alpha=args.mixup_alpha, progress=args.progress,
+        mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
+        progress=args.progress,
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
         eval_every=args.eval_every, log_every=args.log_every,
         ema_decay=args.ema_decay, seed=args.seed,

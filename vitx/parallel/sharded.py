@@ -226,7 +226,8 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                              tp: bool = False, zero1: bool = False,
                              zero3: bool = False, state_shardings=None,
                              label_smoothing: float = 0.0,
-                             mixup_alpha: float | None = None):
+                             mixup_alpha: float | None = None,
+                             cutmix_alpha: float | None = None):
     """Jitted SPMD train step. State donated; grads psum over ``data``.
 
     Shardings are inferred from the placed inputs (pjit committed-input
@@ -237,7 +238,7 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
     cfg = tp_safe_cfg(cfg, tp)
     step_fn = partial(train_step, cfg=cfg, optimizer=optimizer,
                       label_smoothing=label_smoothing,
-                      mixup_alpha=mixup_alpha)
+                      mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha)
 
     def wrapped(state, batch, rng):
         return step_fn(state, batch, rng)

@@ -40,6 +40,7 @@ class TrainerConfig:
     # DeiT-style recipe knobs (vitx/train/step.py::loss_fn)
     label_smoothing: float = 0.0
     mixup_alpha: float | None = None
+    cutmix_alpha: float | None = None
     log_every: int = 50               # steps between scalar flushes
     checkpoint_dir: str | None = None
     log_dir: str | None = None
@@ -122,7 +123,8 @@ class Trainer:
                 cfg, self.optimizer, mesh, tp=tp, zero1=zero1, zero3=zero3,
                 state_shardings=shardings,
                 label_smoothing=tcfg.label_smoothing,
-                mixup_alpha=tcfg.mixup_alpha)
+                mixup_alpha=tcfg.mixup_alpha,
+                cutmix_alpha=tcfg.cutmix_alpha)
             self.eval_step = eval_step or make_parallel_eval_step(cfg, mesh,
                                                                   tp=tp)
         else:
@@ -130,7 +132,8 @@ class Trainer:
                                or make_train_step(
                                    cfg, self.optimizer,
                                    label_smoothing=tcfg.label_smoothing,
-                                   mixup_alpha=tcfg.mixup_alpha))
+                                   mixup_alpha=tcfg.mixup_alpha,
+                                   cutmix_alpha=tcfg.cutmix_alpha))
             self.eval_step = eval_step or make_eval_step(cfg)
         self.preprocess = preprocess
         if tcfg.steps_per_dispatch > 1 and mesh is not None:
@@ -199,7 +202,8 @@ class Trainer:
         tcfg = self.tcfg
         raw = partial(_train_step, cfg=self.cfg, optimizer=self.optimizer,
                       label_smoothing=tcfg.label_smoothing,
-                      mixup_alpha=tcfg.mixup_alpha)
+                      mixup_alpha=tcfg.mixup_alpha,
+                      cutmix_alpha=tcfg.cutmix_alpha)
         pre = self.preprocess
 
         def multi(state, batches, rng):

@@ -150,12 +150,54 @@ def cross_entropy_loss(logits, labels, mask=None, label_smoothing=0.0):
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def _cutmix_weight_map(rng, height, width, alpha):
+    """Per-pixel keep-weight map for CutMix (Yun et al. 2019): 1 outside a
+    random rectangle of expected area ``1 - Beta(alpha, alpha)``, 0 inside.
+    The box is clipped at the borders; the caller recovers the EXACT mixing
+    ratio as ``mean(map)`` (pixel-exact, as the paper's lambda adjustment)."""
+    k_lam, k_x, k_y = jax.random.split(rng, 3)
+    lam = jax.random.beta(k_lam, alpha, alpha)
+    cut = jnp.sqrt(1.0 - lam)
+    cy = jax.random.uniform(k_y, (), minval=0.0, maxval=float(height))
+    cx = jax.random.uniform(k_x, (), minval=0.0, maxval=float(width))
+    y0, y1 = cy - cut * height / 2, cy + cut * height / 2
+    x0, x1 = cx - cut * width / 2, cx + cut * width / 2
+    rows = jnp.arange(height, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(width, dtype=jnp.float32)[None, :]
+    inside = ((rows >= y0) & (rows < y1) & (cols >= x0) & (cols < x1))
+    return 1.0 - inside.astype(jnp.float32)[None, :, :, None]
+
+
+def _mix_weight_map(rng, image_shape, mixup_alpha, cutmix_alpha):
+    """(1, H, W, 1) keep-weight map for input/target mixing.
+
+    mixup only  -> constant Beta(a, a) map; cutmix only -> box map; both ->
+    a 50/50 per-batch switch (the DeiT ``mixup_switch_prob`` recipe). The
+    target mix coefficient is always ``mean(map)`` — exact for both modes.
+    """
+    _, height, width, _ = image_shape
+    k_mix, k_cut, k_sw = jax.random.split(rng, 3)
+    if mixup_alpha and cutmix_alpha:
+        w_mix = jnp.full((1, height, width, 1),
+                         jax.random.beta(k_mix, mixup_alpha, mixup_alpha))
+        w_cut = _cutmix_weight_map(k_cut, height, width, cutmix_alpha)
+        return jnp.where(jax.random.bernoulli(k_sw), w_cut, w_mix)
+    if cutmix_alpha:
+        return _cutmix_weight_map(k_cut, height, width, cutmix_alpha)
+    return jnp.full((1, height, width, 1),
+                    jax.random.beta(k_mix, mixup_alpha, mixup_alpha))
+
+
 def loss_fn(params, batch, cfg: ViTConfig, rng, *,
-            label_smoothing: float = 0.0, mixup_alpha: float | None = None):
-    """Training loss. ``label_smoothing`` / ``mixup_alpha`` implement the
-    DeiT-style recipe knobs (mixup: Zhang et al. 2018 — convex input/target
-    mixing with Beta(alpha, alpha) weights; needs ``rng``; pair with
-    drop_last loaders so padded rows are never mixed into real ones)."""
+            label_smoothing: float = 0.0, mixup_alpha: float | None = None,
+            cutmix_alpha: float | None = None):
+    """Training loss. ``label_smoothing`` / ``mixup_alpha`` /
+    ``cutmix_alpha`` implement the DeiT-style recipe knobs (mixup: Zhang et
+    al. 2018 — convex input/target mixing with Beta(alpha, alpha) weights;
+    cutmix: Yun et al. 2019 — rectangular patch replacement with pixel-exact
+    target reweighting; both enabled -> 50/50 per-batch switch). All need
+    ``rng``; pair with drop_last loaders so padded rows are never mixed into
+    real ones."""
     if cfg.fuse_mlp == "auto":
         # measured (round 2, v5e): the fused MLP kernel wins on inference
         # (no LN/bias/act HBM seams) but its M=T per-item matmuls pay ~30%
@@ -164,12 +206,13 @@ def loss_fn(params, batch, cfg: ViTConfig, rng, *,
         cfg = cfg.replace(fuse_mlp="off")
     image = batch["image"]
     mask = batch.get("mask")
-    if mixup_alpha and rng is not None:
-        rng, k_perm, k_lam = jax.random.split(rng, 3)
+    if (mixup_alpha or cutmix_alpha) and rng is not None:
+        rng, k_perm, k_mix = jax.random.split(rng, 3)
         perm = jax.random.permutation(k_perm, image.shape[0])
-        lam = jax.random.beta(k_lam, mixup_alpha, mixup_alpha)
-        image = (lam * image.astype(jnp.float32)
-                 + (1.0 - lam) * image[perm].astype(jnp.float32)
+        w = _mix_weight_map(k_mix, image.shape, mixup_alpha, cutmix_alpha)
+        lam = jnp.mean(w)
+        image = (w * image.astype(jnp.float32)
+                 + (1.0 - w) * image[perm].astype(jnp.float32)
                  ).astype(image.dtype)
         logits = forward(params, image, cfg, rng=rng, deterministic=False)
         loss = (lam * cross_entropy_loss(
@@ -185,12 +228,14 @@ def loss_fn(params, batch, cfg: ViTConfig, rng, *,
 
 def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
                label_smoothing: float = 0.0,
-               mixup_alpha: float | None = None):
+               mixup_alpha: float | None = None,
+               cutmix_alpha: float | None = None):
     """One SGD step. batch: {"image": (B,H,W,C), "label": (B,)}."""
     step_rng = jax.random.fold_in(rng, state.step) if rng is not None else None
     grad_fn = jax.value_and_grad(
         partial(loss_fn, label_smoothing=label_smoothing,
-                mixup_alpha=mixup_alpha), has_aux=True)
+                mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha),
+        has_aux=True)
     (loss, logits), grads = grad_fn(state.params, batch, cfg, step_rng)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     if getattr(optimizer, "returns_new_params", False):
@@ -237,11 +282,13 @@ def eval_step(params, batch, *, cfg: ViTConfig):
 
 def make_train_step(cfg: ViTConfig, optimizer, *,
                     label_smoothing: float = 0.0,
-                    mixup_alpha: float | None = None):
+                    mixup_alpha: float | None = None,
+                    cutmix_alpha: float | None = None):
     """Jitted train step with the state donated (in-place on device)."""
     return jax.jit(
         partial(train_step, cfg=cfg, optimizer=optimizer,
-                label_smoothing=label_smoothing, mixup_alpha=mixup_alpha),
+                label_smoothing=label_smoothing, mixup_alpha=mixup_alpha,
+                cutmix_alpha=cutmix_alpha),
         donate_argnums=(0,),
     )
 
