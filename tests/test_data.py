@@ -215,3 +215,82 @@ def test_full_scale_crop_approximates_resize():
     # aspect still samples in [3/4, 4/3]; only compare the scale of values
     assert out.shape == ref.shape
     assert abs(out.mean() - ref.mean()) < 0.05
+
+
+def test_randaugment_ops_unit():
+    """Building blocks: identity warp is exact; invert/solarize/posterize
+    color ops match their closed forms; ops select per sample."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitx.data.randaugment import _color_ops, _warp
+
+    img = jnp.asarray(np.random.default_rng(0).random((12, 10, 3)),
+                      jnp.float32)
+    ident = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(_warp(img, ident)),
+                               np.asarray(img), atol=1e-6)
+    # translate by +2 px in x: output col c reads input col c+2
+    trans = jnp.array([[1.0, 0.0, 2.0], [0.0, 1.0, 0.0]])
+    w = np.asarray(_warp(img, trans))
+    np.testing.assert_allclose(w[:, :-2], np.asarray(img)[:, 2:], atol=1e-5)
+
+    x = jnp.asarray(np.random.default_rng(1).random((4, 8, 8, 3)),
+                    jnp.float32)
+    # per-sample op selection: sample 0 invert (op 12), others identity (0)
+    ops = jnp.array([12, 0, 0, 0])
+    mag = jnp.array([1.0, 1.0, 1.0, 1.0])
+    out = np.asarray(_color_ops(x, ops, mag))
+    np.testing.assert_allclose(out[0], 1.0 - np.asarray(x)[0], atol=1e-6)
+    np.testing.assert_allclose(out[1:], np.asarray(x)[1:], atol=1e-6)
+    # solarize (op 10) at |mag|=0.5: values >= 0.5 inverted
+    out = np.asarray(_color_ops(x, jnp.full((4,), 10), 0.5 * mag))
+    xs = np.asarray(x)
+    np.testing.assert_allclose(out, np.where(xs >= 0.5, 1.0 - xs, xs),
+                               atol=1e-6)
+    # posterize (op 9) at |mag|=1 keeps 4 bits -> at most 16 distinct levels
+    out = np.asarray(_color_ops(x, jnp.full((4,), 9), 1.0 * mag))
+    assert np.unique(np.round(out * 15.0)).size <= 16
+    np.testing.assert_allclose(out, np.round(xs * 15.0) / 15.0, atol=1e-6)
+
+
+def test_randaugment_batch_and_pipeline():
+    """rand_augment: shape/range preserved, rng-deterministic, per-sample
+    variation; preprocess integration leaves the eval path untouched."""
+    import jax
+
+    from vitx.data.randaugment import rand_augment, random_erasing
+
+    x = np.random.default_rng(2).random((6, 16, 16, 3)).astype(np.float32)
+    out = np.asarray(rand_augment(jax.numpy.asarray(x),
+                                  jax.random.PRNGKey(0)))
+    assert out.shape == x.shape and np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    out2 = np.asarray(rand_augment(jax.numpy.asarray(x),
+                                   jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(out, out2)
+    # identical rows augmented differently (per-sample op draw)
+    same = np.repeat(x[:1], 6, axis=0)
+    outs = np.asarray(rand_augment(jax.numpy.asarray(same),
+                                   jax.random.PRNGKey(3)))
+    assert any(not np.array_equal(outs[0], outs[i]) for i in range(1, 6))
+
+    # random erasing: prob=0 is identity; prob=1 erases a rectangle per row
+    xe = jax.numpy.asarray(x)
+    np.testing.assert_array_equal(
+        np.asarray(random_erasing(xe, jax.random.PRNGKey(0), prob=0.0)), x)
+    er = np.asarray(random_erasing(xe, jax.random.PRNGKey(1), prob=1.0))
+    changed = (er != x).any(axis=-1)            # (B, H, W)
+    assert changed.any(axis=(1, 2)).all()       # every row has an erase box
+    assert (~changed).any(axis=(1, 2)).all()    # ...but never the full image
+
+    # pipeline integration: train path applies, eval path is unchanged
+    pre = make_preprocess(out_size=16, mean=None, random_flip=False,
+                          randaug_layers=2, random_erase=0.5)
+    u8 = np.random.default_rng(3).integers(0, 255, (4, 16, 16, 3), np.uint8)
+    t = np.asarray(pre(u8, jax.random.PRNGKey(0), train=True))
+    assert t.shape == (4, 16, 16, 3) and np.isfinite(t).all()
+    plain = make_preprocess(out_size=16, mean=None, random_flip=False)
+    np.testing.assert_allclose(
+        np.asarray(pre(u8, jax.random.PRNGKey(0), train=False)),
+        np.asarray(plain(u8, jax.random.PRNGKey(0), train=False)), rtol=1e-6)

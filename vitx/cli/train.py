@@ -41,6 +41,13 @@ def build_argparser():
                    help="per-sample random-resized crop (device-resident)")
     p.add_argument("--color-jitter", type=float, default=None,
                    help="brightness/contrast/saturation jitter strength")
+    p.add_argument("--randaug", type=float, default=None, metavar="M",
+                   help="RandAugment magnitude (timm rand-mM-n2), "
+                        "device-resident")
+    p.add_argument("--randaug-layers", type=int, default=2,
+                   help="RandAugment ops per sample (with --randaug)")
+    p.add_argument("--random-erase", type=float, default=None, metavar="P",
+                   help="random-erasing probability (timm pixel mode)")
     p.add_argument("--init-from", default=None,
                    help="npz pytree to initialize params from (e.g. a "
                         "vitx.cli.pretrain --export-vit MAE encoder)")
@@ -120,7 +127,12 @@ def main(argv=None):
         std=None if args.no_augment else (0.5, 0.5, 0.5),
         random_flip=not args.no_augment,
         random_crop=args.random_crop and not args.no_augment,
-        color_jitter=None if args.no_augment else args.color_jitter)
+        color_jitter=None if args.no_augment else args.color_jitter,
+        randaug_layers=(args.randaug_layers
+                        if args.randaug is not None
+                        and not args.no_augment else 0),
+        randaug_magnitude=args.randaug if args.randaug is not None else 9.0,
+        random_erase=None if args.no_augment else args.random_erase)
 
     if args.drop_path:
         cfg = cfg.replace(drop_path=args.drop_path)

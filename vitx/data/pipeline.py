@@ -72,7 +72,9 @@ def _color_jitter(x, rng, strength: float):
 def preprocess(images_u8, rng, *, out_size: int | None, mean, std,
                random_flip: bool, train: bool,
                random_crop: bool = False, crop_scale=(0.6, 1.0),
-               crop_ratio=(3 / 4, 4 / 3), color_jitter: float | None = None):
+               crop_ratio=(3 / 4, 4 / 3), color_jitter: float | None = None,
+               randaug_layers: int = 0, randaug_magnitude: float = 9.0,
+               random_erase: float | None = None):
     """(B, H, W, C) uint8 -> (B, S, S, C) float32 on device."""
     x = images_u8.astype(jnp.float32) / 255.0
     B, _, _, C = images_u8.shape
@@ -85,29 +87,45 @@ def preprocess(images_u8, rng, *, out_size: int | None, mean, std,
     if train and color_jitter:
         rng, k = jax.random.split(rng)
         x = _color_jitter(x, k, color_jitter)
+    if train and randaug_layers:
+        from vitx.data.randaugment import rand_augment
+        rng, k = jax.random.split(rng)
+        x = rand_augment(x, k, num_layers=randaug_layers,
+                         magnitude=randaug_magnitude)
     if mean is not None:
         x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
     if train and random_flip:
-        flip = jax.random.bernoulli(rng, 0.5, (x.shape[0], 1, 1, 1))
+        rng, k = jax.random.split(rng)
+        flip = jax.random.bernoulli(k, 0.5, (x.shape[0], 1, 1, 1))
         x = jnp.where(flip, x[:, :, ::-1, :], x)
+    if train and random_erase:
+        from vitx.data.randaugment import random_erasing
+        rng, k = jax.random.split(rng)
+        x = random_erasing(x, k, prob=random_erase)
     return x
 
 
 def make_preprocess(*, out_size: int | None = None, mean=IMAGENET_MEAN,
                     std=IMAGENET_STD, random_flip: bool = True,
                     random_crop: bool = False, crop_scale=(0.6, 1.0),
-                    color_jitter: float | None = None):
+                    color_jitter: float | None = None,
+                    randaug_layers: int = 0, randaug_magnitude: float = 9.0,
+                    random_erase: float | None = None):
     """Build jitted (images_u8, rng, train) -> float images.
 
     ``mean=None`` disables normalization (reference parity — the reference
     applies none, SURVEY §2.6 / train.py:151-155). ``random_crop`` /
-    ``color_jitter`` add the standard ViT train-time augmentations, all
-    device-resident (train=True only; eval takes the plain resize path).
+    ``color_jitter`` / ``randaug_layers`` (RandAugment, timm ``rand-mM-nN``
+    semantics) / ``random_erase`` add the standard ViT train-time
+    augmentations, all device-resident (train=True only; eval takes the
+    plain resize path).
     """
     fn = partial(preprocess, out_size=out_size, mean=mean,
                  std=None if mean is None else std, random_flip=random_flip,
                  random_crop=random_crop, crop_scale=tuple(crop_scale),
-                 color_jitter=color_jitter)
+                 color_jitter=color_jitter, randaug_layers=randaug_layers,
+                 randaug_magnitude=randaug_magnitude,
+                 random_erase=random_erase)
     return jax.jit(fn, static_argnames=("train",))
 
 

@@ -1,0 +1,190 @@
+"""Device-resident RandAugment (Cubuk et al. 2020) for TPU input pipelines.
+
+The reference preprocesses on the host with torchvision transforms
+(``src/train.py:151-162``); timm-style ViT recipes add RandAugment there as
+PIL ops on the CPU workers. On TPU the same policy is expressed as pure XLA
+ops on the whole uint8->float batch so it fuses into the first device
+computation and never touches the host:
+
+- every GEOMETRIC op (rotate, shear-x/y, translate-x/y) is a 2x3 affine;
+  per sample we build the matrix for the chosen op (identity when a color op
+  was drawn) and run ONE bilinear warp per round — a batched gather, not a
+  per-op resample;
+- every COLOR op (brightness, saturation, contrast, sharpness, posterize,
+  solarize, autocontrast, invert) is a cheap elementwise/reduce pass applied
+  through a per-sample select mask, so the batch stays a single static-shape
+  program with no data-dependent control flow.
+
+Magnitude semantics follow timm's ``rand-m{M}-n{N}`` scale (M in [0, 10],
+signed ops flip direction with probability 1/2). Inputs and outputs are
+float images in [0, 1]; geometric fill value is mid-gray (0.5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# op indices: 0..4 geometric, 5..12 color
+_OPS = ("identity", "rotate", "shear_x", "shear_y", "translate",
+        "brightness", "saturation", "contrast", "sharpness",
+        "posterize", "solarize", "autocontrast", "invert")
+_N_OPS = len(_OPS)
+_FILL = 0.5
+
+
+def _affine_params(op, mag_signed, height, width):
+    """Per-sample 2x3 output->input affine for the geometric ops.
+
+    ``op``: scalar int index; ``mag_signed``: scalar in [-1, 1] (m/10 with a
+    random sign). Rotation ±30 deg, shear ±0.3, translation ±0.45 * size at
+    full magnitude (timm's increasing-with-M ranges).
+    """
+    theta = mag_signed * (30.0 * jnp.pi / 180.0)
+    shear = mag_signed * 0.3
+    tx = mag_signed * 0.45 * width
+    ty = mag_signed * 0.45 * height
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    one, zero = jnp.ones_like(theta), jnp.zeros_like(theta)
+
+    def mat(row_x, row_y):
+        return jnp.stack([jnp.stack(row_x), jnp.stack(row_y)])
+
+    mats = jnp.stack([
+        mat([one, zero, zero], [zero, one, zero]),    # identity
+        mat([c, -s, zero], [s, c, zero]),             # rotate
+        mat([one, shear, zero], [zero, one, zero]),   # shear_x
+        mat([one, zero, zero], [shear, one, zero]),   # shear_y
+        mat([one, zero, tx], [zero, one, ty]),        # translate
+    ])
+    idx = jnp.where(op < 5, op, 0)    # color ops -> identity matrix
+    return mats[idx]
+
+
+def _warp(img, mat):
+    """Bilinear warp of one (H, W, C) image by an output->input 2x3 affine
+    about the image center; out-of-bounds reads fill with mid-gray."""
+    height, width, _ = img.shape
+    yy, xx = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                          jnp.arange(width, dtype=jnp.float32),
+                          indexing="ij")
+    cy, cx = (height - 1) / 2.0, (width - 1) / 2.0
+    # map output pixel -> input pixel (inverse warp), centered
+    src_y = mat[1, 0] * (xx - cx) + mat[1, 1] * (yy - cy) + mat[1, 2] + cy
+    src_x = mat[0, 0] * (xx - cx) + mat[0, 1] * (yy - cy) + mat[0, 2] + cx
+    oob = ((src_y < 0) | (src_y > height - 1)
+           | (src_x < 0) | (src_x > width - 1))[..., None]
+    coords = jnp.stack([src_y, src_x])
+    warped = jax.vmap(
+        lambda ch: jax.scipy.ndimage.map_coordinates(
+            ch, coords, order=1, mode="nearest"),
+        in_axes=-1, out_axes=-1)(img)
+    return jnp.where(oob, _FILL, warped)
+
+
+def _blend(a, b, factor):
+    """PIL.ImageEnhance semantics: factor 0 -> a (degenerate), 1 -> b."""
+    return a + factor * (b - a)
+
+
+def _color_ops(x, op, mag_signed):
+    """Masked elementwise chain: apply the selected color op per sample.
+
+    ``x``: (B, H, W, C) in [0, 1]; ``op``: (B,) int; ``mag_signed``: (B,)
+    in [-1, 1]. Each candidate transform is computed batch-wide (cheap
+    elementwise/reduce work) and selected per sample — no dynamic control
+    flow, everything fuses.
+    """
+    bsel = lambda i: (op == i)[:, None, None, None]
+    factor = (1.0 + 0.9 * mag_signed)[:, None, None, None]  # enhance ops
+    mag = jnp.abs(mag_signed)[:, None, None, None]
+
+    out = x
+    # brightness / saturation / contrast / sharpness (ImageEnhance family)
+    out = jnp.where(bsel(5), _blend(jnp.zeros_like(x), x, factor), out)
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    out = jnp.where(bsel(6), _blend(gray, x, factor), out)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    out = jnp.where(bsel(7), _blend(mean, x, factor), out)
+    # sharpness: blend with a 3x3 smoothing (PIL's SMOOTH kernel)
+    kernel = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]])
+    kernel = (kernel / 13.0)[:, :, None, None]
+    nchw = jnp.moveaxis(x, -1, 1)
+    blur = jax.lax.conv_general_dilated(
+        nchw.reshape((-1, 1) + nchw.shape[2:]), kernel,
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"))
+    blur = jnp.moveaxis(blur.reshape(nchw.shape), 1, -1)
+    out = jnp.where(bsel(8), _blend(blur, x, factor), out)
+    # posterize: keep 8 - round(4 * m) high bits (timm increasing range)
+    bits = jnp.round(8.0 - 4.0 * mag)
+    levels = jnp.exp2(bits)
+    out = jnp.where(bsel(9),
+                    jnp.floor(x * (levels - 1.0) + 0.5) / (levels - 1.0),
+                    out)
+    # solarize: invert pixels above threshold 1 - m
+    out = jnp.where(bsel(10), jnp.where(x >= 1.0 - mag, 1.0 - x, x), out)
+    # autocontrast: per-image per-channel min/max stretch
+    lo = jnp.min(x, axis=(1, 2), keepdims=True)
+    hi = jnp.max(x, axis=(1, 2), keepdims=True)
+    stretched = (x - lo) / jnp.maximum(hi - lo, 1e-6)
+    out = jnp.where(bsel(11), jnp.where(hi > lo, stretched, x), out)
+    out = jnp.where(bsel(12), 1.0 - x, out)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def rand_augment(x, rng, *, num_layers: int = 2, magnitude: float = 9.0,
+                 mag_std: float = 0.5):
+    """Apply RandAugment to a (B, H, W, C) float [0,1] batch on device.
+
+    Per sample and per layer: draw one of the 13 ops uniformly, a magnitude
+    ``~N(magnitude, mag_std)`` clipped to [0, 10] (timm's ``--aa rand-m9``
+    noise), and a random sign. Geometric ops become one batched bilinear
+    warp; color ops a masked elementwise chain (see module docstring).
+    """
+    batch, height, width, _ = x.shape
+    for _ in range(num_layers):
+        rng, k_op, k_mag, k_sign = jax.random.split(rng, 4)
+        op = jax.random.randint(k_op, (batch,), 0, _N_OPS)
+        mag = jnp.clip(
+            magnitude + mag_std * jax.random.normal(k_mag, (batch,)),
+            0.0, 10.0) / 10.0
+        sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (batch,)),
+                         1.0, -1.0)
+        mag_signed = mag * sign
+        mats = jax.vmap(partial(_affine_params, height=height,
+                                width=width))(op, mag_signed)
+        x = jax.vmap(_warp)(x, mats)
+        x = _color_ops(x, op, mag_signed)
+    return x
+
+
+def random_erasing(x, rng, *, prob: float = 0.25, scale=(0.02, 0.33),
+                   ratio=(0.3, 3.3)):
+    """Per-sample random erasing (Zhong et al. 2020), timm 'pixel' mode:
+    with probability ``prob`` replace a random rectangle (area fraction in
+    ``scale``, aspect in ``ratio``) with unit-Gaussian noise. Applied AFTER
+    normalization (timm convention), so the noise matches feature scale.
+    """
+    batch, height, width, _ = x.shape
+    k_on, k_area, k_ratio, k_y, k_x, k_noise = jax.random.split(rng, 6)
+    on = jax.random.bernoulli(k_on, prob, (batch,))
+    area = jax.random.uniform(k_area, (batch,), minval=scale[0],
+                              maxval=scale[1]) * (height * width)
+    log_r = jax.random.uniform(k_ratio, (batch,),
+                               minval=jnp.log(ratio[0]),
+                               maxval=jnp.log(ratio[1]))
+    aspect = jnp.exp(log_r)
+    eh = jnp.clip(jnp.sqrt(area * aspect), 1.0, float(height))
+    ew = jnp.clip(jnp.sqrt(area / aspect), 1.0, float(width))
+    y0 = jax.random.uniform(k_y, (batch,)) * (height - eh)
+    x0 = jax.random.uniform(k_x, (batch,)) * (width - ew)
+    rows = jnp.arange(height, dtype=jnp.float32)[None, :, None]
+    cols = jnp.arange(width, dtype=jnp.float32)[None, None, :]
+    inside = ((rows >= y0[:, None, None]) & (rows < (y0 + eh)[:, None, None])
+              & (cols >= x0[:, None, None]) & (cols < (x0 + ew)[:, None, None]))
+    mask = (inside & on[:, None, None])[..., None]
+    noise = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+    return jnp.where(mask, noise, x)
