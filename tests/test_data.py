@@ -235,21 +235,35 @@ def test_randaugment_ops_unit():
     w = np.asarray(_warp(img, trans))
     np.testing.assert_allclose(w[:, :-2], np.asarray(img)[:, 2:], atol=1e-5)
 
+    # translate ops are per-axis (timm translate-x / translate-y), never
+    # diagonal: translate_x (op 4) moves columns only, translate_y (op 5)
+    # rows only
+    from vitx.data.randaugment import _OPS, _affine_params
+
+    m4 = np.asarray(_affine_params(jnp.asarray(_OPS.index("translate_x")),
+                                   jnp.asarray(1.0), 8, 8))
+    assert m4[0, 2] != 0.0 and m4[1, 2] == 0.0
+    m5 = np.asarray(_affine_params(jnp.asarray(_OPS.index("translate_y")),
+                                   jnp.asarray(1.0), 8, 8))
+    assert m5[0, 2] == 0.0 and m5[1, 2] != 0.0
+
     x = jnp.asarray(np.random.default_rng(1).random((4, 8, 8, 3)),
                     jnp.float32)
-    # per-sample op selection: sample 0 invert (op 12), others identity (0)
-    ops = jnp.array([12, 0, 0, 0])
+    # per-sample op selection: sample 0 invert, others identity (0)
+    inv, sol, post = (_OPS.index("invert"), _OPS.index("solarize"),
+                      _OPS.index("posterize"))
+    ops = jnp.array([inv, 0, 0, 0])
     mag = jnp.array([1.0, 1.0, 1.0, 1.0])
     out = np.asarray(_color_ops(x, ops, mag))
     np.testing.assert_allclose(out[0], 1.0 - np.asarray(x)[0], atol=1e-6)
     np.testing.assert_allclose(out[1:], np.asarray(x)[1:], atol=1e-6)
-    # solarize (op 10) at |mag|=0.5: values >= 0.5 inverted
-    out = np.asarray(_color_ops(x, jnp.full((4,), 10), 0.5 * mag))
+    # solarize at |mag|=0.5: values >= 0.5 inverted
+    out = np.asarray(_color_ops(x, jnp.full((4,), sol), 0.5 * mag))
     xs = np.asarray(x)
     np.testing.assert_allclose(out, np.where(xs >= 0.5, 1.0 - xs, xs),
                                atol=1e-6)
-    # posterize (op 9) at |mag|=1 keeps 4 bits -> at most 16 distinct levels
-    out = np.asarray(_color_ops(x, jnp.full((4,), 9), 1.0 * mag))
+    # posterize at |mag|=1 keeps 4 bits -> at most 16 distinct levels
+    out = np.asarray(_color_ops(x, jnp.full((4,), post), 1.0 * mag))
     assert np.unique(np.round(out * 15.0)).size <= 16
     np.testing.assert_allclose(out, np.round(xs * 15.0) / 15.0, atol=1e-6)
 

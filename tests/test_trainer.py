@@ -278,6 +278,93 @@ def test_cli_cosine_schedule(tmp_path, capsys):
     assert main(args + ["--epochs", "2"]) == 0
 
 
+def test_cli_eval_restores_cosine_checkpoint(tmp_path, capsys):
+    """Regression: a --schedule cosine run saves one extra opt_state leaf
+    (optax scale_by_schedule count). restore_eval_params used to misread it
+    as an EMA shadow and crash the positional restore with a missing-leaf
+    KeyError; the checkpoint meta now records the schedule, and a leaf-count
+    probe disambiguates legacy checkpoints (extra==1 -> schedule,
+    extra==n_params -> EMA)."""
+    import numpy as _np
+
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    ckpt = str(tmp_path / "c")
+    assert train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "16", "--compute-dtype", "float32",
+        "--schedule", "cosine", "--warmup-steps", "4",
+        "--checkpoint-dir", ckpt]) == 0
+    capsys.readouterr()
+    assert eval_main(["--preset", "tiny", "--data", "synthetic",
+                      "--checkpoint", ckpt, "--batch-size", "16"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= out["accuracy"] <= 1.0
+
+    # legacy path: strip the recorded recipe from the meta so the
+    # leaf-count probe must do the disambiguation itself
+    import pathlib
+
+    from vitx import get_config
+    from vitx.train.checkpoint import restore_eval_params
+
+    path = next(pathlib.Path(ckpt).glob("*.ckpt"))
+    with _np.load(path) as z:
+        payload = {k: z[k] for k in z.files if k != "__meta__"}
+        meta = json.loads(bytes(z["__meta__"]).decode())
+    for key in ("schedule", "ema_decay"):
+        meta.pop(key, None)
+    payload["__meta__"] = _np.frombuffer(
+        json.dumps(meta).encode(), dtype=_np.uint8)
+    _np.savez(path, **payload)
+    cfg = get_config("tiny").replace(compute_dtype="float32", num_classes=4)
+    params, meta2 = restore_eval_params(ckpt, cfg)
+    assert params is not None and meta2["epoch"] == 0
+
+
+def test_multisteps_schedule_ticks_per_update():
+    """Pins the optax contract behind the train CLI's cosine+accum horizon
+    math: MultiSteps advances the inner schedule count once per accum_steps
+    micro-batches, so schedule horizons must be in UPDATES (the CLI divides
+    total/warmup steps by --accum-steps)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vitx.train.step import make_optimizer
+
+    opt = make_optimizer(schedule=lambda c: 1e-3, accum_steps=2)
+    params = {"w": jnp.zeros(3)}
+    st = opt.init(params)
+    g = {"w": jnp.ones(3)}
+    for _ in range(4):
+        _, st = opt.update(g, st, params)
+    is_sched = lambda x: isinstance(x, optax.ScaleByScheduleState)
+    counts = [int(x.count) for x in jax.tree_util.tree_leaves(
+        st, is_leaf=is_sched) if is_sched(x)]
+    assert counts == [2]     # 4 micro-steps / k=2 -> 2 schedule ticks
+
+
+def test_cli_cosine_with_accum_smoke(tmp_path, capsys):
+    """cosine + gradient accumulation through the CLI trains, checkpoints,
+    and the checkpoint evals (schedule+MultiSteps template alignment)."""
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    ckpt = str(tmp_path / "c")
+    assert train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "16", "--compute-dtype", "float32",
+        "--schedule", "cosine", "--warmup-steps", "4", "--accum-steps", "2",
+        "--checkpoint-dir", ckpt]) == 0
+    capsys.readouterr()
+    assert eval_main(["--preset", "tiny", "--data", "synthetic",
+                      "--checkpoint", ckpt, "--batch-size", "16"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= out["accuracy"] <= 1.0
+
+
 def test_warmup_cosine_schedule_shape():
     """warmup_cosine: 0 at step 0, peak at warmup end, ~0 at the end."""
     from vitx.train.step import warmup_cosine

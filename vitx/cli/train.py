@@ -68,7 +68,9 @@ def build_argparser():
     p.add_argument("--schedule", default="const", choices=["const", "cosine"],
                    help="lr schedule: constant (reference semantics) or "
                         "linear-warmup + cosine decay over the full run")
-    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear-warmup length in (micro-)steps; with "
+                        "--accum-steps k the schedule ticks once per k")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="EMA of params (shadow in opt_state); eval uses it")
     p.add_argument("--progress", action="store_true",
@@ -141,9 +143,15 @@ def main(argv=None):
     if args.schedule == "cosine":
         from vitx.train.step import make_optimizer, warmup_cosine
 
-        total_steps = args.epochs * len(train_loader)
+        # optax.MultiSteps advances the inner schedule count once per
+        # accum_steps micro-batches, so the schedule's horizon must be in
+        # OPTIMIZER UPDATES — otherwise warmup stretches by k and the decay
+        # is cut off at the 1/k point
+        total_updates = max(
+            1, args.epochs * len(train_loader) // args.accum_steps)
         optimizer = make_optimizer(
-            schedule=warmup_cosine(args.lr, total_steps, args.warmup_steps),
+            schedule=warmup_cosine(args.lr, total_updates,
+                                   args.warmup_steps // args.accum_steps),
             weight_decay=args.weight_decay, grad_clip=args.grad_clip,
             ema_decay=args.ema_decay, accum_steps=args.accum_steps)
 

@@ -27,9 +27,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# op indices: 0..4 geometric, 5..12 color
-_OPS = ("identity", "rotate", "shear_x", "shear_y", "translate",
-        "brightness", "saturation", "contrast", "sharpness",
+# op indices: 0..5 geometric, 6..13 color
+_OPS = ("identity", "rotate", "shear_x", "shear_y", "translate_x",
+        "translate_y", "brightness", "saturation", "contrast", "sharpness",
         "posterize", "solarize", "autocontrast", "invert")
 _N_OPS = len(_OPS)
 _FILL = 0.5
@@ -57,9 +57,10 @@ def _affine_params(op, mag_signed, height, width):
         mat([c, -s, zero], [s, c, zero]),             # rotate
         mat([one, shear, zero], [zero, one, zero]),   # shear_x
         mat([one, zero, zero], [shear, one, zero]),   # shear_y
-        mat([one, zero, tx], [zero, one, ty]),        # translate
+        mat([one, zero, tx], [zero, one, zero]),      # translate_x
+        mat([one, zero, zero], [zero, one, ty]),      # translate_y
     ])
-    idx = jnp.where(op < 5, op, 0)    # color ops -> identity matrix
+    idx = jnp.where(op < 6, op, 0)    # color ops -> identity matrix
     return mats[idx]
 
 
@@ -103,11 +104,11 @@ def _color_ops(x, op, mag_signed):
 
     out = x
     # brightness / saturation / contrast / sharpness (ImageEnhance family)
-    out = jnp.where(bsel(5), _blend(jnp.zeros_like(x), x, factor), out)
+    out = jnp.where(bsel(6), _blend(jnp.zeros_like(x), x, factor), out)
     gray = jnp.mean(x, axis=-1, keepdims=True)
-    out = jnp.where(bsel(6), _blend(gray, x, factor), out)
+    out = jnp.where(bsel(7), _blend(gray, x, factor), out)
     mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-    out = jnp.where(bsel(7), _blend(mean, x, factor), out)
+    out = jnp.where(bsel(8), _blend(mean, x, factor), out)
     # sharpness: blend with a 3x3 smoothing (PIL's SMOOTH kernel)
     kernel = jnp.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]])
     kernel = (kernel / 13.0)[:, :, None, None]
@@ -117,21 +118,21 @@ def _color_ops(x, op, mag_signed):
         window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NCHW", "HWIO", "NCHW"))
     blur = jnp.moveaxis(blur.reshape(nchw.shape), 1, -1)
-    out = jnp.where(bsel(8), _blend(blur, x, factor), out)
+    out = jnp.where(bsel(9), _blend(blur, x, factor), out)
     # posterize: keep 8 - round(4 * m) high bits (timm increasing range)
     bits = jnp.round(8.0 - 4.0 * mag)
     levels = jnp.exp2(bits)
-    out = jnp.where(bsel(9),
+    out = jnp.where(bsel(10),
                     jnp.floor(x * (levels - 1.0) + 0.5) / (levels - 1.0),
                     out)
     # solarize: invert pixels above threshold 1 - m
-    out = jnp.where(bsel(10), jnp.where(x >= 1.0 - mag, 1.0 - x, x), out)
+    out = jnp.where(bsel(11), jnp.where(x >= 1.0 - mag, 1.0 - x, x), out)
     # autocontrast: per-image per-channel min/max stretch
     lo = jnp.min(x, axis=(1, 2), keepdims=True)
     hi = jnp.max(x, axis=(1, 2), keepdims=True)
     stretched = (x - lo) / jnp.maximum(hi - lo, 1e-6)
-    out = jnp.where(bsel(11), jnp.where(hi > lo, stretched, x), out)
-    out = jnp.where(bsel(12), 1.0 - x, out)
+    out = jnp.where(bsel(12), jnp.where(hi > lo, stretched, x), out)
+    out = jnp.where(bsel(13), 1.0 - x, out)
     return jnp.clip(out, 0.0, 1.0)
 
 
@@ -139,7 +140,7 @@ def rand_augment(x, rng, *, num_layers: int = 2, magnitude: float = 9.0,
                  mag_std: float = 0.5):
     """Apply RandAugment to a (B, H, W, C) float [0,1] batch on device.
 
-    Per sample and per layer: draw one of the 13 ops uniformly, a magnitude
+    Per sample and per layer: draw one of the 14 ops uniformly, a magnitude
     ``~N(magnitude, mag_std)`` clipped to [0, 10] (timm's ``--aa rand-m9``
     noise), and a random sign. Geometric ops become one batched bilinear
     warp; color ops a masked elementwise chain (see module docstring).

@@ -215,23 +215,33 @@ def restore_eval_params(path_or_dir, cfg):
                 if meta_file.exists() else {})
 
     ema_decay = meta.get("ema_decay")
-    if ema_decay is None and not path.is_dir():
-        # legacy checkpoint: probe by leaf count — the EMA chain link adds
-        # exactly one shadow leaf per param leaf at the END of the flat order
+    has_schedule = bool(meta.get("schedule"))
+    accum = meta.get("accum_steps", 1)
+    if not path.is_dir() and (ema_decay is None or not has_schedule):
+        # checkpoint whose meta predates (or omits) part of the recorded
+        # optimizer recipe: probe by leaf count. The EMA chain link adds one
+        # shadow leaf PER PARAM leaf; an lr schedule (optax scale_by_schedule)
+        # adds exactly ONE count leaf — disambiguate by extra mod n_params
+        # (a cosine-only checkpoint used to false-positive as EMA here and
+        # crash the positional restore with a missing-leaf KeyError).
         n_saved = _npz_leaf_count(path)
-        # the accumulation chain (optax.MultiSteps) also adds leaves — build
-        # the probe baseline with the recorded accum_steps so it only trips
-        # on the EMA shadow's extra per-param leaves
         plain = create_train_state(
-            _jax.random.PRNGKey(0), cfg,
-            make_optimizer(accum_steps=meta.get("accum_steps", 1)))
-        if n_saved is not None and \
-                n_saved > len(_jax.tree_util.tree_leaves(plain)):
-            ema_decay = 0.999    # value is irrelevant for structure
+            _jax.random.PRNGKey(0), cfg, make_optimizer(accum_steps=accum))
+        n_plain = len(_jax.tree_util.tree_leaves(plain))
+        n_params = len(_jax.tree_util.tree_leaves(plain.params))
+        if n_saved is not None and n_saved > n_plain:
+            extra = n_saved - n_plain
+            if ema_decay is None and extra >= n_params:
+                ema_decay = 0.999    # value is irrelevant for structure
+            if extra % n_params == 1:
+                has_schedule = True
     template = create_train_state(
         _jax.random.PRNGKey(0), cfg,
-        make_optimizer(ema_decay=ema_decay,
-                       accum_steps=meta.get("accum_steps", 1)))
+        make_optimizer(
+            # a constant dummy schedule reproduces the ScaleByScheduleState
+            # in the chain; leaf VALUES all come from the checkpoint
+            schedule=(lambda _: 0.0) if has_schedule else None,
+            ema_decay=ema_decay, accum_steps=accum))
     state, meta = restore_checkpoint(path, template)
     ema = get_ema_params(state.opt_state)
     return (ema if ema is not None else state.params), meta

@@ -104,6 +104,11 @@ class Trainer:
         self.rng, init_rng = jax.random.split(rng)
         self.state = (init_state if init_state is not None
                       else create_train_state(init_rng, cfg, self.optimizer))
+        import optax as _optax
+        _sched_leaf = lambda x: isinstance(x, _optax.ScaleByScheduleState)
+        self._opt_has_schedule = any(
+            _sched_leaf(n) for n in jax.tree_util.tree_leaves(
+                self.state.opt_state, is_leaf=_sched_leaf))
         if mesh is not None:
             from vitx.parallel.sharded import (
                 make_parallel_eval_step,
@@ -314,6 +319,10 @@ class Trainer:
                         meta["ema_decay"] = tcfg.ema_decay
                     if tcfg.accum_steps > 1:
                         meta["accum_steps"] = tcfg.accum_steps
+                    if self._opt_has_schedule:
+                        # an lr schedule adds a ScaleByScheduleState count
+                        # leaf — record it so the eval/serve template matches
+                        meta["schedule"] = True
                     if self._preempted:
                         # epoch was cut short — resume must re-run it
                         meta["partial"] = True
