@@ -8,6 +8,7 @@ masking semantics, loss-decreases e2e, pretrain -> fine-tune transfer.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vitx import MAEConfig, get_config, init_mae_params, mae_forward, forward
 from vitx.nn.mae import (create_mae_train_state, mae_to_vit_params,
@@ -166,6 +167,8 @@ def test_mae_export_init_roundtrip(tmp_path):
         np.asarray(state.params["encoder"]["blocks"]["wqkv"]))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 (virtual) devices")
 def test_mae_batch_sharded_matches_unsharded():
     """MAE forward under a dp=8 mesh (batch-sharded) matches the unsharded
     loss — all gathers/scans shard cleanly over the batch."""

@@ -89,9 +89,14 @@ def _pad_t(x, t_pad: int):
 
 def _bmm(a, b, contract):
     """Head-batched matmul, batch dim leading (the form Mosaic supports)."""
+    # explicit precision: Mosaic rejects bf16 operands when the ambient
+    # jax_default_matmul_precision=highest leaks into the kernel trace
+    # ("Bad lhs type"); kernel semantics are pinned (bf16 MXU inputs,
+    # fp32 accumulation) regardless of the global config
     return jax.lax.dot_general(a, b, ((contract[0], contract[1]),
                                       ((0,), (0,))),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
 
 
 def _unnormalized_probs(q, k, scale, kv_len, t_pad):

@@ -52,7 +52,8 @@ def _kernel(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref, *rest,
     h = ((s32 - mean) * jax.lax.rsqrt(var + eps)
          * g_ref[...] + b_ref[...]).astype(s.dtype)
     qkv = jnp.dot(h, wqkv_ref[...],
-                  preferred_element_type=jnp.float32)   # (T, 3E)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)   # (T, 3E)
     outs = []
     for head in range(num_heads):
         # heads are LANE slices of the projection output — zero transposes
@@ -70,18 +71,21 @@ def _kernel(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref, *rest,
             rest[2][0, head] = v
         q = (q0.astype(jnp.float32) * scale).astype(s.dtype)
         sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
         m = jnp.max(sc, axis=-1, keepdims=True)
         p = jnp.exp(sc - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(s.dtype), v,
-                    preferred_element_type=jnp.float32) / l
+                    preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT) / l
         outs.append(o.astype(s.dtype))
     o_all = jnp.concatenate(outs, axis=1)               # (T, E)
     if stash:
         rest[3][0] = o_all
     out = jnp.dot(o_all, wo_ref[...],
-                  preferred_element_type=jnp.float32) + bo_ref[...]
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT) + bo_ref[...]
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -186,7 +190,8 @@ def _kernel_hchunk(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
 
     h = h_scr[...]                                       # (T, E)
     qkv = jnp.dot(h, wqkv_ref[...],
-                  preferred_element_type=jnp.float32)    # (T, 3*hc*D)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)    # (T, 3*hc*D)
     qkv_c = qkv.astype(h.dtype)
     outs = []
     p_sum = None
@@ -197,19 +202,22 @@ def _kernel_hchunk(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
         v = qkv_c[:, base + 2 * D:base + 3 * D]
         q = (q0.astype(jnp.float32) * scale).astype(h.dtype)
         sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
         m = jnp.max(sc, axis=-1, keepdims=True)
         p = jnp.exp(sc - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(h.dtype), v,
-                    preferred_element_type=jnp.float32) / l
+                    preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT) / l
         outs.append(o.astype(h.dtype))
         if mean_probs:
             contrib = p / (l * num_heads)                # (T, T)
             p_sum = contrib if p_sum is None else p_sum + contrib
     o_chunk = jnp.concatenate(outs, axis=1)              # (T, hc*D)
     partial = jnp.dot(o_chunk, wo_ref[...],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(j == 0)
     def _():

@@ -70,13 +70,15 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref, o_ref,
     var = jnp.mean(jnp.square(s32 - mean), axis=-1, keepdims=True)
     h = ((s32 - mean) * jax.lax.rsqrt(var + eps)
          * g_ref[...] + b_ref[...]).astype(s.dtype)
-    hp = (jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32)
+    hp = (jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
           + b1_ref[...]).astype(s.dtype)                # (T, M)
     if stash:
         rest[0][0] = hp
     ha = _act_kernel(hp, act)
     out = jnp.dot(ha, w2_ref[...],
-                  preferred_element_type=jnp.float32) + b2_ref[...]
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT) + b2_ref[...]
     o_ref[0] = out.astype(o_ref.dtype)
 
 
