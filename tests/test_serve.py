@@ -206,6 +206,30 @@ def test_stats_memory_bounded_soak():
         assert s["p50_ms"] >= 0 and s["p99_ms"] >= s["p50_ms"] >= 0
 
 
+def test_stats_latency_drift_fields():
+    """/stats surfaces percentile drift: the recent (last-1k) window vs the
+    10k window, so a slowdown shows up before the long percentile moves."""
+    from vitx.serve import ServerStats
+
+    st = ServerStats(window=100, recent_window=10)
+    for _ in range(90):
+        st.latencies_ms.append(1.0)
+    for _ in range(10):               # recent requests are 100x slower
+        st.latencies_ms.append(100.0)
+        st.recent_ms.append(100.0)
+    s = st.summary()
+    assert s["p50_recent_ms"] == 100.0 and s["p99_recent_ms"] == 100.0
+    assert s["p50_drift_ms"] > 0.0
+    assert s["p99_drift_ms"] == 0.0   # the tail already reflects the slow 10%
+    # steady state: recent mirrors the window, drift ~0
+    st2 = ServerStats(window=100, recent_window=10)
+    for _ in range(50):
+        st2.latencies_ms.append(2.0)
+        st2.recent_ms.append(2.0)
+    s2 = st2.summary()
+    assert s2["p50_drift_ms"] == 0.0 and s2["p99_drift_ms"] == 0.0
+
+
 def test_default_latency_window_is_bounded():
     params = init_params(jax.random.PRNGKey(0), CFG)
     with InferenceServer(params, CFG, batch_size=2) as srv:

@@ -49,28 +49,46 @@ class ServerStats:
     padded_slots: int = 0
     rejected: int = 0
     window: int = 10_000
+    recent_window: int = 1_000
     latencies_ms: deque = field(default=None)
+    recent_ms: deque = field(default=None)
     lock: threading.Lock = field(default_factory=threading.Lock)
 
     def __post_init__(self):
         if self.latencies_ms is None:
             self.latencies_ms = deque(maxlen=self.window)
+        if self.recent_ms is None:
+            self.recent_ms = deque(maxlen=self.recent_window)
+
+    @staticmethod
+    def _pct(lat, p):
+        return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
 
     def summary(self) -> dict:
         with self.lock:
             lat = sorted(self.latencies_ms)
+            recent = sorted(self.recent_ms)
             requests, batches = self.requests, self.batches
             rejected, padded = self.rejected, self.padded_slots
-        pct = (lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
-               if lat else 0.0)
         occupancy = 0.0
         if requests + padded:
             occupancy = requests / (requests + padded)
+        p50, p99 = self._pct(lat, 0.50), self._pct(lat, 0.99)
+        p50_r, p99_r = self._pct(recent, 0.50), self._pct(recent, 0.99)
         return {"requests": requests, "batches": batches,
                 "rejected": rejected,
                 "batch_occupancy": round(occupancy, 3),
-                "p50_ms": round(pct(0.50), 2), "p90_ms": round(pct(0.90), 2),
-                "p99_ms": round(pct(0.99), 2)}
+                "p50_ms": round(p50, 2), "p90_ms":
+                    round(self._pct(lat, 0.90), 2),
+                "p99_ms": round(p99, 2),
+                # drift: last-1k-request percentiles vs the 10k window —
+                # positive values mean the server is getting slower
+                # (queue growth, thermal, input drift) and alerting should
+                # trigger before the long-window percentile moves
+                "p50_recent_ms": round(p50_r, 2),
+                "p99_recent_ms": round(p99_r, 2),
+                "p50_drift_ms": round(p50_r - p50, 2),
+                "p99_drift_ms": round(p99_r - p99, 2)}
 
 
 class _Pending:
@@ -227,7 +245,9 @@ class InferenceServer:
         now = time.perf_counter()
         with self.stats.lock:
             for item in batch:
-                self.stats.latencies_ms.append((now - item.t0) * 1000.0)
+                ms = (now - item.t0) * 1000.0
+                self.stats.latencies_ms.append(ms)
+                self.stats.recent_ms.append(ms)
             self.stats.requests += n
             self.stats.batches += 1
             self.stats.padded_slots += pad
