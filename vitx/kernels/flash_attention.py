@@ -46,6 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vitx.kernels.precision import dot_precision
+
 NEG_INF = -1e30
 _VMEM_BUDGET = 8 * 1024 * 1024
 _MAX_UNPADDED_T = 1024
@@ -89,14 +91,12 @@ def _pad_t(x, t_pad: int):
 
 def _bmm(a, b, contract):
     """Head-batched matmul, batch dim leading (the form Mosaic supports)."""
-    # explicit precision: Mosaic rejects bf16 operands when the ambient
-    # jax_default_matmul_precision=highest leaks into the kernel trace
-    # ("Bad lhs type"); kernel semantics are pinned (bf16 MXU inputs,
-    # fp32 accumulation) regardless of the global config
+    # dtype-pinned precision (see vitx/kernels/precision.py): the ambient
+    # matmul-precision config must not leak into the Mosaic trace
     return jax.lax.dot_general(a, b, ((contract[0], contract[1]),
                                       ((0,), (0,))),
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.DEFAULT)
+                               precision=dot_precision(a, b))
 
 
 def _unnormalized_probs(q, k, scale, kv_len, t_pad):

@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from vitx.kernels.precision import dot_precision
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as _P
 
@@ -53,7 +55,7 @@ def _kernel(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref, *rest,
          * g_ref[...] + b_ref[...]).astype(s.dtype)
     qkv = jnp.dot(h, wqkv_ref[...],
                   preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT)   # (T, 3E)
+                  precision=dot_precision(h, wqkv_ref))  # (T, 3E)
     outs = []
     for head in range(num_heads):
         # heads are LANE slices of the projection output — zero transposes
@@ -72,20 +74,20 @@ def _kernel(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref, *rest,
         q = (q0.astype(jnp.float32) * scale).astype(s.dtype)
         sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT)
+                                 precision=dot_precision(q, k))
         m = jnp.max(sc, axis=-1, keepdims=True)
         p = jnp.exp(sc - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(s.dtype), v,
                     preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT) / l
+                    precision=dot_precision(v)) / l
         outs.append(o.astype(s.dtype))
     o_all = jnp.concatenate(outs, axis=1)               # (T, E)
     if stash:
         rest[3][0] = o_all
     out = jnp.dot(o_all, wo_ref[...],
                   preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT) + bo_ref[...]
+                  precision=dot_precision(o_all, wo_ref)) + bo_ref[...]
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -191,7 +193,7 @@ def _kernel_hchunk(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
     h = h_scr[...]                                       # (T, E)
     qkv = jnp.dot(h, wqkv_ref[...],
                   preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT)    # (T, 3*hc*D)
+                  precision=dot_precision(h, wqkv_ref))   # (T, 3*hc*D)
     qkv_c = qkv.astype(h.dtype)
     outs = []
     p_sum = None
@@ -203,13 +205,13 @@ def _kernel_hchunk(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
         q = (q0.astype(jnp.float32) * scale).astype(h.dtype)
         sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT)
+                                 precision=dot_precision(q, k))
         m = jnp.max(sc, axis=-1, keepdims=True)
         p = jnp.exp(sc - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(h.dtype), v,
                     preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT) / l
+                    precision=dot_precision(v)) / l
         outs.append(o.astype(h.dtype))
         if mean_probs:
             contrib = p / (l * num_heads)                # (T, T)
@@ -217,7 +219,7 @@ def _kernel_hchunk(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
     o_chunk = jnp.concatenate(outs, axis=1)              # (T, hc*D)
     partial = jnp.dot(o_chunk, wo_ref[...],
                       preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT)
+                      precision=dot_precision(o_chunk, wo_ref))
 
     @pl.when(j == 0)
     def _():

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from vitx.kernels.precision import dot_precision
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as _P
 
@@ -71,14 +73,14 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref, o_ref,
     h = ((s32 - mean) * jax.lax.rsqrt(var + eps)
          * g_ref[...] + b_ref[...]).astype(s.dtype)
     hp = (jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT)
+                  precision=dot_precision(h, w1_ref))
           + b1_ref[...]).astype(s.dtype)                # (T, M)
     if stash:
         rest[0][0] = hp
     ha = _act_kernel(hp, act)
     out = jnp.dot(ha, w2_ref[...],
                   preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT) + b2_ref[...]
+                  precision=dot_precision(ha, w2_ref)) + b2_ref[...]
     o_ref[0] = out.astype(o_ref.dtype)
 
 
