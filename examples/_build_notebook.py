@@ -260,6 +260,71 @@ C.append(code(
     "plt.tight_layout(); plt.show()"))
 
 C.append(md(
+    "## Device-resident training recipe: RandAugment, CutMix, erasing\n\n"
+    "The DeiT-style recipe knobs, expressed TPU-natively (no per-sample "
+    "host Python): each RandAugment round is ONE batched bilinear warp "
+    "(the geometric ops are per-sample 2×3 affines) plus a masked "
+    "elementwise chain (the color ops); CutMix is a per-pixel keep-weight "
+    "map whose mean IS the exact target mixing ratio (pixel-exact λ); "
+    "random erasing fills a random box with noise. All static-shape XLA, "
+    "fused into the first device computation — CLI: `--randaug M "
+    "--cutmix-alpha 1.0 --mixup-alpha 0.8 --random-erase p`."))
+
+C.append(code(
+    "from vitx.data.randaugment import rand_augment, random_erasing\n"
+    "x01 = jnp.asarray(mb['image'][:4], jnp.float32)\n"
+    "x01 = x01 / 255.0 if float(x01.max()) > 1.5 else x01\n"
+    "fig, axes = plt.subplots(4, 4, figsize=(8, 8))\n"
+    "axes[0, 0].set_ylabel('original')\n"
+    "for c in range(4):\n"
+    "    axes[0, c].imshow(np.asarray(x01)[c])\n"
+    "for r, seed in enumerate([7, 8, 9], start=1):\n"
+    "    aug = np.asarray(rand_augment(x01, jax.random.PRNGKey(seed),\n"
+    "                                  num_layers=2, magnitude=9.0))\n"
+    "    axes[r, 0].set_ylabel(f'randaug m9 #{r}')\n"
+    "    for c in range(4):\n"
+    "        axes[r, c].imshow(aug[c])\n"
+    "for ax in axes.ravel():\n"
+    "    ax.set_xticks([]); ax.set_yticks([])\n"
+    "plt.suptitle('RandAugment: one batched warp + masked color chain per "
+    "round'); plt.tight_layout(); plt.show()"))
+
+C.append(code(
+    "# CutMix: the keep-weight map's mean is the EXACT lambda used on the\n"
+    "# targets (clipped boxes and all) — visualize the mixed batch\n"
+    "from vitx.train.step import _mix_weight_map\n"
+    "perm = jax.random.permutation(jax.random.PRNGKey(11), x01.shape[0])\n"
+    "fig, axes = plt.subplots(1, 4, figsize=(8, 2.4))\n"
+    "for i, seed in enumerate([3, 5, 6, 12]):\n"
+    "    w = _mix_weight_map(jax.random.PRNGKey(seed), x01.shape,\n"
+    "                        mixup_alpha=None, cutmix_alpha=1.0)\n"
+    "    mixed = np.asarray(w * x01 + (1 - w) * x01[perm])\n"
+    "    axes[i].imshow(mixed[0]); axes[i].axis('off')\n"
+    "    axes[i].set_title(f'lam={float(jnp.mean(w)):.2f}', fontsize=9)\n"
+    "plt.suptitle('CutMix with pixel-exact target reweighting')\n"
+    "plt.tight_layout(); plt.show()\n"
+    "erased = np.asarray(random_erasing(x01, jax.random.PRNGKey(4),\n"
+    "                                   prob=1.0))\n"
+    "fig, axes = plt.subplots(1, 4, figsize=(8, 2.2))\n"
+    "for i in range(4):\n"
+    "    axes[i].imshow(np.clip(erased[i], 0, 1)); axes[i].axis('off')\n"
+    "plt.suptitle('random erasing (timm pixel mode)'); plt.tight_layout()\n"
+    "plt.show()"))
+
+C.append(code(
+    "# warmup+cosine schedule (--schedule cosine). With --accum-steps k the\n"
+    "# optimizer (optax.MultiSteps) ticks the schedule once per k\n"
+    "# micro-batches, so the CLI sizes the horizon in UPDATES.\n"
+    "from vitx.train.step import warmup_cosine\n"
+    "sched = warmup_cosine(3e-3, total_steps=1000, warmup_steps=100)\n"
+    "steps = np.arange(1000)\n"
+    "plt.figure(figsize=(4.5, 2.2))\n"
+    "plt.plot(steps, [float(sched(s)) for s in steps])\n"
+    "plt.xlabel('optimizer update'); plt.ylabel('lr')\n"
+    "plt.title('linear warmup -> cosine decay'); plt.tight_layout()\n"
+    "plt.show()"))
+
+C.append(md(
     "## Pointers\n\n"
     "- `examples/quickstart.py` — the 30-second training script\n"
     "- `examples/attention_rollout.py` — rollout overlay as a CLI\n"
