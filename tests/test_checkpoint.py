@@ -65,6 +65,40 @@ def test_resume_from_max_stem(tmp_path):
     assert meta["epoch"] == 10
 
 
+def test_resume_falls_back_past_corrupt_checkpoint(tmp_path):
+    """A torn/garbage newest checkpoint is quarantined (<name>.corrupt) and
+    resume falls back to the previous epoch instead of wedging the restart;
+    a clean-but-structure-mismatched checkpoint still raises."""
+    import pytest
+
+    state, step, _ = _state_and_step()
+    host = jax.device_get(state)
+    save_checkpoint(tmp_path, host, epoch=4, meta={"loss": 0.5})
+    save_checkpoint(tmp_path, host, epoch=5)
+    (tmp_path / "5.ckpt").write_bytes(b"not a checkpoint at all")
+
+    fresh, _, _ = _state_and_step()
+    with pytest.warns(UserWarning, match="quarantined"):
+        restored, meta = restore_latest(tmp_path, fresh)
+    assert meta["epoch"] == 4 and meta["loss"] == 0.5
+    assert (tmp_path / "5.ckpt.corrupt").exists()
+    assert not (tmp_path / "5.ckpt").exists()
+    # the quarantined file no longer shadows the good one on the NEXT resume
+    assert find_latest(tmp_path) == 4
+
+    # every checkpoint corrupt -> template + None (fresh start)
+    (tmp_path / "4.ckpt").write_bytes(b"also garbage")
+    with pytest.warns(UserWarning):
+        restored2, meta2 = restore_latest(tmp_path, fresh)
+    assert meta2 is None and restored2 is fresh
+
+    # structural mismatch is NOT corruption: it must raise, not quarantine
+    save_checkpoint(tmp_path, {"only": np.zeros((2,))}, epoch=7)
+    with pytest.raises(KeyError):
+        restore_latest(tmp_path, fresh)
+    assert (tmp_path / "7.ckpt").exists()
+
+
 def test_restore_empty_dir_returns_template(tmp_path):
     state, _, _ = _state_and_step()
     restored, meta = restore_latest(tmp_path / "nope", state)

@@ -165,13 +165,36 @@ def restore_checkpoint(path, template_state):
 
 
 def restore_latest(ckpt_dir, template_state):
-    """Resume from the newest checkpoint, or return (template, None)."""
-    latest = find_latest(ckpt_dir)
-    if latest is None:
-        return template_state, None
-    state, meta = restore_checkpoint(_ckpt_path(ckpt_dir, latest),
-                                     template_state)
-    return state, meta
+    """Resume from the newest checkpoint, or return (template, None).
+
+    Resilient resume: a checkpoint that cannot be READ (truncated copy, bad
+    zip, mangled meta — atomic writes make this rare, but disks and manual
+    copies are not atomic) is quarantined as ``<name>.corrupt`` and the
+    previous epoch is tried, so a fleet restart never wedges on one bad
+    file. A checkpoint that reads fine but does not match
+    ``template_state``'s structure still raises — that is a model/optimizer
+    mismatch the caller must see, not corruption.
+    """
+    import warnings
+    import zipfile
+
+    for epoch in reversed(list_checkpoints(ckpt_dir)):
+        path = _ckpt_path(ckpt_dir, epoch)
+        try:
+            return restore_checkpoint(path, template_state)
+        except (zipfile.BadZipFile, OSError, EOFError, ValueError,
+                json.JSONDecodeError) as e:
+            # ValueError covers np.load on garbage bytes; a STRUCTURE
+            # mismatch (missing leaf_N) raises KeyError and propagates
+            quarantine = path.with_name(path.name + ".corrupt")
+            warnings.warn(
+                f"checkpoint {path} is unreadable ({type(e).__name__}: {e});"
+                f" quarantined to {quarantine.name}, trying epoch {epoch - 1}")
+            try:
+                path.replace(quarantine)
+            except OSError:
+                pass
+    return template_state, None
 
 
 def _npz_leaf_count(path) -> int | None:
