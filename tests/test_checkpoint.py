@@ -99,6 +99,27 @@ def test_resume_falls_back_past_corrupt_checkpoint(tmp_path):
     assert (tmp_path / "7.ckpt").exists()
 
 
+def test_eval_restore_skips_corrupt_without_quarantine(tmp_path):
+    """peek_meta / restore_eval_params skip unreadable checkpoints and use
+    the newest readable one, WITHOUT renaming anything — eval and serving
+    must not mutate a training directory a live trainer may own."""
+    from vitx.train.checkpoint import peek_meta, restore_eval_params
+
+    state, _, _ = _state_and_step()
+    host = jax.device_get(state)
+    save_checkpoint(tmp_path, host, epoch=1, meta={"loss": 0.9})
+    save_checkpoint(tmp_path, host, epoch=2)
+    (tmp_path / "2.ckpt").write_bytes(b"junk")
+
+    with pytest.warns(UserWarning, match="skipping"):
+        meta = peek_meta(tmp_path)
+    assert meta["epoch"] == 1 and meta["loss"] == 0.9
+    with pytest.warns(UserWarning, match="skipping"):
+        params, meta2 = restore_eval_params(tmp_path, CFG)
+    assert meta2["epoch"] == 1 and params is not None
+    assert (tmp_path / "2.ckpt").exists()        # read-only: left in place
+
+
 def test_restore_empty_dir_returns_template(tmp_path):
     state, _, _ = _state_and_step()
     restored, meta = restore_latest(tmp_path / "nope", state)

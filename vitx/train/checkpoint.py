@@ -127,19 +127,44 @@ def find_latest(ckpt_dir) -> int | None:
     return found[-1] if found else None
 
 
-def peek_meta(ckpt_dir):
-    """Read the newest checkpoint's meta WITHOUT a template state (e.g. to
-    recover the saved model config before building params). Returns None
-    when the directory has no checkpoints."""
-    latest = find_latest(ckpt_dir)
-    if latest is None:
-        return None
-    path = _ckpt_path(ckpt_dir, latest)
+_UNREADABLE = None    # populated lazily (zipfile import)
+
+
+def _unreadable_errors():
+    global _UNREADABLE
+    if _UNREADABLE is None:
+        import zipfile
+        _UNREADABLE = (zipfile.BadZipFile, OSError, EOFError, ValueError,
+                       json.JSONDecodeError)
+    return _UNREADABLE
+
+
+def _read_meta(path):
+    """Meta dict of one checkpoint path (npz file or orbax dir)."""
+    path = pathlib.Path(path)
     if path.is_dir():
         meta_file = path / "vitx_meta.json"
         return json.loads(meta_file.read_text()) if meta_file.exists() else {}
     with np.load(path) as z:
         return json.loads(bytes(z["__meta__"]).decode())
+
+
+def peek_meta(ckpt_dir):
+    """Read the newest READABLE checkpoint's meta WITHOUT a template state
+    (e.g. to recover the saved model config before building params).
+    Unreadable files are skipped with a warning (read-only — no quarantine:
+    eval/serve must not mutate a training directory a trainer may own).
+    Returns None when the directory has no readable checkpoints."""
+    import warnings
+
+    for epoch in reversed(list_checkpoints(ckpt_dir)):
+        path = _ckpt_path(ckpt_dir, epoch)
+        try:
+            return _read_meta(path)
+        except (KeyError, *_unreadable_errors()) as e:
+            warnings.warn(f"checkpoint {path} is unreadable "
+                          f"({type(e).__name__}); skipping")
+    return None
 
 
 def restore_checkpoint(path, template_state):
@@ -176,14 +201,12 @@ def restore_latest(ckpt_dir, template_state):
     mismatch the caller must see, not corruption.
     """
     import warnings
-    import zipfile
 
     for epoch in reversed(list_checkpoints(ckpt_dir)):
         path = _ckpt_path(ckpt_dir, epoch)
         try:
             return restore_checkpoint(path, template_state)
-        except (zipfile.BadZipFile, OSError, EOFError, ValueError,
-                json.JSONDecodeError) as e:
+        except _unreadable_errors() as e:
             # ValueError covers np.load on garbage bytes; a STRUCTURE
             # mismatch (missing leaf_N) raises KeyError and propagates
             quarantine = path.with_name(path.name + ".corrupt")
@@ -224,18 +247,24 @@ def restore_eval_params(path_or_dir, cfg):
     if not path.exists():
         return None, None
     if path.is_dir() and not path.suffix.endswith("orbax"):
-        latest = find_latest(path)
-        if latest is None:
+        # newest READABLE checkpoint (read-only skip — no quarantine here:
+        # eval/serve must not mutate a directory a trainer may own)
+        import warnings
+
+        meta = None
+        for epoch in reversed(list_checkpoints(path)):
+            cand = _ckpt_path(path, epoch)
+            try:
+                meta = _read_meta(cand)
+                path = cand
+                break
+            except (KeyError, *_unreadable_errors()) as e:
+                warnings.warn(f"checkpoint {cand} is unreadable "
+                              f"({type(e).__name__}); skipping")
+        if meta is None:
             return None, None
-        path = _ckpt_path(path, latest)
-        meta = peek_meta(path.parent)
-    elif path.suffix == SUFFIX:
-        with np.load(path) as z:
-            meta = json.loads(bytes(z["__meta__"]).decode())
     else:
-        meta_file = path / "vitx_meta.json"
-        meta = (json.loads(meta_file.read_text())
-                if meta_file.exists() else {})
+        meta = _read_meta(path)
 
     ema_decay = meta.get("ema_decay")
     has_schedule = bool(meta.get("schedule"))
