@@ -73,3 +73,75 @@ def test_distill_step_with_mask_and_hard():
                     teacher_params, jax.random.PRNGKey(4))
     assert np.isfinite(float(m["loss"]))
     assert 0.0 <= float(m["teacher_agreement"]) <= 1.0
+
+
+def test_distill_token_forward_semantics():
+    """distill_token=True: T = patches + 2, both heads exist, forward is the
+    DeiT eval-time head average, and rollout weights cover the patches."""
+    from vitx import forward, forward_heads, forward_with_rollout
+    from vitx.nn.vit import classify_dist
+
+    cfg = ViTConfig(image_size=64, patch_size=8, num_classes=4,
+                    embed_dim=32, depth=2, num_heads=2,
+                    compute_dtype="float32", distill_token=True)
+    assert cfg.seq_len == cfg.num_patches + 2
+    assert cfg.num_prefix_tokens == 2
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert "dist_token" in params and "dist_head" in params
+    assert params["pos_embed"].shape[1] == cfg.seq_len
+
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (3, 64, 64, 3))
+    cls_logits, dist_logits = forward_heads(params, imgs, cfg)
+    assert cls_logits.shape == dist_logits.shape == (3, 4)
+    # dist head starts zero-init -> uniform logits, different from cls head
+    fused = forward(params, imgs, cfg)
+    np.testing.assert_allclose(np.asarray(fused),
+                               0.5 * (np.asarray(cls_logits)
+                                      + np.asarray(dist_logits)),
+                               rtol=1e-5, atol=1e-5)
+
+    logits_r, weights = forward_with_rollout(params, imgs, cfg)
+    assert weights.shape == (3, cfg.num_patches)
+    np.testing.assert_allclose(np.asarray(weights).sum(-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(logits_r), np.asarray(fused),
+                               rtol=2e-4, atol=2e-4)
+
+    # bug_exact parity cannot carry a distill token
+    import pytest
+    with pytest.raises(ValueError, match="distill_token"):
+        ViTConfig(image_size=64, patch_size=8, num_classes=4, embed_dim=32,
+                  depth=2, num_heads=2, parity="bug_exact",
+                  distill_token=True)
+
+
+def test_distill_token_student_learns_teacher():
+    """DeiT distillation-through-attention: the distill head (trained on the
+    teacher term only) comes to agree with the teacher; CE trains the CLS
+    head; inference averages both."""
+    from vitx import forward_heads
+
+    cfg = ViTConfig(image_size=64, patch_size=8, num_classes=4,
+                    embed_dim=32, depth=2, num_heads=2,
+                    compute_dtype="float32", distill_token=True)
+    opt = make_optimizer(lr=3e-3)
+    teacher_params = init_params(jax.random.PRNGKey(0), TEACHER_CFG)
+    state = create_train_state(jax.random.PRNGKey(1), cfg, opt)
+    step = make_distill_train_step(cfg, TEACHER_CFG, opt, alpha=0.5, tau=2.0)
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (16, 64, 64, 3))
+    labels = jax.random.randint(jax.random.PRNGKey(3), (16,), 0, 4)
+    batch = {"image": imgs, "label": labels}
+
+    from vitx.nn.vit import forward as _fwd
+    teacher_logits = _fwd(teacher_params, imgs, TEACHER_CFG)
+    losses = []
+    for _ in range(60):
+        state, m = step(state, batch, teacher_params, None)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    cls_logits, dist_logits = forward_heads(state.params, imgs, cfg)
+    dist_agree = np.mean(np.argmax(np.asarray(dist_logits), -1)
+                         == np.argmax(np.asarray(teacher_logits), -1))
+    cls_acc = np.mean(np.argmax(np.asarray(cls_logits), -1)
+                      == np.asarray(labels))
+    assert dist_agree >= 0.8      # distill head follows the teacher
+    assert cls_acc >= 0.8         # CLS head follows the labels

@@ -393,3 +393,28 @@ def test_chunked_probs_kernel_under_spmd():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_distill_token_params_place_and_step():
+    """distill_token params (dist_token + dist_head) have matching
+    PartitionSpecs, place onto a dp mesh, and the dp train step runs."""
+    from vitx.parallel.sharded import param_pspecs
+    from jax.sharding import PartitionSpec as _P
+
+    cfg = CFG.replace(distill_token=True)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    # spec tree covers the param tree exactly
+    specs = param_pspecs(cfg)
+    s_struct = jax.tree.structure(
+        jax.tree.map(lambda s: 0, specs,
+                     is_leaf=lambda x: isinstance(x, _P)))
+    p_struct = jax.tree.structure(jax.tree.map(lambda a: 0, state.params))
+    assert s_struct == p_struct
+
+    mesh = make_mesh(dp=8, tp=1)
+    state = place_state(state, cfg, mesh)
+    step = make_parallel_train_step(cfg, opt, mesh)
+    batch = shard_batch(_batch(0, n=16), mesh)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))

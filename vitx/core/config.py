@@ -74,6 +74,13 @@ class ViTConfig:
     # Vanilla ViT has a final encoder LayerNorm; the reference omits it
     # (vit.py:77-80). Parity presets keep False.
     final_norm: bool = False
+    # DeiT distillation token (Touvron et al. 2021, "distillation through
+    # attention"): a second learned token prepended after CLS with its own
+    # linear head. Training: CE on the CLS head + distillation loss on the
+    # distill head (vitx/train/distill.py); inference: the two heads'
+    # logits are averaged. The distill head is always the standard
+    # LN->Linear form (DeiT), independent of head_type.
+    distill_token: bool = False
 
     layer_norm_eps: float = 1e-5  # torch nn.LayerNorm default, for parity
 
@@ -153,6 +160,11 @@ class ViTConfig:
             raise ValueError(f"unknown fuse_mlp {self.fuse_mlp!r}")
         if self.parity not in ("corrected", "bug_exact"):
             raise ValueError(f"unknown parity {self.parity!r}")
+        if self.distill_token and self.parity == "bug_exact":
+            raise ValueError(
+                "distill_token is a beyond-reference extension; bug_exact "
+                "parity reproduces the reference model, which has no "
+                "distillation token")
 
     # -- derived --
     @property
@@ -164,9 +176,14 @@ class ViTConfig:
         return self.grid_size * self.grid_size
 
     @property
+    def num_prefix_tokens(self) -> int:
+        """Special tokens before the patches: CLS (+ distill token)."""
+        return 2 if self.distill_token else 1
+
+    @property
     def seq_len(self) -> int:
-        """Tokens through the encoder: patches + 1 CLS."""
-        return self.num_patches + 1
+        """Tokens through the encoder: patches + CLS (+ distill token)."""
+        return self.num_patches + self.num_prefix_tokens
 
     @property
     def head_dim(self) -> int:

@@ -114,6 +114,9 @@ def export_reference_state_dict(params: dict, cfg: ViTConfig,
     P, C = cfg.patch_size, cfg.num_channels
     if "head" not in params or "w1" not in params["head"]:
         raise ValueError("export requires head_type='reference' params")
+    if cfg.distill_token:
+        raise ValueError("the reference layout has no distillation token; "
+                         "export requires distill_token=False")
     if "kernel" not in params["patch_embed"]:
         raise ValueError("export requires stem='patch' params (the "
                          "reference has no conv-stem equivalent)")

@@ -54,6 +54,10 @@ class MAEConfig:
                              f"got {self.mask_ratio}")
         if self.decoder_dim % self.decoder_heads:
             raise ValueError("decoder_dim not divisible by decoder_heads")
+        if self.encoder.distill_token:
+            raise ValueError("MAE pretraining has no distillation target; "
+                             "use distill_token=False for the encoder and "
+                             "enable it on the fine-tune config instead")
 
     @property
     def num_patches(self) -> int:

@@ -14,7 +14,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def attention_rollout(attn_probs, *, head_fusion: str = "mean"):
+def attention_rollout(attn_probs, *, head_fusion: str = "mean",
+                      num_prefix_tokens: int = 1):
     """Chain per-layer attention into an input-attribution map.
 
     Args:
@@ -23,9 +24,11 @@ def attention_rollout(attn_probs, *, head_fusion: str = "mean"):
         ``forward_with_attn(..., probs_mode="mean")``.
       head_fusion: "mean" | "max" | "min" across heads (ignored for 4-D
         pre-fused input).
+      num_prefix_tokens: special tokens before the patches — 1 (CLS) for
+        plain ViTs, 2 for distill-token models (cfg.num_prefix_tokens).
 
     Returns:
-      (B, N) rollout weights of the CLS token over the N = T-1 patch tokens,
+      (B, N) rollout weights of the CLS token over the N patch tokens,
       normalized to sum to 1 per image.
     """
     if attn_probs.ndim == 4:          # already head-fused (probs_mode="mean")
@@ -49,7 +52,7 @@ def attention_rollout(attn_probs, *, head_fusion: str = "mean"):
     for layer in range(1, depth):
         rollout = jnp.einsum("bij,bjk->bik", aug[layer], rollout)
 
-    cls_to_patches = rollout[:, 0, 1:]                    # CLS row, patch cols
+    cls_to_patches = rollout[:, 0, num_prefix_tokens:]    # CLS row, patch cols
     denom = jnp.sum(cls_to_patches, axis=-1, keepdims=True)
     return cls_to_patches / jnp.maximum(denom, 1e-12)
 

@@ -112,6 +112,16 @@ def init_params(rng, cfg: ViTConfig) -> Params:
         "cls_token": _trunc_normal(next(k), (1, 1, E), std, pdt),
         "pos_embed": _trunc_normal(next(k), (1, cfg.seq_len, E), std, pdt),
     }
+    if cfg.distill_token:
+        # DeiT: a second learned token (position 1) with its own linear
+        # head — trained against the teacher, averaged with CLS at eval
+        params["dist_token"] = _trunc_normal(next(k), (1, 1, E), std, pdt)
+        params["dist_head"] = {
+            "ln_scale": jnp.ones((E,), pdt),
+            "ln_bias": jnp.zeros((E,), pdt),
+            "w": jnp.zeros((E, cfg.num_classes), pdt),
+            "b": jnp.zeros((cfg.num_classes,), pdt),
+        }
     params["blocks"] = init_blocks(next(k), cfg)
 
     if cfg.final_norm:
@@ -400,6 +410,9 @@ def _join_cls(params: Params, tokens, cfg: ViTConfig, B: int):
                 f"vit.py:31-41)")
         return jnp.concatenate([tokens, cls], axis=1)
     cls = jnp.broadcast_to(cls_p, (B, 1, E))
+    if cfg.distill_token:
+        dist = jnp.broadcast_to(params["dist_token"].astype(cdt), (B, 1, E))
+        return jnp.concatenate([cls, dist, tokens], axis=1)
     return jnp.concatenate([cls, tokens], axis=1)
 
 
@@ -453,11 +466,41 @@ def classify(params: Params, x, cfg: ViTConfig):
     return logits.astype(jnp.float32)
 
 
+def classify_dist(params: Params, x, cfg: ViTConfig):
+    """Encoder tokens -> distill-head logits (B, classes), reading the
+    distillation token (token 1; DeiT). Always the standard LN->Linear
+    head form, independent of cfg.head_type."""
+    tok = x[:, 1, :]
+    hp = params["dist_head"]
+    h = layer_norm(tok, hp["ln_scale"], hp["ln_bias"],
+                   eps=cfg.layer_norm_eps)
+    logits = jnp.dot(h, hp["w"].astype(h.dtype),
+                     preferred_element_type=jnp.float32)
+    return (logits + hp["b"].astype(jnp.float32)).astype(jnp.float32)
+
+
+def forward_heads(params: Params, images, cfg: ViTConfig, *, rng=None,
+                  deterministic: bool = True):
+    """Full model returning BOTH heads' logits: (cls_logits, dist_logits).
+
+    The training form for distill_token models — the distillation step
+    applies CE to the CLS head and the teacher loss to the distill head
+    (Touvron et al. 2021). Requires cfg.distill_token."""
+    x, _ = encode(params, images, cfg, rng=rng, deterministic=deterministic)
+    return classify(params, x, cfg), classify_dist(params, x, cfg)
+
+
 def forward(params: Params, images, cfg: ViTConfig, *, rng=None,
             deterministic: bool = True):
-    """Full model: images (B, H, W, C) -> logits (B, classes), fp32."""
+    """Full model: images (B, H, W, C) -> logits (B, classes), fp32.
+
+    With cfg.distill_token the two heads' logits are averaged (DeiT's
+    inference-time fusion of the class and distillation classifiers)."""
     x, _ = encode(params, images, cfg, rng=rng, deterministic=deterministic)
-    return classify(params, x, cfg)
+    logits = classify(params, x, cfg)
+    if cfg.distill_token:
+        logits = 0.5 * (logits + classify_dist(params, x, cfg))
+    return logits
 
 
 def forward_with_attn(params: Params, images, cfg: ViTConfig, *,
@@ -529,10 +572,14 @@ def forward_with_rollout(params: Params, images, cfg: ViTConfig):
         # over the patch tokens (the appended CLS column is dropped)
         cls_to_patches = rollout[:, 0, :-1]
     else:
-        cls_to_patches = rollout[:, 0, 1:]
+        # skip the prefix tokens (CLS + optional distill token)
+        cls_to_patches = rollout[:, 0, cfg.num_prefix_tokens:]
     denom = jnp.sum(cls_to_patches, axis=-1, keepdims=True)
     weights = cls_to_patches / jnp.maximum(denom, 1e-12)
-    return classify(params, x, cfg), weights
+    logits = classify(params, x, cfg)
+    if cfg.distill_token:
+        logits = 0.5 * (logits + classify_dist(params, x, cfg))
+    return logits, weights
 
 
 def jit_forward(cfg: ViTConfig):

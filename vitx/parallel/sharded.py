@@ -74,6 +74,10 @@ def param_pspecs(cfg: ViTConfig, tp: bool = False) -> dict:
         "pos_embed": P(),
         "blocks": _block_specs(cfg, tp),
     }
+    if cfg.distill_token:
+        specs["dist_token"] = P()
+        specs["dist_head"] = {"ln_scale": P(), "ln_bias": P(),
+                              "w": P(), "b": P()}
     if cfg.final_norm:
         specs["final_norm"] = {"scale": P(), "bias": P()}
     if cfg.head_type == "reference":

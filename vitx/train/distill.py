@@ -17,9 +17,13 @@ imported reference ``.pt``, or a timm/HF pretrained ViT
 baked into the executable): the compile payload stays small and one
 compiled step serves any teacher of that geometry.
 
-(The DeiT distillation TOKEN is intentionally not replicated — distillation
-operates on the CLS logits; a second head token is an architecture change
-documented as out of scope.)
+Both DeiT FORMS are supported:
+- head distillation (default): one classifier; the loss mixes CE and the
+  distillation term on the same logits.
+- distillation TOKEN (``ViTConfig(distill_token=True)``): DeiT's
+  "distillation through attention" — a second learned token with its own
+  head; CE applies to the CLS head, the teacher term to the distill head,
+  and inference averages the two (vitx/nn/vit.py::forward).
 """
 
 from __future__ import annotations
@@ -70,6 +74,22 @@ def distill_train_step(state: TrainState, batch, teacher_params, rng, *,
                 deterministic=True))
 
     def _loss(params):
+        if cfg.distill_token:
+            # DeiT distillation-through-attention: CE on the CLS head,
+            # teacher term on the distill head; the returned (metric)
+            # logits are the eval-time head average
+            from vitx.nn.vit import forward_heads
+
+            cls_logits, dist_logits = forward_heads(
+                params, batch["image"], cfg, rng=step_rng,
+                deterministic=step_rng is None)
+            ce = cross_entropy_loss(cls_logits, batch["label"],
+                                    batch.get("mask"), label_smoothing)
+            kd = distill_loss(dist_logits, teacher_logits, batch["label"],
+                              batch.get("mask"), alpha=1.0, tau=tau,
+                              hard=hard)
+            loss = (1.0 - alpha) * ce + alpha * kd
+            return loss, 0.5 * (cls_logits + dist_logits)
         logits = forward(params, batch["image"], cfg, rng=step_rng,
                          deterministic=step_rng is None)
         loss = distill_loss(logits, teacher_logits, batch["label"],
