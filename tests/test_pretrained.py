@@ -119,3 +119,74 @@ def test_wrong_config_rejected():
     with pytest.raises(ValueError):
         import_pretrained_state_dict(model.state_dict(),
                                      CFG.replace(head_type="reference"))
+
+
+def test_timm_deit_distilled_import():
+    """deit_*_distilled layout: dist_token + head_dist import onto a
+    distill_token config; the shared final norm folds into both heads."""
+    import torch
+
+    model = _hf_model()
+    hf_sd = model.state_dict()
+    cfg = CFG.replace(distill_token=True)
+
+    # timm-layout sd (as in test_timm_layout_import_runs) + deit extras
+    sd = {
+        "cls_token": hf_sd["vit.embeddings.cls_token"],
+        "dist_token": torch.randn(1, 1, 64),
+        # deit pos_embed covers CLS + DIST + patches
+        "pos_embed": torch.randn(1, cfg.seq_len, 64),
+        "patch_embed.proj.weight":
+            hf_sd["vit.embeddings.patch_embeddings.projection.weight"],
+        "patch_embed.proj.bias":
+            hf_sd["vit.embeddings.patch_embeddings.projection.bias"],
+        "norm.weight": hf_sd["vit.layernorm.weight"],
+        "norm.bias": hf_sd["vit.layernorm.bias"],
+        "head.weight": hf_sd["classifier.weight"],
+        "head.bias": hf_sd["classifier.bias"],
+        "head_dist.weight": torch.randn(4, 64),
+        "head_dist.bias": torch.randn(4),
+    }
+    for i in range(2):
+        h = f"vit.encoder.layer.{i}."
+        t = f"blocks.{i}."
+        sd[t + "attn.qkv.weight"] = torch.cat(
+            [hf_sd[h + f"attention.attention.{m}.weight"]
+             for m in ("query", "key", "value")], dim=0)
+        sd[t + "attn.qkv.bias"] = torch.cat(
+            [hf_sd[h + f"attention.attention.{m}.bias"]
+             for m in ("query", "key", "value")], dim=0)
+        sd[t + "attn.proj.weight"] = hf_sd[h + "attention.output.dense.weight"]
+        sd[t + "attn.proj.bias"] = hf_sd[h + "attention.output.dense.bias"]
+        sd[t + "norm1.weight"] = hf_sd[h + "layernorm_before.weight"]
+        sd[t + "norm1.bias"] = hf_sd[h + "layernorm_before.bias"]
+        sd[t + "norm2.weight"] = hf_sd[h + "layernorm_after.weight"]
+        sd[t + "norm2.bias"] = hf_sd[h + "layernorm_after.bias"]
+        sd[t + "mlp.fc1.weight"] = hf_sd[h + "intermediate.dense.weight"]
+        sd[t + "mlp.fc1.bias"] = hf_sd[h + "intermediate.dense.bias"]
+        sd[t + "mlp.fc2.weight"] = hf_sd[h + "output.dense.weight"]
+        sd[t + "mlp.fc2.bias"] = hf_sd[h + "output.dense.bias"]
+
+    params = import_pretrained_state_dict(sd, cfg)
+    np.testing.assert_allclose(params["dist_token"],
+                               sd["dist_token"].numpy(), rtol=1e-6)
+    np.testing.assert_allclose(params["dist_head"]["w"],
+                               sd["head_dist.weight"].numpy().T, rtol=1e-6)
+    # shared final norm folded into BOTH heads
+    np.testing.assert_allclose(params["dist_head"]["ln_scale"],
+                               params["head"]["ln_scale"], rtol=1e-6)
+
+    from vitx import forward_heads
+    x = np.random.default_rng(1).standard_normal((2, 32, 32, 3)).astype(
+        np.float32)
+    jp = jax.tree.map(jnp.asarray, params)
+    fused = np.asarray(forward(jp, x, cfg))
+    cls_l, dist_l = forward_heads(jp, x, cfg)
+    np.testing.assert_allclose(
+        fused, 0.5 * (np.asarray(cls_l) + np.asarray(dist_l)),
+        rtol=1e-5, atol=1e-5)
+
+    # a non-distilled sd cannot satisfy a distill_token config
+    sd2 = {k: v for k, v in sd.items() if k != "dist_token"}
+    with pytest.raises(KeyError, match="dist_token"):
+        import_pretrained_state_dict(sd2, cfg)

@@ -117,6 +117,23 @@ def import_timm_state_dict(sd: dict, cfg: ViTConfig) -> dict:
                   else np.zeros((cfg.num_classes,), np.float32)),
         },
     }
+    if cfg.distill_token:
+        # timm deit_*_distilled layout: dist_token + head_dist, sharing the
+        # final norm (timm applies one norm before both heads; folding it
+        # into each head's LN is numerically identical)
+        if "dist_token" not in sd:
+            raise KeyError(
+                "cfg.distill_token=True but the state dict has no "
+                "'dist_token' (not a deit_*_distilled checkpoint)")
+        params["dist_token"] = _np(sd["dist_token"])
+        params["dist_head"] = {
+            "ln_scale": _np(sd["norm.weight"]),
+            "ln_bias": _np(sd["norm.bias"]),
+            "w": (_np(sd["head_dist.weight"]).T if "head_dist.weight" in sd
+                  else np.zeros((E, cfg.num_classes), np.float32)),
+            "b": (_np(sd["head_dist.bias"]) if "head_dist.bias" in sd
+                  else np.zeros((cfg.num_classes,), np.float32)),
+        }
     return _check_pos_embed(params, cfg)
 
 
