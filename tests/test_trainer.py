@@ -601,3 +601,32 @@ def test_steps_per_dispatch_rejects_mesh():
     with pytest.raises(ValueError, match="steps_per_dispatch"):
         Trainer(cfg, TrainerConfig(epochs=1, steps_per_dispatch=4),
                 mesh=make_mesh(dp=2, tp=1))
+
+
+def test_cli_distill_from_teacher_checkpoint(tmp_path, capsys):
+    """--distill-from: train a teacher through the CLI, then distill a
+    student (with the DeiT distillation token) from its checkpoint; the
+    student checkpoint evals through the standard eval CLI (the meta
+    records distill_token so the geometry rebuilds)."""
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    teacher = str(tmp_path / "teacher")
+    student = str(tmp_path / "student")
+    assert train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--lr", "3e-3", "--compute-dtype", "float32",
+        "--checkpoint-dir", teacher]) == 0
+    capsys.readouterr()
+    assert train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--lr", "3e-3", "--compute-dtype", "float32",
+        "--distill-from", teacher, "--distill-token",
+        "--distill-alpha", "0.5", "--distill-tau", "2.0",
+        "--checkpoint-dir", student]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["loss"])
+    assert eval_main(["--data", "synthetic", "--checkpoint", student,
+                      "--batch-size", "32"]) == 0
+    ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= ev["accuracy"] <= 1.0

@@ -61,6 +61,21 @@ def build_argparser():
                         "the two alternate 50/50 per batch (DeiT recipe)")
     p.add_argument("--drop-path", type=float, default=0.0,
                    help="max stochastic-depth rate (linear over depth)")
+    # knowledge distillation (vitx/train/distill.py)
+    p.add_argument("--distill-from", default=None, metavar="CKPT",
+                   help="teacher checkpoint (vitx {epoch}.ckpt dir or file; "
+                        "must be self-describing) — enables DeiT "
+                        "distillation against its frozen predictions")
+    p.add_argument("--distill-alpha", type=float, default=0.5,
+                   help="weight of the teacher term (1-alpha on CE)")
+    p.add_argument("--distill-tau", type=float, default=1.0,
+                   help="soft-distillation temperature")
+    p.add_argument("--distill-hard", action="store_true",
+                   help="hard distillation: CE against teacher argmax")
+    p.add_argument("--distill-token", action="store_true",
+                   help="DeiT distillation token: a second learned token "
+                        "with its own head (CE on CLS, teacher term on the "
+                        "token head; eval averages both)")
     p.add_argument("--grad-clip", type=float, default=None)
     p.add_argument("--accum-steps", type=int, default=1,
                    help="average grads over k micro-batches per optimizer "
@@ -138,6 +153,8 @@ def main(argv=None):
 
     if args.drop_path:
         cfg = cfg.replace(drop_path=args.drop_path)
+    if args.distill_token:
+        cfg = cfg.replace(distill_token=True)
 
     optimizer = None
     if args.schedule == "cosine":
@@ -179,6 +196,50 @@ def main(argv=None):
         init_state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=optimizer.init(params))
 
+    train_step = None
+    if args.distill_from:
+        import jax
+        import jax.numpy as jnp
+
+        from vitx.train.checkpoint import restore_eval_params
+        from vitx.train.distill import make_distill_train_step
+        from vitx.train.step import make_optimizer
+
+        if args.steps_per_dispatch > 1 or args.dp is not None:
+            print("error: --distill-from is a single-device single-step "
+                  "path (use the library step for mesh runs)",
+                  file=sys.stderr)
+            return 1
+        # the teacher's exact geometry comes from its self-describing
+        # checkpoint meta (Trainer records the model config) — read it
+        # BEFORE restoring so the template matches
+        from vitx.train.checkpoint import peek_meta
+
+        tmeta = peek_meta(args.distill_from)
+        if tmeta is None:
+            print(f"error: no checkpoint under {args.distill_from}",
+                  file=sys.stderr)
+            return 1
+        teacher_cfg = (ViTConfig.from_json(json.dumps(tmeta["config"]))
+                       if "config" in tmeta else cfg)
+        teacher_params, _ = restore_eval_params(args.distill_from,
+                                                teacher_cfg)
+        if teacher_cfg.num_classes != cfg.num_classes:
+            print(f"error: teacher has {teacher_cfg.num_classes} classes, "
+                  f"student {cfg.num_classes}", file=sys.stderr)
+            return 1
+        teacher_params = jax.tree.map(jnp.asarray, teacher_params)
+        if optimizer is None:
+            optimizer = make_optimizer(
+                lr=args.lr, weight_decay=args.weight_decay,
+                grad_clip=args.grad_clip, ema_decay=args.ema_decay,
+                accum_steps=args.accum_steps)
+        dstep = make_distill_train_step(
+            cfg, teacher_cfg, optimizer, alpha=args.distill_alpha,
+            tau=args.distill_tau, hard=args.distill_hard,
+            label_smoothing=args.label_smoothing)
+        train_step = lambda s, b, r: dstep(s, b, teacher_params, r)
+
     tcfg = TrainerConfig(
         epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,
         grad_clip=args.grad_clip, label_smoothing=args.label_smoothing,
@@ -197,7 +258,7 @@ def main(argv=None):
     trainer = Trainer(cfg, tcfg, preprocess=pre, mesh=mesh,
                       tp=args.tp > 1, zero1=args.zero == 1,
                       zero3=args.zero == 3, init_state=init_state,
-                      optimizer=optimizer)
+                      optimizer=optimizer, train_step=train_step)
     history = trainer.fit(train_loader, eval_loader)
     if history:
         final = history[-1]

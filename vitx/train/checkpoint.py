@@ -154,9 +154,16 @@ def peek_meta(ckpt_dir):
     (e.g. to recover the saved model config before building params).
     Unreadable files are skipped with a warning (read-only — no quarantine:
     eval/serve must not mutate a training directory a trainer may own).
-    Returns None when the directory has no readable checkpoints."""
+    Returns None when the directory has no readable checkpoints. Also
+    accepts a direct checkpoint path (npz file or .orbax dir)."""
     import warnings
 
+    direct = pathlib.Path(ckpt_dir)
+    if direct.is_file() or direct.suffix.endswith("orbax"):
+        try:
+            return _read_meta(direct)
+        except (KeyError, *_unreadable_errors()):
+            return None
     for epoch in reversed(list_checkpoints(ckpt_dir)):
         path = _ckpt_path(ckpt_dir, epoch)
         try:
