@@ -209,15 +209,16 @@ def resize_pos_embed(params: dict, cfg_from: ViTConfig,
     import jax
     import jax.numpy as jnp
 
-    pe = jnp.asarray(params["pos_embed"])                  # (1, N+1, E)
-    cls_slot, grid_pe = pe[:, :1], pe[:, 1:]
+    pe = jnp.asarray(params["pos_embed"])                  # (1, P+N, E)
+    n_prefix = cfg_from.num_prefix_tokens                  # CLS (+ DIST)
+    prefix, grid_pe = pe[:, :n_prefix], pe[:, n_prefix:]
     g_from, g_to = cfg_from.grid_size, cfg_to.grid_size
     E = pe.shape[-1]
     grid_pe = grid_pe.reshape(1, g_from, g_from, E)
     grid_pe = jax.image.resize(grid_pe, (1, g_to, g_to, E), "bilinear")
     out = dict(params)
     out["pos_embed"] = np.asarray(
-        jnp.concatenate([cls_slot, grid_pe.reshape(1, g_to * g_to, E)],
+        jnp.concatenate([prefix, grid_pe.reshape(1, g_to * g_to, E)],
                         axis=1))
     return out
 
