@@ -515,7 +515,10 @@ def forward_with_attn(params: Params, images, cfg: ViTConfig, *,
     """
     x, probs = encode(params, images, cfg, deterministic=True,
                       return_probs=True, probs_mode=probs_mode)
-    return classify(params, x, cfg), probs
+    logits = classify(params, x, cfg)
+    if cfg.distill_token:
+        logits = 0.5 * (logits + classify_dist(params, x, cfg))
+    return logits, probs
 
 
 def forward_with_rollout(params: Params, images, cfg: ViTConfig):
