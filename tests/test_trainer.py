@@ -630,3 +630,69 @@ def test_cli_distill_from_teacher_checkpoint(tmp_path, capsys):
                       "--batch-size", "32"]) == 0
     ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= ev["accuracy"] <= 1.0
+
+
+def test_llrd_scales_updates_geometrically_per_layer():
+    """layerwise_lr_decay (BEiT fine-tune recipe): because it sits AFTER
+    adamw in the chain, its per-group update must equal the plain-adamw
+    update scaled by decay^(depth+1-layer_id) — blocks along their stacked
+    leading axis, embeddings at the lowest rate, heads untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitx.nn.vit import init_params
+    from vitx.train.step import make_optimizer
+
+    decay, depth = 0.7, CFG.depth
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    # deterministic synthetic grads (independent of any data path)
+    grads = jax.tree.map(
+        lambda p: jnp.cos(jnp.arange(p.size, dtype=jnp.float32))
+        .reshape(p.shape), params)
+
+    def one_update(opt):
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        return updates
+
+    plain = one_update(make_optimizer(lr=1e-3))
+    scaled = one_update(make_optimizer(lr=1e-3, llrd=decay, llrd_depth=depth))
+
+    # blocks: leading axis l scaled by decay^(depth - l)
+    for key, u in scaled["blocks"].items():
+        f = (decay ** (depth - np.arange(depth))).reshape(
+            (depth,) + (1,) * (u.ndim - 1))
+        np.testing.assert_allclose(np.asarray(u),
+                                   np.asarray(plain["blocks"][key]) * f,
+                                   rtol=1e-6)
+    # heads: unscaled
+    for key in scaled["head"]:
+        np.testing.assert_allclose(np.asarray(scaled["head"][key]),
+                                   np.asarray(plain["head"][key]), rtol=1e-6)
+    # embeddings: decay^(depth + 1)
+    f0 = decay ** (depth + 1)
+    for key in ("cls_token", "pos_embed"):
+        np.testing.assert_allclose(np.asarray(scaled[key]),
+                                   np.asarray(plain[key]) * f0, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(scaled["patch_embed"]["kernel"]),
+        np.asarray(plain["patch_embed"]["kernel"]) * f0, rtol=1e-6)
+
+
+def test_cli_llrd_trains_and_checkpoint_restores(tmp_path, capsys):
+    """--llrd runs end-to-end; its optimizer link is stateless so the
+    checkpoint restores through the default (non-llrd) eval template."""
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    ckpt = str(tmp_path / "ckpt")
+    assert train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--lr", "3e-3", "--compute-dtype", "float32",
+        "--llrd", "0.7", "--checkpoint-dir", ckpt]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["loss"])
+    assert eval_main(["--data", "synthetic", "--checkpoint", ckpt,
+                      "--batch-size", "32"]) == 0
+    ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= ev["accuracy"] <= 1.0

@@ -88,6 +88,10 @@ def build_argparser():
                         "--accum-steps k the schedule ticks once per k")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="EMA of params (shadow in opt_state); eval uses it")
+    p.add_argument("--llrd", type=float, default=None, metavar="DECAY",
+                   help="layer-wise lr decay for fine-tuning (BEiT recipe): "
+                        "block l at lr*DECAY^(depth-l), embeddings lowest, "
+                        "heads at lr; typical 0.65-0.75")
     p.add_argument("--progress", action="store_true",
                    help="per-flush in-epoch progress line")
     p.add_argument("--steps-per-dispatch", type=int, default=1,
@@ -170,7 +174,8 @@ def main(argv=None):
             schedule=warmup_cosine(args.lr, total_updates,
                                    args.warmup_steps // args.accum_steps),
             weight_decay=args.weight_decay, grad_clip=args.grad_clip,
-            ema_decay=args.ema_decay, accum_steps=args.accum_steps)
+            ema_decay=args.ema_decay, accum_steps=args.accum_steps,
+            llrd=args.llrd, llrd_depth=cfg.depth)
 
     init_state = None
     if args.init_from:
@@ -192,7 +197,8 @@ def main(argv=None):
             optimizer = make_optimizer(
                 lr=args.lr, weight_decay=args.weight_decay,
                 grad_clip=args.grad_clip, ema_decay=args.ema_decay,
-                accum_steps=args.accum_steps)
+                accum_steps=args.accum_steps,
+                llrd=args.llrd, llrd_depth=cfg.depth)
         init_state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=optimizer.init(params))
 
@@ -233,7 +239,8 @@ def main(argv=None):
             optimizer = make_optimizer(
                 lr=args.lr, weight_decay=args.weight_decay,
                 grad_clip=args.grad_clip, ema_decay=args.ema_decay,
-                accum_steps=args.accum_steps)
+                accum_steps=args.accum_steps,
+                llrd=args.llrd, llrd_depth=cfg.depth)
         dstep = make_distill_train_step(
             cfg, teacher_cfg, optimizer, alpha=args.distill_alpha,
             tau=args.distill_tau, hard=args.distill_hard,
@@ -247,7 +254,7 @@ def main(argv=None):
         progress=args.progress,
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
         eval_every=args.eval_every, log_every=args.log_every,
-        ema_decay=args.ema_decay, seed=args.seed,
+        ema_decay=args.ema_decay, llrd=args.llrd, seed=args.seed,
         steps_per_dispatch=args.steps_per_dispatch,
         accum_steps=args.accum_steps)
     mesh = None

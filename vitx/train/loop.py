@@ -56,6 +56,10 @@ class TrainerConfig:
     # Exponential moving average of params (shadow kept in opt_state; eval
     # and export use it when set). Typical: 0.999-0.9999.
     ema_decay: float | None = None
+    # Layer-wise lr decay for fine-tuning (BEiT recipe): block l trains at
+    # lr * llrd^(depth-l), embeddings at lr * llrd^(depth+1), heads at lr.
+    # Typical: 0.65-0.75. None = uniform lr.
+    llrd: float | None = None
     # Train steps folded into ONE device dispatch (a lax.scan over k stacked
     # batches, preprocessing included). For small models the per-dispatch
     # host/tunnel overhead dominates the sub-ms step (ViT-Tiny: 0.35 ms of
@@ -99,6 +103,7 @@ class Trainer:
             make_optimizer(lr=tcfg.lr, weight_decay=tcfg.weight_decay,
                            grad_clip=tcfg.grad_clip,
                            ema_decay=tcfg.ema_decay,
+                           llrd=tcfg.llrd, llrd_depth=cfg.depth,
                            accum_steps=tcfg.accum_steps)
         rng = jax.random.PRNGKey(tcfg.seed)
         self.rng, init_rng = jax.random.split(rng)

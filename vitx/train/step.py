@@ -68,6 +68,43 @@ def params_ema(decay: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+def layerwise_lr_decay(decay: float, depth: int) -> optax.GradientTransformation:
+    """Layer-wise learning-rate decay (the BEiT/ELECTRA fine-tuning recipe:
+    Bao et al. 2022 §4.1; standard for MAE/DeiT fine-tunes): parameters
+    closer to the input train with geometrically smaller learning rates.
+
+    Group assignment (layer id ``i``, scale ``decay**(depth + 1 - i)``):
+    embeddings (patch_embed / cls / dist / reg / pos) get id 0, encoder
+    block ``l`` gets id ``l + 1``, and everything after the encoder (the
+    classifier heads and final norm) gets id ``depth + 1`` → scale 1.
+
+    TPU-native twist: vitx stacks block params along a leading layer axis
+    (one ``lax.scan`` over the encoder), so per-layer scaling is ONE
+    broadcast multiply per stacked leaf — a ``(depth, 1, ...)`` factor
+    vector — instead of the reference-world's per-layer parameter groups.
+    Placed AFTER adamw in the chain, it scales the whole update (normalized
+    gradient AND decoupled weight decay), exactly equivalent to running
+    each group at ``lr * scale``. Stateless → adds no checkpoint leaves.
+    """
+    head_keys = ("head", "dist_head", "final_norm")
+    block_f = (decay ** (depth - jnp.arange(depth))).astype(jnp.float32)
+    embed_f = decay ** (depth + 1)
+
+    def update(updates, state, params=None):
+        def scale(path, u):
+            top = path[0].key
+            if top == "blocks":
+                f = block_f.reshape((depth,) + (1,) * (u.ndim - 1))
+                return u * f.astype(u.dtype)
+            if top in head_keys:
+                return u
+            return u * jnp.asarray(embed_f, u.dtype)
+        return jax.tree_util.tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                         update)
+
+
 def get_ema_params(opt_state):
     """Find the EMA shadow params inside a (possibly chained) opt_state;
     returns None when the optimizer was built without ``ema_decay``."""
@@ -81,9 +118,14 @@ def get_ema_params(opt_state):
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
                    schedule=None, grad_clip: float | None = None,
                    accum_steps: int = 1, fused: bool | str = "auto",
-                   ema_decay: float | None = None):
+                   ema_decay: float | None = None,
+                   llrd: float | None = None, llrd_depth: int | None = None):
     """AdamW (train.py:66 semantics) with optional schedule / grad clipping /
     gradient accumulation (`accum_steps` micro-batches per update).
+
+    ``llrd``: layer-wise lr-decay factor (with ``llrd_depth`` = encoder
+    depth) — see ``layerwise_lr_decay``. Stateless: checkpoints made with
+    and without it are interchangeable.
 
     ``fused``: use the single-pass Pallas AdamW kernel (vitx/kernels/adamw.py).
     Default OFF: measured on v5e (round 2), the per-leaf kernel launches run
@@ -93,7 +135,8 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
     HBM traffic dominates. Incompatible with accum_steps > 1 (MultiSteps'
     zero-update convention vs params-returning updates).
     """
-    use_fused = fused is True and accum_steps == 1 and ema_decay is None
+    use_fused = (fused is True and accum_steps == 1 and ema_decay is None
+                 and llrd is None)
     tx = []
     if grad_clip is not None:
         tx.append(optax.clip_by_global_norm(grad_clip))
@@ -105,6 +148,10 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
         opt = optax.chain(*tx)
         return _FusedOptimizer(init=opt.init, update=opt.update)
     tx.append(optax.adamw(lr_or_sched, weight_decay=weight_decay))
+    if llrd is not None:
+        if llrd_depth is None:
+            raise ValueError("llrd requires llrd_depth (the encoder depth)")
+        tx.append(layerwise_lr_decay(llrd, llrd_depth))
     if ema_decay is not None:
         # last in the chain: sees the final updates, shadows the params
         tx.append(params_ema(ema_decay))
