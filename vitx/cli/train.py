@@ -88,6 +88,10 @@ def build_argparser():
                         "--accum-steps k the schedule ticks once per k")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="EMA of params (shadow in opt_state); eval uses it")
+    p.add_argument("--num-registers", type=int, default=0, metavar="R",
+                   help="register tokens (Darcet et al. 2023): R learned "
+                        "tokens attended to but never classified; cleans "
+                        "attention/rollout maps. Typical: 4")
     p.add_argument("--llrd", type=float, default=None, metavar="DECAY",
                    help="layer-wise lr decay for fine-tuning (BEiT recipe): "
                         "block l at lr*DECAY^(depth-l), embeddings lowest, "
@@ -159,6 +163,8 @@ def main(argv=None):
         cfg = cfg.replace(drop_path=args.drop_path)
     if args.distill_token:
         cfg = cfg.replace(distill_token=True)
+    if args.num_registers:
+        cfg = cfg.replace(num_registers=args.num_registers)
 
     optimizer = None
     if args.schedule == "cosine":

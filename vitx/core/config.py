@@ -81,6 +81,14 @@ class ViTConfig:
     # logits are averaged. The distill head is always the standard
     # LN->Linear form (DeiT), independent of head_type.
     distill_token: bool = False
+    # Register tokens (Darcet et al. 2023, "Vision Transformers Need
+    # Registers"): extra learned tokens that participate in attention but
+    # are never read by any head — they absorb the high-norm "artifact"
+    # tokens and clean up attention/rollout maps. Appended AFTER the patch
+    # tokens with no positional embedding (attention is permutation-
+    # equivariant, so tail placement is equivalent to the paper's and keeps
+    # every prefix/pos-embed index unchanged). Typical: 4.
+    num_registers: int = 0
 
     layer_norm_eps: float = 1e-5  # torch nn.LayerNorm default, for parity
 
@@ -165,6 +173,14 @@ class ViTConfig:
                 "distill_token is a beyond-reference extension; bug_exact "
                 "parity reproduces the reference model, which has no "
                 "distillation token")
+        if self.num_registers < 0:
+            raise ValueError(f"num_registers must be >= 0, "
+                             f"got {self.num_registers}")
+        if self.num_registers and self.parity == "bug_exact":
+            raise ValueError(
+                "num_registers is a beyond-reference extension; bug_exact "
+                "parity reproduces the reference model, which has no "
+                "register tokens")
 
     # -- derived --
     @property
@@ -181,9 +197,16 @@ class ViTConfig:
         return 2 if self.distill_token else 1
 
     @property
-    def seq_len(self) -> int:
-        """Tokens through the encoder: patches + CLS (+ distill token)."""
+    def pos_len(self) -> int:
+        """Tokens carrying positional embeddings: prefix + patches
+        (register tokens get none — Darcet et al. 2023 semantics)."""
         return self.num_patches + self.num_prefix_tokens
+
+    @property
+    def seq_len(self) -> int:
+        """Tokens through the encoder: patches + CLS (+ distill token)
+        (+ register tokens at the tail)."""
+        return self.num_patches + self.num_prefix_tokens + self.num_registers
 
     @property
     def head_dim(self) -> int:

@@ -32,6 +32,8 @@ def write_model_bin(path, params, cfg: ViTConfig):
         raise ValueError("vitc head assumes scratch >= 8E; keep mlp_ratio=4")
     if not cfg.proj_bias:
         raise ValueError("vitc's attention always adds a projection bias")
+    if cfg.num_registers:
+        raise ValueError("vitc has no register tokens")
 
     def f32(x):
         return np.ascontiguousarray(np.asarray(x), dtype="<f4")

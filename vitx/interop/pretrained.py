@@ -225,9 +225,9 @@ def resize_pos_embed(params: dict, cfg_from: ViTConfig,
 
 def _check_pos_embed(params: dict, cfg: ViTConfig) -> dict:
     have = params["pos_embed"].shape[1]
-    if have != cfg.seq_len:
+    if have != cfg.pos_len:
         raise ValueError(
             f"pos_embed has {have} positions but the config needs "
-            f"{cfg.seq_len}; use resize_pos_embed for a different "
+            f"{cfg.pos_len}; use resize_pos_embed for a different "
             f"image size")
     return params

@@ -124,6 +124,9 @@ def export_reference_state_dict(params: dict, cfg: ViTConfig,
         raise ValueError("export requires proj_bias=True params (the "
                          "reference projection always has a bias, "
                          "transformer.py:38)")
+    if "reg_tokens" in params:
+        raise ValueError("export requires num_registers=0 params (the "
+                         "reference has no register tokens)")
 
     kernel = np.asarray(params["patch_embed"]["kernel"], np.float32)
     conv_w = kernel.reshape(P, P, C, E).transpose(3, 2, 0, 1)   # (E, C, P, P)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 
 def attention_rollout(attn_probs, *, head_fusion: str = "mean",
-                      num_prefix_tokens: int = 1):
+                      num_prefix_tokens: int = 1, num_registers: int = 0):
     """Chain per-layer attention into an input-attribution map.
 
     Args:
@@ -26,6 +26,8 @@ def attention_rollout(attn_probs, *, head_fusion: str = "mean",
         pre-fused input).
       num_prefix_tokens: special tokens before the patches — 1 (CLS) for
         plain ViTs, 2 for distill-token models (cfg.num_prefix_tokens).
+      num_registers: register tokens trailing the patches
+        (cfg.num_registers); their columns are dropped like the prefix.
 
     Returns:
       (B, N) rollout weights of the CLS token over the N patch tokens,
@@ -52,7 +54,9 @@ def attention_rollout(attn_probs, *, head_fusion: str = "mean",
     for layer in range(1, depth):
         rollout = jnp.einsum("bij,bjk->bik", aug[layer], rollout)
 
-    cls_to_patches = rollout[:, 0, num_prefix_tokens:]    # CLS row, patch cols
+    # CLS row, patch cols (registers, when present, trail the patches)
+    end = T - num_registers
+    cls_to_patches = rollout[:, 0, num_prefix_tokens:end]
     denom = jnp.sum(cls_to_patches, axis=-1, keepdims=True)
     return cls_to_patches / jnp.maximum(denom, 1e-12)
 

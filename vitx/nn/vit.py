@@ -110,8 +110,13 @@ def init_params(rng, cfg: ViTConfig) -> Params:
     params: Params = {
         "patch_embed": embed,
         "cls_token": _trunc_normal(next(k), (1, 1, E), std, pdt),
-        "pos_embed": _trunc_normal(next(k), (1, cfg.seq_len, E), std, pdt),
+        # registers (if any) carry no positional rows: pos_len, not seq_len
+        "pos_embed": _trunc_normal(next(k), (1, cfg.pos_len, E), std, pdt),
     }
+    if cfg.num_registers:
+        # Darcet et al. 2023: learned tokens attended to but never read
+        params["reg_tokens"] = _trunc_normal(
+            next(k), (1, cfg.num_registers, E), std, pdt)
     if cfg.distill_token:
         # DeiT: a second learned token (position 1) with its own linear
         # head — trained against the teacher, averaged with CLS at eval
@@ -416,6 +421,17 @@ def _join_cls(params: Params, tokens, cfg: ViTConfig, B: int):
     return jnp.concatenate([cls, tokens], axis=1)
 
 
+def _append_registers(params: Params, x, cfg: ViTConfig, B: int):
+    """Append the register tokens (Darcet et al. 2023) after the patch
+    tokens — POST pos-embed, so they carry no positional rows. No-op when
+    cfg.num_registers == 0."""
+    if not cfg.num_registers:
+        return x
+    reg = jnp.broadcast_to(params["reg_tokens"].astype(x.dtype),
+                           (B, cfg.num_registers, cfg.embed_dim))
+    return jnp.concatenate([x, reg], axis=1)
+
+
 def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
            deterministic: bool = True, return_probs: bool = False,
            probs_mode: str = "full"):
@@ -430,6 +446,7 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
 
     x = _join_cls(params, tokens, cfg, B)
     x = x + params["pos_embed"].astype(cdt)
+    x = _append_registers(params, x, cfg, B)
     if rng is not None:
         rng, r = jax.random.split(rng)
         x = dropout(x, cfg.dropout, r, deterministic=deterministic)
@@ -539,6 +556,7 @@ def forward_with_rollout(params: Params, images, cfg: ViTConfig):
 
     x = _join_cls(params, tokens, cfg, B)
     x = x + params["pos_embed"].astype(cdt)
+    x = _append_registers(params, x, cfg, B)
 
     eye = jnp.eye(T, dtype=jnp.float32)
 
@@ -575,8 +593,10 @@ def forward_with_rollout(params: Params, images, cfg: ViTConfig):
         # over the patch tokens (the appended CLS column is dropped)
         cls_to_patches = rollout[:, 0, :-1]
     else:
-        # skip the prefix tokens (CLS + optional distill token)
-        cls_to_patches = rollout[:, 0, cfg.num_prefix_tokens:]
+        # keep only the patch columns: skip the prefix tokens (CLS +
+        # optional distill token) and drop the trailing register columns
+        p = cfg.num_prefix_tokens
+        cls_to_patches = rollout[:, 0, p:p + cfg.num_patches]
     denom = jnp.sum(cls_to_patches, axis=-1, keepdims=True)
     weights = cls_to_patches / jnp.maximum(denom, 1e-12)
     logits = classify(params, x, cfg)

@@ -78,6 +78,8 @@ def param_pspecs(cfg: ViTConfig, tp: bool = False) -> dict:
         specs["dist_token"] = P()
         specs["dist_head"] = {"ln_scale": P(), "ln_bias": P(),
                               "w": P(), "b": P()}
+    if cfg.num_registers:
+        specs["reg_tokens"] = P()
     if cfg.final_norm:
         specs["final_norm"] = {"scale": P(), "bias": P()}
     if cfg.head_type == "reference":
