@@ -1,0 +1,140 @@
+"""ToMe token merging (vitx/nn/tome.py, Bolya et al. 2023)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitx.core.config import ViTConfig
+from vitx.nn.tome import encode_tome, merge_tokens
+from vitx.nn.vit import forward, init_params
+
+CFG = ViTConfig(image_size=32, patch_size=4, num_classes=4, embed_dim=32,
+                depth=3, num_heads=2, compute_dtype="float32")   # 64 patches
+
+
+def test_merge_tokens_conserves_token_mass():
+    """sizes track how many originals each token stands for — the total
+    must be conserved, protected rows untouched, T shrinks by exactly r."""
+    B, T, E, r = 2, 13, 8, 3          # 1 prefix + 10 patches + 2 registers
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, T, E))
+    metric = jax.random.normal(jax.random.PRNGKey(1), (B, T, 4))
+    sizes = jnp.ones((B, T))
+
+    x2, s2 = merge_tokens(x, sizes, metric, r, n_prefix=1, n_reg=2)
+    assert x2.shape == (B, T - r, E)
+    assert s2.shape == (B, T - r)
+    np.testing.assert_allclose(np.asarray(s2).sum(-1), T, rtol=1e-6)
+    # prefix row and register tail pass through bit-exactly
+    np.testing.assert_array_equal(np.asarray(x2[:, 0]), np.asarray(x[:, 0]))
+    np.testing.assert_array_equal(np.asarray(x2[:, -2:]),
+                                  np.asarray(x[:, -2:]))
+    np.testing.assert_array_equal(np.asarray(s2[:, -2:]), 1.0)
+
+
+def test_tome_is_lossless_on_identical_tokens():
+    """With zeroed positional embeddings and a constant image every patch
+    token is identical, so (a) merging loses nothing and (b) proportional
+    attention must weight merged tokens exactly by their size — ToMe logits
+    equal full-model logits."""
+    cfg = CFG.replace(tome_r=8)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = dict(params)
+    params["pos_embed"] = jnp.zeros_like(params["pos_embed"])
+    x = jnp.ones((2, cfg.image_size, cfg.image_size, 3)) * 0.3
+
+    full = forward(params, x, cfg.replace(tome_r=0))
+    merged = forward(params, x, cfg)          # deterministic -> ToMe path
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(full),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_tome_keeps_trained_predictions():
+    """Merging r=4/block on an overfit model keeps the argmax predictions
+    (the accuracy-throughput tradeoff must be mild at small r)."""
+    from vitx.train.step import (create_train_state, make_optimizer,
+                                 make_train_step)
+
+    opt = make_optimizer(lr=3e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    step = make_train_step(CFG, opt)
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(2),
+                                        (8, 32, 32, 3)),
+             "label": jax.random.randint(jax.random.PRNGKey(3), (8,), 0, 4)}
+    for _ in range(40):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert float(m["loss"]) < 0.1
+
+    full = forward(state.params, batch["image"], CFG)
+    merged = forward(state.params, batch["image"], CFG.replace(tome_r=4))
+    assert merged.shape == full.shape
+    np.testing.assert_array_equal(np.argmax(np.asarray(merged), -1),
+                                  np.argmax(np.asarray(full), -1))
+
+
+def test_tome_with_registers_and_distill():
+    """Layout invariant holds with a distill token and registers: both
+    heads read their tokens, registers survive at the tail."""
+    cfg = CFG.replace(tome_r=4, distill_token=True, num_registers=3)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 3))
+    toks = encode_tome(params, x, cfg)
+    assert toks.shape == (2, cfg.seq_len - cfg.depth * cfg.tome_r,
+                          cfg.embed_dim)
+    logits = forward(params, x, cfg)
+    assert logits.shape == (2, 4)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_tome_r_validation():
+    with pytest.raises(ValueError, match="tome_r"):
+        CFG.replace(tome_r=17)        # 64 patches, depth 3 -> max r = 16
+    CFG.replace(tome_r=16)            # boundary is legal
+    with pytest.raises(ValueError, match="tome_r"):
+        ViTConfig(image_size=16, patch_size=4, tome_r=1, parity="bug_exact")
+
+
+def test_cli_eval_tome(tmp_path, capsys):
+    """--tome-r on the eval CLI routes the restored checkpoint through the
+    merged encoder and still produces a well-formed report."""
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--lr", "3e-3",
+        "--checkpoint-dir", str(tmp_path / "c"),
+        "--compute-dtype", "float32",
+    ])
+    capsys.readouterr()
+    rc = eval_main(["--data", "synthetic", "--checkpoint",
+                    str(tmp_path / "c"), "--batch-size", "32",
+                    "--tome-r", "4"])
+    assert rc == 0
+    import json
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= out["accuracy"] <= 1.0
+    assert out["num_examples"] == 512
+
+
+def test_tome_training_uses_full_tokens():
+    """tome_r is inference-only: the train step (deterministic=False) runs
+    the full token set, so training a tome_r config matches training the
+    plain config exactly."""
+    from vitx.train.step import (create_train_state, make_optimizer,
+                                 make_train_step)
+
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(2),
+                                        (4, 32, 32, 3)),
+             "label": jax.random.randint(jax.random.PRNGKey(3), (4,), 0, 4)}
+
+    losses = []
+    for cfg in (CFG, CFG.replace(tome_r=4)):
+        opt = make_optimizer(lr=1e-3)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+        step = make_train_step(cfg, opt)
+        for _ in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(m["loss"]))
+    assert losses[0] == losses[1]

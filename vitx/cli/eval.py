@@ -36,6 +36,11 @@ def main(argv=None):
     p.add_argument("--predict", default=None, metavar="OUT.jsonl",
                    help="also write per-example predictions (id, label, "
                         "pred, prob) as JSON lines")
+    p.add_argument("--tome-r", type=int, default=0,
+                   help="ToMe token merging: merge this many patch-token "
+                        "pairs per block at inference (vitx/nn/tome.py); "
+                        "works on any checkpoint, trades a small accuracy "
+                        "delta for throughput")
     args = p.parse_args(argv)
 
     from vitx.cli.train import make_datasets
@@ -60,6 +65,8 @@ def main(argv=None):
                         len(classes) if classes else cfg.num_classes)
     if n_classes != cfg.num_classes:
         cfg = cfg.replace(num_classes=n_classes)
+    if args.tome_r:
+        cfg = cfg.replace(tome_r=args.tome_r)
 
     from vitx.train.checkpoint import restore_eval_params
 

@@ -95,6 +95,10 @@ def main(argv=None):
     p.add_argument("--max-delay-ms", type=float, default=5.0)
     p.add_argument("--dp", type=int, default=None,
                    help="serve over a data-parallel mesh of this many chips")
+    p.add_argument("--tome-r", type=int, default=0,
+                   help="ToMe token merging: merge this many patch-token "
+                        "pairs per block (vitx/nn/tome.py) — higher "
+                        "throughput for a small accuracy delta")
     args = p.parse_args(argv)
 
     from vitx.serve import load_server
@@ -111,6 +115,8 @@ def main(argv=None):
         if saved and "config" in saved:
             # self-describing checkpoints: serve the exact trained geometry
             cfg = ViTConfig.from_json(json.dumps(saved["config"]))
+    if args.tome_r:
+        cfg = cfg.replace(tome_r=args.tome_r)
     mesh = None
     if args.dp is not None:
         from vitx.parallel import make_mesh

@@ -89,6 +89,12 @@ class ViTConfig:
     # equivariant, so tail placement is equivalent to the paper's and keeps
     # every prefix/pos-embed index unchanged). Typical: 4.
     num_registers: int = 0
+    # Token merging (ToMe, Bolya et al. 2023): merge the tome_r most
+    # similar patch-token pairs per block at INFERENCE — block l runs on
+    # seq_len - l*tome_r tokens, trading a small accuracy delta for large
+    # throughput (vitx/nn/tome.py; forward-only; training/probs paths
+    # ignore it). 0 = off. Works on any trained checkpoint unchanged.
+    tome_r: int = 0
 
     layer_norm_eps: float = 1e-5  # torch nn.LayerNorm default, for parity
 
@@ -181,6 +187,20 @@ class ViTConfig:
                 "num_registers is a beyond-reference extension; bug_exact "
                 "parity reproduces the reference model, which has no "
                 "register tokens")
+        if self.tome_r < 0:
+            raise ValueError(f"tome_r must be >= 0, got {self.tome_r}")
+        if self.tome_r:
+            if self.parity == "bug_exact":
+                raise ValueError("tome_r is a beyond-reference extension; "
+                                 "bug_exact parity has no token merging")
+            # every block needs >= 2*r patch tokens left to split A/B
+            # block l merges with N - l*r patches left; the last block
+            # needs N - (depth-1)*r >= 2r, i.e. r <= N // (depth + 1)
+            if self.num_patches < self.tome_r * (self.depth + 1):
+                raise ValueError(
+                    f"tome_r={self.tome_r} exhausts the {self.num_patches} "
+                    f"patch tokens before block {self.depth}; max r here is "
+                    f"{self.num_patches // (self.depth + 1)}")
 
     # -- derived --
     @property

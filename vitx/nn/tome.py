@@ -1,0 +1,163 @@
+"""Token merging (ToMe) — inference acceleration by shrinking the token set.
+
+Implements Bolya et al. 2023, "Token Merging: Your ViT But Faster": between
+the attention and MLP of every block, the ``r`` most similar pairs of patch
+tokens are merged (size-weighted average), so block ``l`` runs on
+``T - l*r`` tokens. Attention logits get a ``log(size)`` key bias
+("proportional attention") so a merged token counts as many.
+
+Beyond-reference capability (the reference always runs every token,
+``src/VisionTransformer/transformer.py:20-31``); the TPU-native design
+constraint is STATIC SHAPES: ``r`` is a compile-time constant, each block
+is traced at its own fixed token count (an unrolled loop, not the scan),
+and the merge itself is expressed as one-hot matmuls + static-size gathers
+— no dynamic shapes anywhere, everything lowers onto the MXU/VPU.
+
+Layout invariant: tokens stay ordered [prefix (CLS + distill) | patches |
+registers]; only PATCH tokens are merge candidates, so the head's token-0
+read, the distill token and the register tail are untouched.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vitx.core.config import ViTConfig
+from vitx.nn.layers import activation, layer_norm
+
+Params = dict
+
+
+def _attention_with_sizes(h, bp, cfg: ViTConfig, log_size):
+    """Standard MHA over h (B, T, E) with ToMe's proportional-attention key
+    bias ``log_size`` (B, T); returns (out, k_mean) where k_mean (B, T, Dh)
+    is the head-mean key — ToMe's merge metric (paper §3, "use the keys")."""
+    B, T, E = h.shape
+    H, D = cfg.num_heads, cfg.head_dim
+    wqkv = bp["wqkv"].astype(h.dtype)                     # (E, 3, H, D)
+    qkv = jnp.einsum("bte,eshd->sbhtd", h, wqkv,
+                     preferred_element_type=jnp.float32).astype(h.dtype)
+    if bp.get("bqkv") is not None:
+        qkv = qkv + bp["bqkv"].astype(h.dtype)[:, None, :, None, :]
+    q, k, v = qkv[0], qkv[1], qkv[2]                      # (B, H, T, D)
+    scale = 1.0 / (D ** 0.5)
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    # proportional attention: a token standing for s originals counts s×
+    logits = logits + log_size[:, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
+    out = jnp.einsum("bhts,bhsd->bthd", probs, v,
+                     preferred_element_type=jnp.float32).astype(h.dtype)
+    out = out.reshape(B, T, E)
+    out = jnp.einsum("bte,ef->btf", out, bp["wo"].astype(h.dtype),
+                     preferred_element_type=jnp.float32).astype(h.dtype)
+    if bp.get("bo") is not None:
+        out = out + bp["bo"].astype(h.dtype)
+    return out, k.mean(axis=1)                            # (B, T, Dh)
+
+
+def merge_tokens(x, sizes, metric, r: int, n_prefix: int, n_reg: int):
+    """One bipartite-soft-matching merge step (paper Alg. 1), static shapes.
+
+    Args:
+      x:      (B, T, E) tokens, ordered [prefix | patches | registers].
+      sizes:  (B, T) how many original tokens each current token stands for.
+      metric: (B, T, D) similarity metric (head-mean attention keys).
+      r:      tokens to remove (static).
+      n_prefix / n_reg: protected token counts at the front / tail.
+
+    Returns (x', sizes') with T' = T - r, same ordering invariant.
+    """
+    B, T, E = x.shape
+    npatch = T - n_prefix - n_reg
+    if not (0 < r <= npatch // 2):
+        raise ValueError(f"tome r={r} needs 0 < r <= {npatch // 2} "
+                         f"(half the {npatch} patch tokens)")
+    p = slice(n_prefix, n_prefix + npatch)
+    xp, sp, mp = x[:, p], sizes[:, p], metric[:, p]
+
+    # alternate split of the patch region: A = even, B = odd local index
+    ma, mb = mp[:, 0::2], mp[:, 1::2]
+    xa, xb = xp[:, 0::2], xp[:, 1::2]
+    sa, sb = sp[:, 0::2], sp[:, 1::2]
+    na, nb = ma.shape[1], mb.shape[1]
+
+    # cosine similarity of every A token to every B token
+    ma = ma / jnp.maximum(jnp.linalg.norm(ma, axis=-1, keepdims=True), 1e-6)
+    mbn = mb / jnp.maximum(jnp.linalg.norm(mb, axis=-1, keepdims=True), 1e-6)
+    scores = jnp.einsum("bad,bcd->bac", ma, mbn,
+                        preferred_element_type=jnp.float32)  # (B, na, nb)
+    best = jnp.max(scores, axis=-1)                          # (B, na)
+    dst = jnp.argmax(scores, axis=-1)                        # (B, na)
+
+    # the r most-similar A tokens merge into their best B match
+    _, sel = jax.lax.top_k(best, r)                          # (B, r)
+    merged = jnp.zeros((B, na), bool).at[
+        jnp.arange(B)[:, None], sel].set(True)
+
+    dst_sel = jnp.take_along_axis(dst, sel, axis=1)          # (B, r)
+    xa_sel = jnp.take_along_axis(xa, sel[..., None], axis=1)  # (B, r, E)
+    sa_sel = jnp.take_along_axis(sa, sel, axis=1)            # (B, r)
+
+    # size-weighted scatter-add into B, as one-hot matmuls (MXU-friendly,
+    # and duplicate destinations accumulate correctly)
+    onehot = jax.nn.one_hot(dst_sel, nb, dtype=jnp.float32)  # (B, r, nb)
+    add_x = jnp.einsum("brn,bre->bne", onehot,
+                       xa_sel.astype(jnp.float32) * sa_sel[..., None])
+    add_s = jnp.einsum("brn,br->bn", onehot, sa_sel.astype(jnp.float32))
+    sb_new = sb + add_s
+    xb_new = ((xb.astype(jnp.float32) * sb[..., None] + add_x)
+              / sb_new[..., None]).astype(x.dtype)
+
+    # surviving A tokens, original order (stable sort: unmerged first)
+    order = jnp.argsort(merged, axis=1, stable=True)[:, : na - r]
+    xa_keep = jnp.take_along_axis(xa, order[..., None], axis=1)
+    sa_keep = jnp.take_along_axis(sa, order, axis=1)
+
+    x_out = jnp.concatenate(
+        [x[:, :n_prefix], xa_keep, xb_new, x[:, T - n_reg:]], axis=1) \
+        if n_reg else jnp.concatenate(
+            [x[:, :n_prefix], xa_keep, xb_new], axis=1)
+    s_out = jnp.concatenate(
+        [sizes[:, :n_prefix], sa_keep, sb_new, sizes[:, T - n_reg:]],
+        axis=1) if n_reg else jnp.concatenate(
+            [sizes[:, :n_prefix], sa_keep, sb_new], axis=1)
+    return x_out, s_out
+
+
+def encode_tome(params: Params, images, cfg: ViTConfig):
+    """ToMe encoder: unrolled blocks, ``cfg.tome_r`` patch tokens merged per
+    block. Inference-only (deterministic). Returns final tokens (B, T', E)
+    with the [prefix | merged patches | registers] layout preserved."""
+    from vitx.nn.layers import mlp
+    from vitx.nn.vit import _append_registers, _join_cls, patch_embed
+
+    cdt = cfg.cdtype()
+    tokens = patch_embed(params, images, cfg)
+    B = tokens.shape[0]
+    x = _join_cls(params, tokens, cfg, B)
+    x = x + params["pos_embed"].astype(cdt)
+    x = _append_registers(params, x, cfg, B)
+
+    sizes = jnp.ones((B, x.shape[1]), jnp.float32)
+    blocks = params["blocks"]
+    r, n_pre, n_reg = cfg.tome_r, cfg.num_prefix_tokens, cfg.num_registers
+
+    for l in range(cfg.depth):
+        bp = jax.tree.map(lambda a: a[l], blocks)
+        h = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"],
+                       eps=cfg.layer_norm_eps)
+        attn_out, k_mean = _attention_with_sizes(h, bp, cfg, jnp.log(sizes))
+        x = x + attn_out
+        if r:
+            x, sizes = merge_tokens(x, sizes, k_mean, r, n_pre, n_reg)
+        h = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"],
+                       eps=cfg.layer_norm_eps)
+        x = x + mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"],
+                    act=cfg.mlp_act)
+
+    if cfg.final_norm:
+        fn = params["final_norm"]
+        x = layer_norm(x, fn["scale"], fn["bias"], eps=cfg.layer_norm_eps)
+    return x

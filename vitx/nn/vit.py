@@ -512,8 +512,18 @@ def forward(params: Params, images, cfg: ViTConfig, *, rng=None,
     """Full model: images (B, H, W, C) -> logits (B, classes), fp32.
 
     With cfg.distill_token the two heads' logits are averaged (DeiT's
-    inference-time fusion of the class and distillation classifiers)."""
-    x, _ = encode(params, images, cfg, rng=rng, deterministic=deterministic)
+    inference-time fusion of the class and distillation classifiers).
+    With cfg.tome_r > 0, deterministic (inference) calls run the ToMe
+    token-merging encoder (vitx/nn/tome.py); training and the probs paths
+    always run the full token set.
+    """
+    if cfg.tome_r and deterministic:
+        from vitx.nn.tome import encode_tome
+
+        x = encode_tome(params, images, cfg)
+    else:
+        x, _ = encode(params, images, cfg, rng=rng,
+                      deterministic=deterministic)
     logits = classify(params, x, cfg)
     if cfg.distill_token:
         logits = 0.5 * (logits + classify_dist(params, x, cfg))
