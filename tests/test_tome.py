@@ -118,6 +118,33 @@ def test_cli_eval_tome(tmp_path, capsys):
     assert out["num_examples"] == 512
 
 
+def test_tome_dp_mesh_matches_single_device():
+    """The ToMe encoder is plain jnp ops — under a dp mesh the merged
+    forward must partition batch-parallel and reproduce the single-device
+    confusion matrix exactly."""
+    from vitx.parallel import make_mesh, make_parallel_eval_step, shard_batch
+    from vitx.parallel.sharded import place_state
+    from vitx.train.step import (create_train_state, make_eval_step,
+                                 make_optimizer)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    cfg = CFG.replace(tome_r=4)
+    mesh = make_mesh(dp=8, tp=1)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(7),
+                                        (32, 32, 32, 3)),
+             "label": jax.random.randint(jax.random.PRNGKey(8), (32,), 0, 4)}
+
+    cm_ref, loss_ref = make_eval_step(cfg)(state.params, batch)
+    state_p = place_state(state, cfg, mesh)
+    cm_par, loss_par = make_parallel_eval_step(cfg, mesh)(
+        state_p.params, shard_batch(batch, mesh))
+    np.testing.assert_array_equal(np.asarray(cm_ref), np.asarray(cm_par))
+    np.testing.assert_allclose(float(loss_ref), float(loss_par), rtol=1e-5)
+
+
 def test_tome_training_uses_full_tokens():
     """tome_r is inference-only: the train step (deterministic=False) runs
     the full token set, so training a tome_r config matches training the
