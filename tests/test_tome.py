@@ -118,6 +118,39 @@ def test_cli_eval_tome(tmp_path, capsys):
     assert out["num_examples"] == 512
 
 
+def test_tome_source_tracking_is_a_partition():
+    """Source map invariants: every original token belongs to exactly ONE
+    final token (columns are a partition), row sums equal sizes, protected
+    rows keep their identity, and the grid assignment is well-formed."""
+    from vitx.nn.tome import tome_patch_assignment
+
+    cfg = CFG.replace(tome_r=8, num_registers=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
+
+    toks, src = encode_tome(params, x, cfg, return_sources=True)
+    T0 = cfg.seq_len
+    Tf = T0 - cfg.depth * cfg.tome_r
+    assert toks.shape[1] == Tf and src.shape == (2, Tf, T0)
+    s = np.asarray(src)
+    # partition: each original token owned by exactly one final token
+    np.testing.assert_array_equal(s.sum(axis=1), 1.0)
+    assert set(np.unique(s)) <= {0.0, 1.0}
+    # CLS (row 0) and the register tail never merge
+    np.testing.assert_array_equal(s[:, 0, 0], 1.0)
+    assert s[:, 0].sum() == 2.0
+    np.testing.assert_array_equal(s[:, -2:, -2:].sum((1, 2)), 2.0)
+
+    grid = np.asarray(tome_patch_assignment(src, cfg))
+    g = cfg.image_size // cfg.patch_size
+    assert grid.shape == (2, g, g)
+    # merged map has exactly npatch - depth*r distinct owners... at most;
+    # every owner index points at a real final token
+    assert grid.max() < Tf and grid.min() >= 0
+    n_owner = len(np.unique(grid[0]))
+    assert n_owner == cfg.num_patches - cfg.depth * cfg.tome_r
+
+
 def test_tome_dp_mesh_matches_single_device():
     """The ToMe encoder is plain jnp ops — under a dp mesh the merged
     forward must partition batch-parallel and reproduce the single-device

@@ -57,7 +57,8 @@ def _attention_with_sizes(h, bp, cfg: ViTConfig, log_size):
     return out, k.mean(axis=1)                            # (B, T, Dh)
 
 
-def merge_tokens(x, sizes, metric, r: int, n_prefix: int, n_reg: int):
+def merge_tokens(x, sizes, metric, r: int, n_prefix: int, n_reg: int,
+                 sources=None):
     """One bipartite-soft-matching merge step (paper Alg. 1), static shapes.
 
     Args:
@@ -66,8 +67,12 @@ def merge_tokens(x, sizes, metric, r: int, n_prefix: int, n_reg: int):
       metric: (B, T, D) similarity metric (head-mean attention keys).
       r:      tokens to remove (static).
       n_prefix / n_reg: protected token counts at the front / tail.
+      sources: optional (B, T, N0) 0/1 map of which ORIGINAL tokens each
+        current token contains (the paper's source tracking, used for
+        visualization); merged rows are summed, so it stays a partition.
 
-    Returns (x', sizes') with T' = T - r, same ordering invariant.
+    Returns (x', sizes') with T' = T - r, same ordering invariant —
+    or (x', sizes', sources') when sources is given.
     """
     B, T, E = x.shape
     npatch = T - n_prefix - n_reg
@@ -123,13 +128,35 @@ def merge_tokens(x, sizes, metric, r: int, n_prefix: int, n_reg: int):
         [sizes[:, :n_prefix], sa_keep, sb_new, sizes[:, T - n_reg:]],
         axis=1) if n_reg else jnp.concatenate(
             [sizes[:, :n_prefix], sa_keep, sb_new], axis=1)
-    return x_out, s_out
+    if sources is None:
+        return x_out, s_out
+
+    # source map follows the same routing with SUM semantics (like sizes,
+    # but per-original-token columns)
+    srcp = sources[:, p]
+    srca, srcb = srcp[:, 0::2], srcp[:, 1::2]
+    srca_sel = jnp.take_along_axis(srca, sel[..., None], axis=1)
+    srcb_new = srcb + jnp.einsum("brn,brk->bnk", onehot,
+                                 srca_sel.astype(jnp.float32)).astype(
+                                     sources.dtype)
+    srca_keep = jnp.take_along_axis(srca, order[..., None], axis=1)
+    src_out = jnp.concatenate(
+        [sources[:, :n_prefix], srca_keep, srcb_new,
+         sources[:, T - n_reg:]], axis=1) \
+        if n_reg else jnp.concatenate(
+            [sources[:, :n_prefix], srca_keep, srcb_new], axis=1)
+    return x_out, s_out, src_out
 
 
-def encode_tome(params: Params, images, cfg: ViTConfig):
+def encode_tome(params: Params, images, cfg: ViTConfig,
+                return_sources: bool = False):
     """ToMe encoder: unrolled blocks, ``cfg.tome_r`` patch tokens merged per
     block. Inference-only (deterministic). Returns final tokens (B, T', E)
-    with the [prefix | merged patches | registers] layout preserved."""
+    with the [prefix | merged patches | registers] layout preserved.
+
+    With ``return_sources`` also returns a (B, T', T0) 0/1 partition map of
+    which original tokens each final token contains (the paper's source
+    tracking; see ``tome_patch_assignment`` for the visualization form)."""
     from vitx.nn.layers import mlp
     from vitx.nn.vit import _append_registers, _join_cls, patch_embed
 
@@ -141,6 +168,9 @@ def encode_tome(params: Params, images, cfg: ViTConfig):
     x = _append_registers(params, x, cfg, B)
 
     sizes = jnp.ones((B, x.shape[1]), jnp.float32)
+    sources = (jnp.broadcast_to(jnp.eye(x.shape[1], dtype=jnp.float32),
+                                (B, x.shape[1], x.shape[1]))
+               if return_sources else None)
     blocks = params["blocks"]
     r, n_pre, n_reg = cfg.tome_r, cfg.num_prefix_tokens, cfg.num_registers
 
@@ -150,7 +180,10 @@ def encode_tome(params: Params, images, cfg: ViTConfig):
                        eps=cfg.layer_norm_eps)
         attn_out, k_mean = _attention_with_sizes(h, bp, cfg, jnp.log(sizes))
         x = x + attn_out
-        if r:
+        if r and sources is not None:
+            x, sizes, sources = merge_tokens(x, sizes, k_mean, r, n_pre,
+                                             n_reg, sources=sources)
+        elif r:
             x, sizes = merge_tokens(x, sizes, k_mean, r, n_pre, n_reg)
         h = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"],
                        eps=cfg.layer_norm_eps)
@@ -160,4 +193,17 @@ def encode_tome(params: Params, images, cfg: ViTConfig):
     if cfg.final_norm:
         fn = params["final_norm"]
         x = layer_norm(x, fn["scale"], fn["bias"], eps=cfg.layer_norm_eps)
-    return x
+    return (x, sources) if return_sources else x
+
+
+def tome_patch_assignment(sources, cfg: ViTConfig):
+    """Visualization helper: collapse a source map from ``encode_tome(...,
+    return_sources=True)`` to a (B, grid, grid) int map — for every original
+    patch position, the index of the final merged token that absorbed it
+    (same-integer cells merged together; plot with a categorical cmap)."""
+    n_pre = cfg.num_prefix_tokens
+    npatch = cfg.num_patches
+    patch_cols = sources[:, :, n_pre:n_pre + npatch]   # (B, T', npatch)
+    owner = jnp.argmax(patch_cols, axis=1)             # (B, npatch)
+    g = cfg.image_size // cfg.patch_size
+    return owner.reshape(-1, g, g)
