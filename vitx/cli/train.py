@@ -61,6 +61,10 @@ def build_argparser():
                         "the two alternate 50/50 per batch (DeiT recipe)")
     p.add_argument("--drop-path", type=float, default=0.0,
                    help="max stochastic-depth rate (linear over depth)")
+    p.add_argument("--sam-rho", type=float, default=None,
+                   help="sharpness-aware minimization radius (Foret 2021; "
+                        "~0.05): update with the gradient at params + "
+                        "rho*g/||g||, one extra fwd+bwd per step")
     # knowledge distillation (vitx/train/distill.py)
     p.add_argument("--distill-from", default=None, metavar="CKPT",
                    help="teacher checkpoint (vitx {epoch}.ckpt dir or file; "
@@ -257,7 +261,7 @@ def main(argv=None):
         epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,
         grad_clip=args.grad_clip, label_smoothing=args.label_smoothing,
         mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
-        progress=args.progress,
+        sam_rho=args.sam_rho, progress=args.progress,
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
         eval_every=args.eval_every, log_every=args.log_every,
         ema_decay=args.ema_decay, llrd=args.llrd, seed=args.seed,

@@ -233,7 +233,8 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                              zero3: bool = False, state_shardings=None,
                              label_smoothing: float = 0.0,
                              mixup_alpha: float | None = None,
-                             cutmix_alpha: float | None = None):
+                             cutmix_alpha: float | None = None,
+                             sam_rho: float | None = None):
     """Jitted SPMD train step. State donated; grads psum over ``data``.
 
     Shardings are inferred from the placed inputs (pjit committed-input
@@ -244,7 +245,8 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
     cfg = tp_safe_cfg(cfg, tp)
     step_fn = partial(train_step, cfg=cfg, optimizer=optimizer,
                       label_smoothing=label_smoothing,
-                      mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha)
+                      mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha,
+                      sam_rho=sam_rho)
 
     def wrapped(state, batch, rng):
         return step_fn(state, batch, rng)

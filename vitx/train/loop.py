@@ -41,6 +41,10 @@ class TrainerConfig:
     label_smoothing: float = 0.0
     mixup_alpha: float | None = None
     cutmix_alpha: float | None = None
+    # Sharpness-aware minimization (Foret 2021; the Chen 2021 ViT recipe):
+    # ascend rho along the normalized gradient, update with the gradient
+    # there. ~2x step cost. Typical: 0.05 (ViT-B ImageNet).
+    sam_rho: float | None = None
     log_every: int = 50               # steps between scalar flushes
     checkpoint_dir: str | None = None
     log_dir: str | None = None
@@ -134,7 +138,8 @@ class Trainer:
                 state_shardings=shardings,
                 label_smoothing=tcfg.label_smoothing,
                 mixup_alpha=tcfg.mixup_alpha,
-                cutmix_alpha=tcfg.cutmix_alpha)
+                cutmix_alpha=tcfg.cutmix_alpha,
+                sam_rho=tcfg.sam_rho)
             self.eval_step = eval_step or make_parallel_eval_step(cfg, mesh,
                                                                   tp=tp)
         else:
@@ -143,7 +148,8 @@ class Trainer:
                                    cfg, self.optimizer,
                                    label_smoothing=tcfg.label_smoothing,
                                    mixup_alpha=tcfg.mixup_alpha,
-                                   cutmix_alpha=tcfg.cutmix_alpha))
+                                   cutmix_alpha=tcfg.cutmix_alpha,
+                                   sam_rho=tcfg.sam_rho))
             self.eval_step = eval_step or make_eval_step(cfg)
         self.preprocess = preprocess
         if tcfg.steps_per_dispatch > 1 and mesh is not None:
@@ -213,7 +219,8 @@ class Trainer:
         raw = partial(_train_step, cfg=self.cfg, optimizer=self.optimizer,
                       label_smoothing=tcfg.label_smoothing,
                       mixup_alpha=tcfg.mixup_alpha,
-                      cutmix_alpha=tcfg.cutmix_alpha)
+                      cutmix_alpha=tcfg.cutmix_alpha,
+                      sam_rho=tcfg.sam_rho)
         pre = self.preprocess
 
         def multi(state, batches, rng):

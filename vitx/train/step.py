@@ -276,14 +276,33 @@ def loss_fn(params, batch, cfg: ViTConfig, rng, *,
 def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
                label_smoothing: float = 0.0,
                mixup_alpha: float | None = None,
-               cutmix_alpha: float | None = None):
-    """One SGD step. batch: {"image": (B,H,W,C), "label": (B,)}."""
+               cutmix_alpha: float | None = None,
+               sam_rho: float | None = None):
+    """One SGD step. batch: {"image": (B,H,W,C), "label": (B,)}.
+
+    ``sam_rho``: sharpness-aware minimization (Foret et al. 2021; Chen et
+    al. 2021 showed it lets ViTs match their augmented recipes from
+    scratch). The update direction is the gradient at the adversarial
+    point ``params + rho * g/||g||`` — one extra forward+backward per step
+    (~2x step cost), same optimizer state, composes with every other
+    recipe knob. Under a mesh the perturbation uses the GLOBAL gradient
+    norm (XLA's all-reduced grads), so sharded trajectories stay exactly
+    single-device-identical."""
     step_rng = jax.random.fold_in(rng, state.step) if rng is not None else None
     grad_fn = jax.value_and_grad(
         partial(loss_fn, label_smoothing=label_smoothing,
                 mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha),
         has_aux=True)
     (loss, logits), grads = grad_fn(state.params, batch, cfg, step_rng)
+    grad_norm = optax.global_norm(grads)
+    if sam_rho:
+        # first-order SAM: re-evaluate the gradient at the ascent point,
+        # keep loss/logits/metrics from the clean pass
+        scale = sam_rho / (grad_norm + 1e-12)
+        params_adv = jax.tree.map(
+            lambda p, g: p + (scale * g).astype(p.dtype),
+            state.params, grads)
+        _, grads = grad_fn(params_adv, batch, cfg, step_rng)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     if getattr(optimizer, "returns_new_params", False):
         params = updates           # fused kernel already applied the step
@@ -301,7 +320,7 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
     metrics = {
         "loss": loss,
         "accuracy": acc,
-        "grad_norm": optax.global_norm(grads),
+        "grad_norm": grad_norm,   # clean-pass norm (= SAM's ascent norm)
     }
     return new_state, metrics
 
@@ -330,12 +349,13 @@ def eval_step(params, batch, *, cfg: ViTConfig):
 def make_train_step(cfg: ViTConfig, optimizer, *,
                     label_smoothing: float = 0.0,
                     mixup_alpha: float | None = None,
-                    cutmix_alpha: float | None = None):
+                    cutmix_alpha: float | None = None,
+                    sam_rho: float | None = None):
     """Jitted train step with the state donated (in-place on device)."""
     return jax.jit(
         partial(train_step, cfg=cfg, optimizer=optimizer,
                 label_smoothing=label_smoothing, mixup_alpha=mixup_alpha,
-                cutmix_alpha=cutmix_alpha),
+                cutmix_alpha=cutmix_alpha, sam_rho=sam_rho),
         donate_argnums=(0,),
     )
 
