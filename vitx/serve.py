@@ -267,7 +267,11 @@ def load_server(checkpoint, cfg: ViTConfig, **kw) -> InferenceServer:
     params = init_params(jax.random.PRNGKey(0), cfg)
     if checkpoint is not None:
         p = pathlib.Path(checkpoint)
-        if p.suffix == ".pt":
+        if p.name.endswith(".quant.npz"):
+            from vitx.quant import load_quantized
+
+            params, _ = load_quantized(p, params)
+        elif p.suffix == ".pt":
             from vitx.train.checkpoint import load_reference_pt
 
             params, _ = load_reference_pt(p, cfg)
