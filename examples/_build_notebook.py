@@ -325,6 +325,59 @@ C.append(code(
     "plt.show()"))
 
 C.append(md(
+    "## Inference acceleration: ToMe token merging\n\n"
+    "`cfg.tome_r` merges the r most similar patch-token pairs per block at "
+    "inference (Bolya et al. 2023) — any trained checkpoint, no retraining. "
+    "Static shapes throughout (compile-time r, one-hot-matmul scatter). "
+    "Below: prediction agreement with the full model, and the paper's "
+    "Fig.-5-style merged-region map via source tracking."))
+
+C.append(code(
+    "from vitx.nn.tome import encode_tome, tome_patch_assignment\n"
+    "cfg_tome = cfg.replace(tome_r=6)   # 64 patches, depth 4 -> 40 left\n"
+    "logits_full = np.asarray(forward(trainer.state.params, x, cfg))\n"
+    "logits_tome = np.asarray(forward(trainer.state.params, x, cfg_tome))\n"
+    "agree = (logits_full.argmax(-1) == logits_tome.argmax(-1)).mean()\n"
+    "print(f'argmax agreement at r=6: {agree:.2%}')\n"
+    "_, src = encode_tome(trainer.state.params, x[:4], cfg_tome,\n"
+    "                     return_sources=True)\n"
+    "owners = np.asarray(tome_patch_assignment(src, cfg_tome))\n"
+    "fig, axes = plt.subplots(2, 4, figsize=(9, 4.5))\n"
+    "for i in range(4):\n"
+    "    axes[0, i].imshow(np.clip(np.asarray(x[i]) * 0.5 + 0.5, 0, 1))\n"
+    "    axes[0, i].axis('off')\n"
+    "    axes[1, i].imshow(owners[i], cmap='tab20'); axes[1, i].axis('off')\n"
+    "axes[0, 0].set_title('input', fontsize=8)\n"
+    "axes[1, 0].set_title('merged-token regions', fontsize=8)\n"
+    "plt.tight_layout(); plt.show()"))
+
+C.append(md(
+    "## int8 weight-only artifacts\n\n"
+    "`vitx/quant.py`: symmetric per-output-channel int8 for every matmul "
+    "weight — ~4x smaller than fp32 on disk, served directly by "
+    "`load_server`. Embeddings/norms stay float; quality cost is the "
+    "standard weight-only-int8 regime."))
+
+C.append(code(
+    "import os, tempfile\n"
+    "from vitx.quant import save_quantized, load_quantized, "
+    "quantization_error\n"
+    "art = os.path.join(tempfile.mkdtemp(), 'model.quant.npz')\n"
+    "save_quantized(art, trainer.state.params)\n"
+    "fp32_bytes = sum(np.asarray(l).nbytes\n"
+    "                 for l in jax.tree.leaves(trainer.state.params))\n"
+    "print(f'artifact: {os.path.getsize(art)/1e6:.2f} MB vs '\n"
+    "      f'{fp32_bytes/1e6:.2f} MB fp32 '\n"
+    "      f'({fp32_bytes/os.path.getsize(art):.1f}x smaller)')\n"
+    "qparams, _ = load_quantized(art, init_params(jax.random.PRNGKey(1), cfg))\n"
+    "logits_q = np.asarray(forward(qparams, x, cfg))\n"
+    "print('argmax agreement:',\n"
+    "      (logits_q.argmax(-1) == logits_full.argmax(-1)).mean())\n"
+    "worst = max(quantization_error(trainer.state.params).items(),\n"
+    "            key=lambda kv: kv[1])\n"
+    "print(f'worst per-leaf relative error: {worst[1]:.4f} ({worst[0]})')"))
+
+C.append(md(
     "## Pointers\n\n"
     "- `examples/quickstart.py` — the 30-second training script\n"
     "- `examples/attention_rollout.py` — rollout overlay as a CLI\n"

@@ -6,6 +6,7 @@ Runs the five BASELINE.json benchmark configurations:
   3 ViT-Base/16 @224 batched inference, batch 256 (fused kernels)
   4 ViT-Base/16 @224 full fine-tune step, data-parallel over all devices
   5 ViT-Large/16 @384 inference with attention-rollout extraction
+  6 ViT-Base/16 @224 batch-256 inference with ToMe token merging (r=13)
 
 Each prints a JSON line; the repo-root ``bench.py`` is the driver's
 single-line headline entry point.
@@ -206,13 +207,34 @@ def bench_5():
             "images_per_sec": round(B / dt, 1)}
 
 
-BENCHES = {1: bench_1, 2: bench_2, 3: bench_3, 4: bench_4, 5: bench_5}
+def bench_6():
+    """ViT-B/16 @224 batch-256 inference with ToMe token merging at r=13
+    (Bolya 2023 runs ViT-B at r=13-16; 196 patches, depth 12 -> r <= 15).
+    Block l runs on 197 - 13l tokens — the last block sees 41 — cutting
+    encoder FLOPs ~45% vs config 3. The comparison target is bench_3's
+    full-token number. Compile note: the unrolled per-block shapes make the
+    FIRST compile minutes through the remote-compile tunnel; cached after."""
+    cfg = get_config("base16", tome_r=13)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = _images(jax.random.PRNGKey(1), 256, 224)
+
+    def body(acc, params, x):
+        return acc + jnp.mean(forward(params, x * _scl(acc), cfg))
+
+    dt = _fwd_loop_seconds(body, 20, params, x)
+    return {"config": "6:vit-b16-infer-256-tome13",
+            "step_ms": round(dt * 1e3, 2),
+            "images_per_sec": round(256 / dt, 1)}
+
+
+BENCHES = {1: bench_1, 2: bench_2, 3: bench_3, 4: bench_4, 5: bench_5,
+           6: bench_6}
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="vitx.bench")
     p.add_argument("--config", default="all",
-                   help="benchmark number 1-5 or 'all'")
+                   help="benchmark number 1-6 or 'all'")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="also capture a jax.profiler trace of each bench "
                         "into DIR (open with xprof/tensorboard-profile)")
