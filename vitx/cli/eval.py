@@ -40,6 +40,12 @@ def main(argv=None):
                    help="also write the restored (EMA-aware) params as a "
                         "weight-only int8 artifact (vitx/quant.py; ~4x "
                         "smaller than fp32, serves directly)")
+    p.add_argument("--export-stablehlo", default=None,
+                   metavar="OUT.stablehlo",
+                   help="also serialize the inference forward (params baked "
+                        "in, symbolic batch dim) via jax.export — runs on "
+                        "any StableHLO consumer with no model code "
+                        "(vitx/export.py)")
     p.add_argument("--tome-r", type=int, default=0,
                    help="ToMe token merging: merge this many patch-token "
                         "pairs per block at inference (vitx/nn/tome.py); "
@@ -89,6 +95,15 @@ def main(argv=None):
                              "epoch": meta.get("epoch")})
         print(f"wrote int8 artifact {args.export_quantized}",
               file=sys.stderr)
+    if args.export_stablehlo:
+        from vitx.export import save_exported
+
+        # ToMe merges need static shapes -> pin the batch for tome configs
+        nbytes = save_exported(
+            args.export_stablehlo, params, cfg,
+            batch_size=args.batch_size if cfg.tome_r else None)
+        print(f"wrote stablehlo artifact {args.export_stablehlo} "
+              f"({nbytes/1e6:.1f} MB)", file=sys.stderr)
 
     pre = make_preprocess(
         out_size=cfg.image_size,
