@@ -114,3 +114,11 @@ def test_cli_eval_export_quantized(tmp_path, capsys):
     import json
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= out["accuracy"] <= 1.0
+
+    # the artifact itself evaluates directly (self-describing config) and
+    # must land within the weight-only-int8 regime of the fp32 number
+    rc = eval_main(["--data", "synthetic", "--checkpoint", str(art),
+                    "--batch-size", "32"])
+    assert rc == 0
+    qout = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(qout["accuracy"] - out["accuracy"]) <= 0.02

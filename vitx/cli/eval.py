@@ -57,7 +57,15 @@ def main(argv=None):
 
     from vitx.train.checkpoint import peek_meta
 
-    saved = peek_meta(args.checkpoint)
+    # int8 artifacts (vitx/quant.py) evaluate directly; their user meta
+    # carries the exporting config
+    quant_artifact = str(args.checkpoint).endswith(".quant.npz")
+    if quant_artifact:
+        from vitx.quant import peek_meta as peek_quant_meta
+
+        saved = peek_quant_meta(args.checkpoint)
+    else:
+        saved = peek_meta(args.checkpoint)
     if args.config_json:
         cfg = ViTConfig.from_json(open(args.config_json).read())
     elif saved and "config" in saved:
@@ -78,11 +86,22 @@ def main(argv=None):
     if args.tome_r:
         cfg = cfg.replace(tome_r=args.tome_r)
 
-    from vitx.train.checkpoint import restore_eval_params
+    if quant_artifact:
+        import jax as _jax
 
-    # restores the EMA shadow when the run trained with --ema-decay (the
-    # optimizer template is rebuilt from the checkpoint's recorded chain)
-    params, meta = restore_eval_params(args.checkpoint, cfg)
+        from vitx.nn.vit import init_params
+        from vitx.quant import load_quantized
+
+        params, user = load_quantized(
+            args.checkpoint, init_params(_jax.random.PRNGKey(0), cfg))
+        meta = {"epoch": user.get("epoch", -1)}
+    else:
+        from vitx.train.checkpoint import restore_eval_params
+
+        # restores the EMA shadow when the run trained with --ema-decay
+        # (the optimizer template is rebuilt from the checkpoint's
+        # recorded chain)
+        params, meta = restore_eval_params(args.checkpoint, cfg)
     if meta is None:
         print(f"error: no checkpoint under {args.checkpoint}",
               file=sys.stderr)

@@ -119,6 +119,15 @@ def load_quantized(path, template):
     return params, meta["user"]
 
 
+def peek_meta(path) -> dict:
+    """Read just the user meta (e.g. the stored config json) of an
+    artifact, without dequantizing anything."""
+    import json
+
+    with np.load(path) as z:
+        return json.loads(bytes(z["__meta__"]).decode())["user"]
+
+
 def quantization_error(params):
     """Per-leaf max |w - dequant(quant(w))| / amax — a quick fidelity
     report (expect <= 1/254 ≈ 0.4% for symmetric int8)."""
