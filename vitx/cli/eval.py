@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--predict", default=None, metavar="OUT.jsonl",
                    help="also write per-example predictions (id, label, "
                         "pred, prob) as JSON lines")
+    p.add_argument("--calibrate", action="store_true",
+                   help="fit temperature scaling on this eval set and "
+                        "report ECE/NLL before and after "
+                        "(vitx/metrics/calibration.py, Guo 2017)")
     p.add_argument("--export-quantized", default=None, metavar="OUT.quant.npz",
                    help="also write the restored (EMA-aware) params as a "
                         "weight-only int8 artifact (vitx/quant.py; ~4x "
@@ -141,6 +145,15 @@ def main(argv=None):
         predict_fn = jax.jit(lambda p, x: jax.nn.softmax(
             forward(p, x, cfg).astype(jnp.float32), axis=-1))
         pred_file = open(args.predict, "w")
+    logits_fn = None
+    cal_logits, cal_labels = [], []
+    if args.calibrate:
+        import jax.numpy as jnp
+
+        from vitx.nn.vit import forward
+
+        logits_fn = jax.jit(
+            lambda p, x: forward(p, x, cfg).astype(jnp.float32))
     paths = getattr(eval_ds, "paths", None)
 
     cm = None
@@ -150,6 +163,11 @@ def main(argv=None):
                    "label": batch["label"], "mask": batch["mask"]}
         cm_b, _ = eval_step(params, prepped)
         cm = cm_b if cm is None else cm + cm_b
+        if logits_fn is not None:
+            lg = np.asarray(logits_fn(params, prepped["image"]))
+            keep = np.asarray(batch["mask"]).astype(bool)
+            cal_logits.append(lg[keep])
+            cal_labels.append(np.asarray(batch["label"])[keep])
         if predict_fn is not None:
             probs = np.asarray(predict_fn(params, prepped["image"]))
             mask = np.asarray(batch["mask"])
@@ -179,6 +197,11 @@ def main(argv=None):
             for i, v in enumerate(np.asarray(metrics["per_class_accuracy"]))},
         "num_examples": int(np.asarray(cm).sum()),
     }
+    if logits_fn is not None:
+        from vitx.metrics.calibration import calibration_report
+
+        out["calibration"] = calibration_report(
+            np.concatenate(cal_logits), np.concatenate(cal_labels))
     print(json.dumps(out))
     return 0
 
