@@ -48,6 +48,27 @@ def test_calibration_report_improves_ece_and_nll():
     assert 3.0 < rep["temperature"] < 5.5
 
 
+def test_server_temperature_scaling():
+    """A served T>1 must soften confidences without changing top-1."""
+    from vitx.core.config import ViTConfig
+    from vitx.nn.vit import init_params
+    from vitx.serve import InferenceServer
+
+    cfg = ViTConfig(image_size=32, patch_size=4, num_classes=4,
+                    embed_dim=32, depth=2, num_heads=2,
+                    compute_dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (32, 32, 3)))
+
+    with InferenceServer(params, cfg, batch_size=4) as plain, \
+            InferenceServer(params, cfg, batch_size=4,
+                            temperature=4.0) as cooled:
+        a, b = plain.predict(x), cooled.predict(x)
+    assert a["classes"][0] == b["classes"][0]
+    assert b["probs"][0] < a["probs"][0]        # softened confidence
+    assert b["probs"][0] > 1.0 / 4 - 1e-6       # still >= uniform
+
+
 def test_cli_eval_calibrate(tmp_path, capsys):
     import json
 

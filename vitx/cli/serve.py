@@ -95,6 +95,9 @@ def main(argv=None):
     p.add_argument("--max-delay-ms", type=float, default=5.0)
     p.add_argument("--dp", type=int, default=None,
                    help="serve over a data-parallel mesh of this many chips")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="temperature-scale the served probabilities "
+                        "(fit T with vitx.eval --calibrate)")
     p.add_argument("--tome-r", type=int, default=0,
                    help="ToMe token merging: merge this many patch-token "
                         "pairs per block (vitx/nn/tome.py) — higher "
@@ -124,7 +127,7 @@ def main(argv=None):
         mesh = make_mesh(dp=args.dp, tp=1)
     server = load_server(args.checkpoint, cfg, batch_size=args.batch_size,
                          top_k=args.top_k, max_delay_ms=args.max_delay_ms,
-                         mesh=mesh)
+                         mesh=mesh, temperature=args.temperature)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
     print(f"serving {args.preset} on http://{args.host}:{httpd.server_port} "
           f"(batch {args.batch_size}, top-{server.top_k})", flush=True)

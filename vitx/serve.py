@@ -112,7 +112,8 @@ class InferenceServer:
 
     def __init__(self, params, cfg: ViTConfig, *, batch_size: int = 32,
                  top_k: int = 5, max_delay_ms: float = 5.0, mesh=None,
-                 max_queue: int | None = None):
+                 max_queue: int | None = None,
+                 temperature: float | None = None):
         """``mesh``: a ``jax.sharding.Mesh`` (vitx.parallel.make_mesh) turns
         this into multi-chip serving — batches shard over the ``data`` axis
         (batch_size must be divisible by its size), params replicate, and
@@ -136,9 +137,16 @@ class InferenceServer:
 
         from vitx.nn.vit import forward
 
+        # temperature scaling (vitx/metrics/calibration.py, eval
+        # --calibrate reports the fitted T): returned probs become
+        # calibrated confidences; argmax/top-k ordering is unchanged
+        self.temperature = temperature
+        inv_t = 1.0 / temperature if temperature else 1.0
+
         def run(params, images):
             logits = forward(params, images, cfg)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = jax.nn.softmax(logits.astype(jnp.float32) * inv_t,
+                                   axis=-1)
             top = jax.lax.top_k(probs, self.top_k)
             return top  # (values (B,k), indices (B,k))
 
