@@ -118,6 +118,22 @@ def test_cli_eval_tome(tmp_path, capsys):
     assert out["num_examples"] == 512
 
 
+def test_tome_encoder_matches_production_path_at_r0():
+    """With r=0 (no merging, sizes all 1, log-size bias 0) the unrolled
+    ToMe encoder is mathematically the standard encoder — pin exact
+    agreement with the scan-based production path so the two block
+    implementations can't drift apart."""
+    from vitx.nn.vit import encode
+
+    cfg = CFG.replace(tome_r=0)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 3))
+    ref, _ = encode(params, x, cfg, deterministic=True)
+    got = encode_tome(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_tome_source_tracking_is_a_partition():
     """Source map invariants: every original token belongs to exactly ONE
     final token (columns are a partition), row sums equal sizes, protected
