@@ -19,12 +19,45 @@ CFG = ViTConfig(image_size=32, patch_size=4, num_classes=4, embed_dim=32,
 
 def test_quantize_leaf_error_bound():
     """Symmetric per-channel int8: elementwise error <= scale/2, i.e.
-    <= amax_channel / 254."""
+    <= amax_channel / 254 — for both the unstacked (in, out) form and the
+    stacked block form (depth, in, out) with per-layer scales."""
     w = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (64, 32)))
-    q, s = quantize_leaf(w, "blocks/w1")
+    q, s = quantize_leaf(w, "head/w1")
     assert q.dtype == np.int8 and s.shape == (1, 32)
     err = np.abs(w - q.astype(np.float32) * s)
     assert np.all(err <= s / 2 + 1e-8)
+
+    wb = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (3, 64, 32)))
+    qb, sb = quantize_leaf(wb, "blocks/w1")
+    assert sb.shape == (3, 1, 32)      # per-layer, per-output-channel
+    err = np.abs(wb - qb.astype(np.float32) * sb)
+    assert np.all(err <= sb / 2 + 1e-8)
+
+
+def test_only_matmul_weights_are_quantized(tmp_path):
+    """LayerNorm params, biases (stacked (L, E) leaves included), and every
+    token embedding must pass through float; the block weights must carry
+    per-layer, per-output-channel scales — wqkv per (layer, qkv, head,
+    channel), NOT shared across q/k/v or heads."""
+    cfg = CFG.replace(num_registers=2, distill_token=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = save_quantized(tmp_path / "m.quant.npz", params)
+    with np.load(path) as z:
+        keys = set(z.files)
+        for float_leaf in ("blocks/ln1_scale", "blocks/ln1_bias",
+                           "blocks/b1", "blocks/bo", "reg_tokens",
+                           "dist_token", "cls_token", "pos_embed",
+                           "patch_embed/bias", "head/ln_scale"):
+            assert f"f::{float_leaf}" in keys, float_leaf
+            assert f"q::{float_leaf}" not in keys, float_leaf
+        for w in ("blocks/wqkv", "blocks/wo", "blocks/w1", "blocks/w2",
+                  "patch_embed/kernel", "head/w1", "head/w2",
+                  "dist_head/w"):
+            assert f"q::{w}" in keys, w
+        L, E, H = cfg.depth, cfg.embed_dim, cfg.num_heads
+        assert z["s::blocks/wqkv"].shape == (L, 1, 3, H, E // H)
+        assert z["s::blocks/w1"].shape == (L, 1, 4 * E)
+        assert z["s::patch_embed/kernel"].shape == (1, E)
 
 
 def test_round_trip_preserves_structure_and_dtypes(tmp_path):

@@ -113,8 +113,12 @@ def main(argv=None):
     if args.export_quantized:
         from vitx.quant import save_quantized
 
+        # store the model config WITHOUT inference-only overrides: a
+        # --tome-r used for THIS eval must not silently re-activate on
+        # every later eval/serve of the artifact
         save_quantized(args.export_quantized, params,
-                       meta={"config": json.loads(cfg.to_json()),
+                       meta={"config": json.loads(
+                                 cfg.replace(tome_r=0).to_json()),
                              "epoch": meta.get("epoch")})
         print(f"wrote int8 artifact {args.export_quantized}",
               file=sys.stderr)
@@ -135,25 +139,21 @@ def main(argv=None):
         random_flip=False)
     eval_step = make_eval_step(cfg)
 
-    predict_fn = None
-    pred_file = None
-    if args.predict:
-        import jax.numpy as jnp
-
-        from vitx.nn.vit import forward
-
-        predict_fn = jax.jit(lambda p, x: jax.nn.softmax(
-            forward(p, x, cfg).astype(jnp.float32), axis=-1))
-        pred_file = open(args.predict, "w")
+    # --predict and --calibrate share ONE extra jitted logits pass per
+    # batch (predict's softmax is a host-side afterthought of the same
+    # logits) rather than each compiling and running its own forward
     logits_fn = None
+    pred_file = None
     cal_logits, cal_labels = [], []
-    if args.calibrate:
+    if args.predict or args.calibrate:
         import jax.numpy as jnp
 
         from vitx.nn.vit import forward
 
         logits_fn = jax.jit(
             lambda p, x: forward(p, x, cfg).astype(jnp.float32))
+    if args.predict:
+        pred_file = open(args.predict, "w")
     paths = getattr(eval_ds, "paths", None)
 
     cm = None
@@ -165,11 +165,13 @@ def main(argv=None):
         cm = cm_b if cm is None else cm + cm_b
         if logits_fn is not None:
             lg = np.asarray(logits_fn(params, prepped["image"]))
-            keep = np.asarray(batch["mask"]).astype(bool)
-            cal_logits.append(lg[keep])
-            cal_labels.append(np.asarray(batch["label"])[keep])
-        if predict_fn is not None:
-            probs = np.asarray(predict_fn(params, prepped["image"]))
+            if args.calibrate:
+                keep = np.asarray(batch["mask"]).astype(bool)
+                cal_logits.append(lg[keep])
+                cal_labels.append(np.asarray(batch["label"])[keep])
+        if pred_file is not None:
+            e = np.exp(lg - lg.max(axis=-1, keepdims=True))
+            probs = e / e.sum(axis=-1, keepdims=True)
             mask = np.asarray(batch["mask"])
             for j in range(probs.shape[0]):
                 if not mask[j]:
@@ -197,7 +199,7 @@ def main(argv=None):
             for i, v in enumerate(np.asarray(metrics["per_class_accuracy"]))},
         "num_examples": int(np.asarray(cm).sum()),
     }
-    if logits_fn is not None:
+    if args.calibrate:
         from vitx.metrics.calibration import calibration_report
 
         out["calibration"] = calibration_report(

@@ -26,10 +26,14 @@ import numpy as np
 
 SUFFIX = ".quant.npz"
 
-# path substrings that must never be quantized: token/positional embeddings
-# are few but sensitive; 1-D leaves (biases, LN) are skipped by the ndim
-# rule anyway
-_SKIP = ("pos_embed", "cls_token", "dist_token", "registers")
+# Quantize ONLY matmul weights, by leaf name — an allowlist, because the
+# encoder-block leaves are STACKED (depth, ...), so an ndim>=2 heuristic
+# would sweep in the (L, E) LayerNorm scales/biases and every stacked bias,
+# exactly the parameters that must stay float. Covers: block wqkv/wo/w1/w2,
+# patch-embed / conv-stem kernels, head w/w1/w2 (both head types, distill
+# head included). Token/positional embeddings and all biases/norms pass
+# through untouched.
+_WEIGHT_NAMES = frozenset({"wqkv", "wo", "w1", "w2", "w", "kernel"})
 
 
 def _path_str(path) -> str:
@@ -41,17 +45,21 @@ def _should_quantize(path_s: str, leaf) -> bool:
     if leaf.ndim < 2 or not np.issubdtype(
             np.asarray(leaf).dtype, np.floating):
         return False
-    return not any(s in path_s for s in _SKIP)
+    return path_s.rsplit("/", 1)[-1] in _WEIGHT_NAMES
 
 
 def _scale_axes(path_s: str, ndim: int) -> tuple:
-    """Reduce over every axis except the output channels (last axis) —
-    and except the leading stacked-depth axis for encoder-block leaves,
-    so each layer keeps its own scales."""
-    keep = {ndim - 1}
-    if path_s.startswith("blocks/") and ndim >= 3:
-        keep.add(0)
-    return tuple(a for a in range(ndim) if a not in keep)
+    """Reduce over the INPUT (contraction) axes only, so every true output
+    channel keeps its own scale. Block leaves are stacked (depth, in, out...)
+    — reduce axis 1, keeping per-layer, per-output-channel scales (for wqkv
+    (L, E, 3, H, D) that means separate scales per layer, per q/k/v, per
+    head, per channel — q/k/v magnitude distributions differ systematically
+    in trained ViTs and must not share an amax). Unstacked weights reduce
+    everything but the last axis (conv kernels (kh, kw, cin, cout) -> per
+    cout; (in, out) matrices -> per out)."""
+    if path_s.startswith("blocks/"):
+        return (1,)
+    return tuple(range(ndim - 1))
 
 
 def quantize_leaf(w, path_s: str):
