@@ -145,3 +145,17 @@ def test_distill_token_student_learns_teacher():
                       == np.asarray(labels))
     assert dist_agree >= 0.8      # distill head follows the teacher
     assert cls_acc >= 0.8         # CLS head follows the labels
+
+
+def test_cli_distill_rejects_unsupported_recipe_flags(tmp_path, capsys):
+    """--distill-from injects its own train step, which does not implement
+    mixup/cutmix/SAM — the CLI must refuse loudly instead of silently
+    dropping the flags."""
+    from vitx.cli.train import main as train_main
+
+    rc = train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--distill-from", str(tmp_path / "t"), "--sam-rho", "0.05",
+    ])
+    assert rc == 1
+    assert "sam-rho" in capsys.readouterr().err

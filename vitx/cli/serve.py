@@ -114,7 +114,16 @@ def main(argv=None):
         from vitx.train.checkpoint import peek_meta
 
         p_ckpt = pathlib.Path(args.checkpoint)
-        saved = peek_meta(p_ckpt) if p_ckpt.is_dir() else None
+        if p_ckpt.name.endswith(".quant.npz"):
+            from vitx.quant import peek_meta as peek_quant_meta
+
+            saved = peek_quant_meta(p_ckpt)
+        elif p_ckpt.suffix == ".pt":
+            saved = None        # reference .pt carries no vitx config meta
+        else:
+            # peek_meta accepts a checkpoint DIR or a direct
+            # {epoch}.ckpt/orbax path alike
+            saved = peek_meta(p_ckpt)
         if saved and "config" in saved:
             # self-describing checkpoints: serve the exact trained geometry
             cfg = ViTConfig.from_json(json.dumps(saved["config"]))
@@ -136,7 +145,7 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
-        httpd.shutdown_called = True
+        httpd.server_close()    # release the listening socket
         server.close()
     return 0
 

@@ -147,8 +147,13 @@ def main(argv=None):
     if n_classes != cfg.num_classes:
         cfg = cfg.replace(num_classes=n_classes)
 
+    # mixup/cutmix permute rows WITHIN a batch; a zero-padded ragged final
+    # batch would blend real images toward black and train them on label 0
+    # (step.py loss_fn docstring: "pair with drop_last loaders") — drop the
+    # remainder batch when mixing is on
+    mixing = bool(args.mixup_alpha or args.cutmix_alpha)
     train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
-                               seed=args.seed)
+                               seed=args.seed, drop_last=mixing)
     eval_loader = BatchLoader(eval_ds, args.batch_size)
     pre = make_preprocess(
         out_size=cfg.image_size,
@@ -224,6 +229,14 @@ def main(argv=None):
         if args.steps_per_dispatch > 1 or args.dp is not None:
             print("error: --distill-from is a single-device single-step "
                   "path (use the library step for mesh runs)",
+                  file=sys.stderr)
+            return 1
+        if args.mixup_alpha or args.cutmix_alpha or args.sam_rho:
+            # the injected distill step replaces the Trainer-built step
+            # that implements these — refuse rather than silently drop
+            print("error: --distill-from builds its own train step; "
+                  "--mixup-alpha/--cutmix-alpha/--sam-rho are not applied "
+                  "there (combine via the library API instead)",
                   file=sys.stderr)
             return 1
         # the teacher's exact geometry comes from its self-describing

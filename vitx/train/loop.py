@@ -301,7 +301,10 @@ class Trainer:
                     jax.profiler.start_trace(str(tcfg.log_dir))
                 stats = self._train_epoch(train_loader, epoch, writer)
 
-                if eval_loader is not None and \
+                # under preemption, every second between the signal and the
+                # checkpoint write risks the kill grace window — skip the
+                # eval pass and go straight to saving the partial epoch
+                if eval_loader is not None and not self._preempted and \
                         (epoch + 1) % tcfg.eval_every == 0:
                     em = self.evaluate(eval_loader)
                     stats.update({f"val_{k}": v for k, v in em.items()
