@@ -287,7 +287,10 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
     (~2x step cost), same optimizer state, composes with every other
     recipe knob. Under a mesh the perturbation uses the GLOBAL gradient
     norm (XLA's all-reduced grads), so sharded trajectories stay exactly
-    single-device-identical."""
+    single-device-identical. With ``accum_steps > 1`` the ascent happens
+    per MICRO-batch (the perturbation is computed before MultiSteps
+    averages) — the "m-sharpness" variant, which the SAM paper found
+    generalizes better than perturbing on the full accumulated batch."""
     step_rng = jax.random.fold_in(rng, state.step) if rng is not None else None
     grad_fn = jax.value_and_grad(
         partial(loss_fn, label_smoothing=label_smoothing,
