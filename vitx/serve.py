@@ -113,7 +113,8 @@ class InferenceServer:
     def __init__(self, params, cfg: ViTConfig, *, batch_size: int = 32,
                  top_k: int = 5, max_delay_ms: float = 5.0, mesh=None,
                  max_queue: int | None = None,
-                 temperature: float | None = None):
+                 temperature: float | None = None,
+                 int8_runtime: bool = False):
         """``mesh``: a ``jax.sharding.Mesh`` (vitx.parallel.make_mesh) turns
         this into multi-chip serving — batches shard over the ``data`` axis
         (batch_size must be divisible by its size), params replicate, and
@@ -135,7 +136,23 @@ class InferenceServer:
             maxsize=self.max_queue)
         self._stop = threading.Event()
 
-        from vitx.nn.vit import forward
+        from vitx.nn.vit import forward as _forward
+
+        # int8_runtime: keep encoder matmul weights RESIDENT as int8 and
+        # route projections through the weight-only Pallas matmul — ~2x
+        # less weight memory/traffic (vitx/nn/int8_infer.py). Single-chip
+        # path (no partition rules on the quant kernel yet).
+        if int8_runtime:
+            if mesh is not None:
+                raise ValueError("int8_runtime serving is single-chip "
+                                 "(the quant matmul has no SPMD rule yet)")
+            from vitx.nn.int8_infer import forward_int8, quantize_for_runtime
+
+            params = quantize_for_runtime(params, cfg)
+            fwd = forward_int8
+        else:
+            fwd = _forward
+        self.int8_runtime = int8_runtime
 
         # temperature scaling (vitx/metrics/calibration.py, eval
         # --calibrate reports the fitted T): returned probs become
@@ -144,7 +161,7 @@ class InferenceServer:
         inv_t = 1.0 / temperature if temperature else 1.0
 
         def run(params, images):
-            logits = forward(params, images, cfg)
+            logits = fwd(params, images, cfg)
             probs = jax.nn.softmax(logits.astype(jnp.float32) * inv_t,
                                    axis=-1)
             top = jax.lax.top_k(probs, self.top_k)
