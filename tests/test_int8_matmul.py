@@ -68,6 +68,25 @@ def test_quantized_linear_is_close_to_float():
     assert rel < 0.02, rel
 
 
+def test_quant_matmul_dp_mesh_matches_single_device():
+    """The custom_partitioning rule shards rows over the mesh; results
+    must match the single-device kernel."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    x, q, s = _operands(5, 64, 256, 384)
+    want = quant_matmul(x, q, s)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    qs = jax.device_put(q, NamedSharding(mesh, P()))
+    ss = jax.device_put(s, NamedSharding(mesh, P()))
+    got = jax.jit(quant_matmul)(xs, qs, ss)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_shape_validation():
     x, q, s = _operands(4, 4, 128, 256)
     with pytest.raises(ValueError, match="contraction"):

@@ -26,7 +26,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as _P
 
 from vitx.kernels.flash_attention import _use_interpret
 from vitx.kernels.precision import dot_precision
@@ -69,11 +71,24 @@ def quant_matmul(x, q, scale, *, block_n: int = 256):
         out = int8_matmul_reference(x2, q, scale)
         return out.reshape(*lead, N)
 
+    key = (block_n,)
+    if key not in _SHARDED_CACHE:
+        _SHARDED_CACHE[key] = _make_sharded(block_n)
+    out = _SHARDED_CACHE[key](x2, q,
+                              scale.astype(jnp.float32).reshape(1, N))
+    return out.reshape(*lead, N)
+
+
+def _pallas_mm(x2, q, s2, *, block_n: int):
+    """The kernel proper: pad M, tile (M, N), one pallas_call. x2 (M, K)
+    float, q (K, N) int8, s2 (1, N) fp32 — K, N 128-aligned."""
+    M, K = x2.shape
+    N = q.shape[1]
     nb = min(block_n, N)
     while N % nb:
         nb //= 2
-    # pad M to the fp32 sublane multiple; small serving batches stay one row
-    # block, big batches split so x blocks keep a few MB of VMEM
+    # pad M to the fp32 sublane multiple; small serving batches stay one
+    # row block, big batches split so x blocks keep a few MB of VMEM
     mb = min(max(8, M), 512)
     m_pad = (-M) % mb
     if m_pad:
@@ -91,18 +106,48 @@ def quant_matmul(x, q, scale, *, block_n: int = 256):
             pl.BlockSpec((1, nb), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x2.dtype),
         out_specs=pl.BlockSpec((mb, nb), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
             # the point of the kernel: q travels as 1 byte/element
-            bytes_accessed=Mp * K * x.dtype.itemsize + K * N + 4 * N
-            + Mp * N * x.dtype.itemsize,
+            bytes_accessed=Mp * K * x2.dtype.itemsize + K * N + 4 * N
+            + Mp * N * x2.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x2, q, scale.astype(jnp.float32).reshape(1, N))
-    if m_pad:
-        out = out[:M]
-    return out.reshape(*lead, N)
+    )(x2, q, s2)
+    return out[:M] if m_pad else out
+
+
+_SHARDED_CACHE: dict = {}
+
+
+def _make_sharded(block_n: int):
+    """Row-parallel custom_partitioning: x2's M axis shards over the mesh
+    (each row's output is independent), q/scale replicate — the same
+    batch-parallel rule every other kernel entry point here carries.
+    M padding happens per shard inside ``_pallas_mm``."""
+    def _positional(x2, q, s2):
+        return _pallas_mm(x2, q, s2, block_n=block_n)
+
+    f = custom_partitioning(_positional)
+
+    def _out(mesh, x_spec):
+        parts = list(x_spec) + [None] * (2 - len(x_spec))
+        return NamedSharding(mesh, _P(parts[0], None))
+
+    def infer(mesh, arg_infos, result_infos):
+        return _out(mesh, arg_infos[0].sharding.spec)
+
+    def part(mesh, arg_infos, result_infos):
+        sh = _out(mesh, arg_infos[0].sharding.spec)
+        rep = NamedSharding(mesh, _P())
+        return (mesh, _positional, sh, (sh, rep, rep))
+
+    f.def_partition(
+        part, infer_sharding_from_operands=infer,
+        sharding_rule="m k, k n, u n -> m n",
+        need_replication_factors=("k", "n", "u"))
+    return f
