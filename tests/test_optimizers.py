@@ -1,0 +1,64 @@
+"""Optimizer choices (make_optimizer optimizer=, vitx/train/step.py)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vitx.core.config import ViTConfig
+from vitx.train.step import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+CFG = ViTConfig(image_size=32, patch_size=4, num_classes=4, embed_dim=32,
+                depth=2, num_heads=2, compute_dtype="float32")
+
+
+@pytest.mark.parametrize("name,lr,steps", [("sgd", 0.05, 150),
+                                           ("lion", 3e-4, 60)])
+def test_optimizer_overfits_and_differs_from_adamw(name, lr, steps):
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(2),
+                                        (8, 32, 32, 3)),
+             "label": jax.random.randint(jax.random.PRNGKey(3), (8,), 0, 4)}
+    finals = {}
+    for opt_name, opt_lr in (("adamw", 3e-3), (name, lr)):
+        opt = make_optimizer(lr=opt_lr, optimizer=opt_name)
+        state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+        step = make_train_step(CFG, opt)
+        for _ in range(steps):
+            state, m = step(state, batch, jax.random.PRNGKey(1))
+        finals[opt_name] = float(m["loss"])
+    assert finals[name] < 0.5, finals          # converges on one batch
+    assert finals[name] != finals["adamw"]     # distinct trajectory
+
+
+def test_unknown_optimizer_rejected():
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        make_optimizer(optimizer="adam")
+
+
+def test_cli_optimizer_roundtrip_with_ema(tmp_path, capsys):
+    """A lion + EMA run must checkpoint its chain and restore in eval (the
+    meta-driven optimizer-template rebuild, now keyed on meta['optimizer'])."""
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--lr", "3e-4", "--optimizer", "lion",
+        "--ema-decay", "0.99",
+        "--checkpoint-dir", str(tmp_path / "c"),
+        "--compute-dtype", "float32",
+    ])
+    train_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = eval_main(["--data", "synthetic", "--checkpoint",
+                    str(tmp_path / "c"), "--batch-size", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # eval restores the EMA shadow and must reproduce the trainer's own
+    # val_accuracy exactly (the template-alignment pin, as for adamw)
+    assert out["accuracy"] == pytest.approx(train_out["val_accuracy"])

@@ -29,6 +29,11 @@ def build_argparser():
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "sgd", "lion"],
+                   help="adamw = reference semantics; sgd = momentum 0.9 + "
+                        "decoupled wd; lion (Chen 2023) wants ~10x lower lr "
+                        "and 3-10x higher wd than adamw")
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log-dir", default=None)
@@ -190,7 +195,8 @@ def main(argv=None):
                                    args.warmup_steps // args.accum_steps),
             weight_decay=args.weight_decay, grad_clip=args.grad_clip,
             ema_decay=args.ema_decay, accum_steps=args.accum_steps,
-            llrd=args.llrd, llrd_depth=cfg.depth)
+            llrd=args.llrd, llrd_depth=cfg.depth,
+            optimizer=args.optimizer)
 
     init_state = None
     if args.init_from:
@@ -213,7 +219,8 @@ def main(argv=None):
                 lr=args.lr, weight_decay=args.weight_decay,
                 grad_clip=args.grad_clip, ema_decay=args.ema_decay,
                 accum_steps=args.accum_steps,
-                llrd=args.llrd, llrd_depth=cfg.depth)
+                llrd=args.llrd, llrd_depth=cfg.depth,
+                optimizer=args.optimizer)
         init_state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=optimizer.init(params))
 
@@ -263,7 +270,8 @@ def main(argv=None):
                 lr=args.lr, weight_decay=args.weight_decay,
                 grad_clip=args.grad_clip, ema_decay=args.ema_decay,
                 accum_steps=args.accum_steps,
-                llrd=args.llrd, llrd_depth=cfg.depth)
+                llrd=args.llrd, llrd_depth=cfg.depth,
+                optimizer=args.optimizer)
         dstep = make_distill_train_step(
             cfg, teacher_cfg, optimizer, alpha=args.distill_alpha,
             tau=args.distill_tau, hard=args.distill_hard,
@@ -278,6 +286,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
         eval_every=args.eval_every, log_every=args.log_every,
         ema_decay=args.ema_decay, llrd=args.llrd, seed=args.seed,
+        optimizer=args.optimizer,
         steps_per_dispatch=args.steps_per_dispatch,
         accum_steps=args.accum_steps)
     mesh = None

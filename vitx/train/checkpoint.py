@@ -276,6 +276,7 @@ def restore_eval_params(path_or_dir, cfg):
     ema_decay = meta.get("ema_decay")
     has_schedule = bool(meta.get("schedule"))
     accum = meta.get("accum_steps", 1)
+    opt_name = meta.get("optimizer", "adamw")
     if not path.is_dir() and (ema_decay is None or not has_schedule):
         # checkpoint whose meta predates (or omits) part of the recorded
         # optimizer recipe: probe by leaf count. The EMA chain link adds one
@@ -285,7 +286,8 @@ def restore_eval_params(path_or_dir, cfg):
         # crash the positional restore with a missing-leaf KeyError).
         n_saved = _npz_leaf_count(path)
         plain = create_train_state(
-            _jax.random.PRNGKey(0), cfg, make_optimizer(accum_steps=accum))
+            _jax.random.PRNGKey(0), cfg,
+            make_optimizer(accum_steps=accum, optimizer=opt_name))
         n_plain = len(_jax.tree_util.tree_leaves(plain))
         n_params = len(_jax.tree_util.tree_leaves(plain.params))
         if n_saved is not None and n_saved > n_plain:
@@ -300,7 +302,7 @@ def restore_eval_params(path_or_dir, cfg):
             # a constant dummy schedule reproduces the ScaleByScheduleState
             # in the chain; leaf VALUES all come from the checkpoint
             schedule=(lambda _: 0.0) if has_schedule else None,
-            ema_decay=ema_decay, accum_steps=accum))
+            ema_decay=ema_decay, accum_steps=accum, optimizer=opt_name))
     state, meta = restore_checkpoint(path, template)
     ema = get_ema_params(state.opt_state)
     return (ema if ema is not None else state.params), meta

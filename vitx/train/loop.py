@@ -45,6 +45,9 @@ class TrainerConfig:
     # ascend rho along the normalized gradient, update with the gradient
     # there. ~2x step cost. Typical: 0.05 (ViT-B ImageNet).
     sam_rho: float | None = None
+    # "adamw" (reference semantics), "sgd" (momentum 0.9, decoupled wd),
+    # or "lion" (Chen 2023) — see make_optimizer.
+    optimizer: str = "adamw"
     log_every: int = 50               # steps between scalar flushes
     checkpoint_dir: str | None = None
     log_dir: str | None = None
@@ -108,7 +111,8 @@ class Trainer:
                            grad_clip=tcfg.grad_clip,
                            ema_decay=tcfg.ema_decay,
                            llrd=tcfg.llrd, llrd_depth=cfg.depth,
-                           accum_steps=tcfg.accum_steps)
+                           accum_steps=tcfg.accum_steps,
+                           optimizer=tcfg.optimizer)
         rng = jax.random.PRNGKey(tcfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.state = (init_state if init_state is not None
@@ -334,6 +338,10 @@ class Trainer:
                         meta["ema_decay"] = tcfg.ema_decay
                     if tcfg.accum_steps > 1:
                         meta["accum_steps"] = tcfg.accum_steps
+                    if tcfg.optimizer != "adamw":
+                        # sgd/lion opt_states have different leaf structure;
+                        # eval/serve rebuild the template from this
+                        meta["optimizer"] = tcfg.optimizer
                     if self._opt_has_schedule:
                         # an lr schedule adds a ScaleByScheduleState count
                         # leaf — record it so the eval/serve template matches

@@ -119,9 +119,17 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
                    schedule=None, grad_clip: float | None = None,
                    accum_steps: int = 1, fused: bool | str = "auto",
                    ema_decay: float | None = None,
-                   llrd: float | None = None, llrd_depth: int | None = None):
+                   llrd: float | None = None, llrd_depth: int | None = None,
+                   optimizer: str = "adamw"):
     """AdamW (train.py:66 semantics) with optional schedule / grad clipping /
     gradient accumulation (`accum_steps` micro-batches per update).
+
+    ``optimizer``: "adamw" (the reference's choice and the default),
+    "sgd" (momentum 0.9, decoupled weight decay — the classic CNN recipe),
+    or "lion" (Chen et al. 2023; sign-momentum — typical lr ~1e-5..1e-4
+    with 3-10x the AdamW weight decay). All compose identically with the
+    schedule/EMA/LLRD/accumulation chain; checkpoints record the chain so
+    eval/serve restore works for every choice.
 
     ``llrd``: layer-wise lr-decay factor (with ``llrd_depth`` = encoder
     depth) — see ``layerwise_lr_decay``. Stateless: checkpoints made with
@@ -135,8 +143,11 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
     HBM traffic dominates. Incompatible with accum_steps > 1 (MultiSteps'
     zero-update convention vs params-returning updates).
     """
+    if optimizer not in ("adamw", "sgd", "lion"):
+        raise ValueError(f"unknown optimizer {optimizer!r}; "
+                         "have adamw, sgd, lion")
     use_fused = (fused is True and accum_steps == 1 and ema_decay is None
-                 and llrd is None)
+                 and llrd is None and optimizer == "adamw")
     tx = []
     if grad_clip is not None:
         tx.append(optax.clip_by_global_norm(grad_clip))
@@ -147,7 +158,18 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
         tx.append(fused_adamw(lr_or_sched, weight_decay=weight_decay))
         opt = optax.chain(*tx)
         return _FusedOptimizer(init=opt.init, update=opt.update)
-    tx.append(optax.adamw(lr_or_sched, weight_decay=weight_decay))
+    if optimizer == "sgd":
+        # decoupled weight decay (add_decayed_weights BEFORE the momentum/
+        # lr scaling, matching torch SGD(weight_decay=...) semantics)
+        tx.append(optax.add_decayed_weights(weight_decay))
+        tx.append(optax.sgd(lr_or_sched, momentum=0.9))
+        base = None
+    elif optimizer == "lion":
+        base = optax.lion(lr_or_sched, weight_decay=weight_decay)
+    else:
+        base = optax.adamw(lr_or_sched, weight_decay=weight_decay)
+    if base is not None:
+        tx.append(base)
     if llrd is not None:
         if llrd_depth is None:
             raise ValueError("llrd requires llrd_depth (the encoder depth)")
