@@ -92,3 +92,12 @@ def test_cli_eval_calibrate(tmp_path, capsys):
     assert 0.0 <= cal["ece_after"] <= 1.0
     # temperature scaling can only improve (or match) the fitted NLL
     assert cal["nll_after"] <= cal["nll_before"] + 1e-6
+
+    # --tta (flip-averaged logits) produces a well-formed report over the
+    # same checkpoint; sample count must be exact despite ragged batches
+    rc = eval_main(["--data", "synthetic", "--checkpoint",
+                    str(tmp_path / "c"), "--batch-size", "48", "--tta"])
+    assert rc == 0
+    tta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert tta["num_examples"] == out["num_examples"] == 512
+    assert 0.0 <= tta["accuracy"] <= 1.0

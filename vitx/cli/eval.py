@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--predict", default=None, metavar="OUT.jsonl",
                    help="also write per-example predictions (id, label, "
                         "pred, prob) as JSON lines")
+    p.add_argument("--tta", action="store_true",
+                   help="test-time augmentation: average logits over the "
+                        "horizontal flip (2 forwards/batch); applies to "
+                        "the report, --predict and --calibrate alike")
     p.add_argument("--calibrate", action="store_true",
                    help="fit temperature scaling on this eval set and "
                         "report ECE/NLL before and after "
@@ -145,13 +149,22 @@ def main(argv=None):
     logits_fn = None
     pred_file = None
     cal_logits, cal_labels = [], []
-    if args.predict or args.calibrate:
+    if args.predict or args.calibrate or args.tta:
         import jax.numpy as jnp
 
         from vitx.nn.vit import forward
 
-        logits_fn = jax.jit(
-            lambda p, x: forward(p, x, cfg).astype(jnp.float32))
+        if args.tta:
+            # average over the horizontal flip (W is axis 2 of (B,H,W,C))
+            def _tta_logits(p, x):
+                a = forward(p, x, cfg).astype(jnp.float32)
+                b = forward(p, x[:, :, ::-1, :], cfg).astype(jnp.float32)
+                return 0.5 * (a + b)
+
+            logits_fn = jax.jit(_tta_logits)
+        else:
+            logits_fn = jax.jit(
+                lambda p, x: forward(p, x, cfg).astype(jnp.float32))
     if args.predict:
         pred_file = open(args.predict, "w")
     paths = getattr(eval_ds, "paths", None)
@@ -161,14 +174,25 @@ def main(argv=None):
     for batch in BatchLoader(eval_ds, args.batch_size):
         prepped = {"image": pre(batch["image"], None, train=False),
                    "label": batch["label"], "mask": batch["mask"]}
-        cm_b, _ = eval_step(params, prepped)
-        cm = cm_b if cm is None else cm + cm_b
         if logits_fn is not None:
             lg = np.asarray(logits_fn(params, prepped["image"]))
             if args.calibrate:
                 keep = np.asarray(batch["mask"]).astype(bool)
                 cal_logits.append(lg[keep])
                 cal_labels.append(np.asarray(batch["label"])[keep])
+        if args.tta:
+            # the report must reflect the TTA logits — build the confusion
+            # matrix from them instead of the plain eval step
+            from vitx.metrics import confusion_matrix as _cmx
+
+            m = np.asarray(batch["mask"]).astype(np.int64)
+            cm_b = np.array(_cmx(lg.argmax(-1) * m,
+                                 np.asarray(batch["label"]) * m,
+                                 cfg.num_classes))
+            cm_b[0, 0] -= int((1 - m).sum())
+        else:
+            cm_b, _ = eval_step(params, prepped)
+        cm = cm_b if cm is None else cm + cm_b
         if pred_file is not None:
             e = np.exp(lg - lg.max(axis=-1, keepdims=True))
             probs = e / e.sum(axis=-1, keepdims=True)
