@@ -696,3 +696,21 @@ def test_cli_llrd_trains_and_checkpoint_restores(tmp_path, capsys):
                       "--batch-size", "32"]) == 0
     ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= ev["accuracy"] <= 1.0
+
+
+def test_early_stopping(tmp_path, capsys):
+    """With patience 2 on a model that saturates val accuracy in the first
+    epochs, the run must end long before the epoch budget — and the CLI
+    flag must plumb through."""
+    from vitx.cli.train import main as train_main
+
+    train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "40",
+        "--batch-size", "64", "--lr", "3e-3", "--early-stop", "2",
+        "--compute-dtype", "float32",
+    ])
+    out = capsys.readouterr().out
+    assert "early stop at epoch" in out
+    # ran at least 3 epochs (1 best + 2 stale) but nowhere near 40
+    assert 3 <= sum(1 for ln in out.splitlines()
+                    if ln.startswith("epoch ")) < 20

@@ -105,6 +105,11 @@ def build_argparser():
                    help="layer-wise lr decay for fine-tuning (BEiT recipe): "
                         "block l at lr*DECAY^(depth-l), embeddings lowest, "
                         "heads at lr; typical 0.65-0.75")
+    p.add_argument("--early-stop", type=int, default=None,
+                   metavar="PATIENCE",
+                   help="stop after this many consecutive evals without a "
+                        "val-accuracy improvement (> --early-stop-delta)")
+    p.add_argument("--early-stop-delta", type=float, default=0.0)
     p.add_argument("--progress", action="store_true",
                    help="per-flush in-epoch progress line")
     p.add_argument("--steps-per-dispatch", type=int, default=1,
@@ -287,6 +292,8 @@ def main(argv=None):
         eval_every=args.eval_every, log_every=args.log_every,
         ema_decay=args.ema_decay, llrd=args.llrd, seed=args.seed,
         optimizer=args.optimizer,
+        early_stop_patience=args.early_stop,
+        early_stop_min_delta=args.early_stop_delta,
         steps_per_dispatch=args.steps_per_dispatch,
         accum_steps=args.accum_steps)
     mesh = None

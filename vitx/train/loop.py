@@ -48,6 +48,11 @@ class TrainerConfig:
     # "adamw" (reference semantics), "sgd" (momentum 0.9, decoupled wd),
     # or "lion" (Chen 2023) — see make_optimizer.
     optimizer: str = "adamw"
+    # Early stopping: end the run after this many CONSECUTIVE evals whose
+    # val accuracy fails to beat the best seen by > early_stop_min_delta.
+    # Counted in evals (so eval_every scales the horizon). None = off.
+    early_stop_patience: int | None = None
+    early_stop_min_delta: float = 0.0
     log_every: int = 50               # steps between scalar flushes
     checkpoint_dir: str | None = None
     log_dir: str | None = None
@@ -299,6 +304,8 @@ class Trainer:
                 except ValueError:   # not the main thread
                     break
 
+        best_acc, stale_evals = -1.0, 0
+        stop_early = False
         try:
             for epoch in range(self.start_epoch, tcfg.epochs):
                 if tcfg.profile_epoch == epoch and tcfg.log_dir:
@@ -311,6 +318,14 @@ class Trainer:
                 if eval_loader is not None and not self._preempted and \
                         (epoch + 1) % tcfg.eval_every == 0:
                     em = self.evaluate(eval_loader)
+                    if tcfg.early_stop_patience is not None:
+                        acc = float(em["accuracy"])
+                        if acc > best_acc + tcfg.early_stop_min_delta:
+                            best_acc, stale_evals = acc, 0
+                        else:
+                            stale_evals += 1
+                            stop_early = (stale_evals
+                                          >= tcfg.early_stop_patience)
                     stats.update({f"val_{k}": v for k, v in em.items()
                                   if not hasattr(v, "shape") or v.shape == ()})
                     if writer:
@@ -359,6 +374,11 @@ class Trainer:
                 if self._preempted:
                     print(f"preemption signal received — checkpointed "
                           f"epoch {epoch}, exiting cleanly")
+                    break
+                if stop_early:
+                    print(f"early stop at epoch {epoch}: val accuracy "
+                          f"stale for {stale_evals} evals "
+                          f"(best {best_acc:.4f})")
                     break
         finally:
             if writer:
