@@ -101,3 +101,33 @@ def test_cli_eval_calibrate(tmp_path, capsys):
     tta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert tta["num_examples"] == out["num_examples"] == 512
     assert 0.0 <= tta["accuracy"] <= 1.0
+
+
+def test_cli_eval_top5(tmp_path, capsys):
+    """top5_accuracy appears when a logits pass runs on a >5-class head,
+    and bounds top-1 from above."""
+    import json
+
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+    from vitx.core.config import ViTConfig
+
+    cfg = ViTConfig(image_size=32, patch_size=4, num_classes=10,
+                    embed_dim=32, depth=2, num_heads=2,
+                    compute_dtype="float32")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    train_main([
+        "--config-json", str(cfg_path), "--data", "synthetic",
+        "--epochs", "1", "--batch-size", "32", "--lr", "3e-3",
+        "--checkpoint-dir", str(tmp_path / "c"),
+    ])
+    capsys.readouterr()
+    rc = eval_main(["--data", "synthetic", "--checkpoint",
+                    str(tmp_path / "c"), "--batch-size", "32",
+                    "--calibrate"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "top5_accuracy" in out
+    assert out["top5_accuracy"] >= out["accuracy"]
+    assert 0.0 <= out["top5_accuracy"] <= 1.0

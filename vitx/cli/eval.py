@@ -171,15 +171,21 @@ def main(argv=None):
 
     cm = None
     seen = 0
+    top5_hits = top5_n = 0
     for batch in BatchLoader(eval_ds, args.batch_size):
         prepped = {"image": pre(batch["image"], None, train=False),
                    "label": batch["label"], "mask": batch["mask"]}
         if logits_fn is not None:
             lg = np.asarray(logits_fn(params, prepped["image"]))
+            keep = np.asarray(batch["mask"]).astype(bool)
+            labels_np = np.asarray(batch["label"])
             if args.calibrate:
-                keep = np.asarray(batch["mask"]).astype(bool)
                 cal_logits.append(lg[keep])
-                cal_labels.append(np.asarray(batch["label"])[keep])
+                cal_labels.append(labels_np[keep])
+            if cfg.num_classes > 5:
+                top5 = np.argsort(lg[keep], axis=-1)[:, -5:]
+                top5_hits += int((top5 == labels_np[keep, None]).sum())
+                top5_n += int(keep.sum())
         if args.tta:
             # the report must reflect the TTA logits — build the confusion
             # matrix from them instead of the plain eval step
@@ -223,6 +229,10 @@ def main(argv=None):
             for i, v in enumerate(np.asarray(metrics["per_class_accuracy"]))},
         "num_examples": int(np.asarray(cm).sum()),
     }
+    if top5_n:
+        # reported whenever a logits pass ran (--predict/--calibrate/--tta)
+        # and the label space makes top-5 meaningful
+        out["top5_accuracy"] = round(top5_hits / top5_n, 6)
     if args.calibrate:
         from vitx.metrics.calibration import calibration_report
 
