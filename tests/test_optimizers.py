@@ -18,7 +18,7 @@ CFG = ViTConfig(image_size=32, patch_size=4, num_classes=4, embed_dim=32,
                 depth=2, num_heads=2, compute_dtype="float32")
 
 
-@pytest.mark.parametrize("name,lr,steps", [("sgd", 0.05, 150),
+@pytest.mark.parametrize("name,lr,steps", [("sgd", 0.02, 150),
                                            ("lion", 3e-4, 60)])
 def test_optimizer_overfits_and_differs_from_adamw(name, lr, steps):
     batch = {"image": jax.random.normal(jax.random.PRNGKey(2),

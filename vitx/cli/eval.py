@@ -186,9 +186,10 @@ def main(argv=None):
                 top5 = np.argsort(lg[keep], axis=-1)[:, -5:]
                 top5_hits += int((top5 == labels_np[keep, None]).sum())
                 top5_n += int(keep.sum())
-        if args.tta:
-            # the report must reflect the TTA logits — build the confusion
-            # matrix from them instead of the plain eval step
+        if logits_fn is not None:
+            # one forward per batch: the confusion matrix comes from the
+            # same logits as predict/calibrate/TTA (running eval_step too
+            # would recompute the identical forward)
             from vitx.metrics import confusion_matrix as _cmx
 
             m = np.asarray(batch["mask"]).astype(np.int64)

@@ -39,6 +39,14 @@ def quantize_for_runtime(params: Params, cfg: ViTConfig) -> Params:
     w1 (L,E,M), w2 (L,M,E) with per-(layer, output-channel) scales."""
     from vitx.quant import quantize_leaf
 
+    if cfg.parity == "bug_exact":
+        raise ValueError("int8 runtime implements the corrected attention "
+                         "semantics; bug_exact parity checkpoints must be "
+                         "served on the float path")
+    if cfg.tome_r:
+        raise ValueError("int8 runtime has no ToMe merging step — use "
+                         "tome_r OR int8_runtime, not both (the combination "
+                         "would silently drop the merging)")
     L, E = cfg.depth, cfg.embed_dim
     out = dict(params)
     blocks = dict(params["blocks"])

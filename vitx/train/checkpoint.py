@@ -63,7 +63,8 @@ def _restore_orbax(path, template_state):
 
 
 def save_checkpoint(ckpt_dir, state, epoch: int, meta: dict | None = None,
-                    keep: int | None = None, backend: str = "npz"):
+                    keep: int | None = None, backend: str = "npz",
+                    protect: int | None = None):
     """Write ``{epoch}.ckpt`` (flat npz) or ``{epoch}.orbax/``.
 
     ``backend="orbax"`` uses orbax-checkpoint (the multi-host / sharded-save
@@ -71,6 +72,9 @@ def save_checkpoint(ckpt_dir, state, epoch: int, meta: dict | None = None,
     discovery convention (train.py:52-58). ``meta`` must be
     JSON-serializable. ``keep``: if set, delete all but the newest `keep`
     checkpoints after saving (the reference kept every epoch; opt-in).
+    ``protect``: an epoch pruning must never delete (the Trainer passes its
+    best-val-accuracy epoch, so ``keep`` + early stopping can't discard the
+    peak the run is stopping FOR).
     """
     ckpt_dir = pathlib.Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -95,6 +99,8 @@ def save_checkpoint(ckpt_dir, state, epoch: int, meta: dict | None = None,
 
     if keep is not None:
         for old in sorted(list_checkpoints(ckpt_dir))[:-keep]:
+            if protect is not None and old == protect:
+                continue
             stale = _ckpt_path(ckpt_dir, old)
             if stale.is_dir():
                 import shutil

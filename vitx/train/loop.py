@@ -304,7 +304,7 @@ class Trainer:
                 except ValueError:   # not the main thread
                     break
 
-        best_acc, stale_evals = -1.0, 0
+        best_acc, best_epoch, stale_evals = -1.0, None, 0
         stop_early = False
         try:
             for epoch in range(self.start_epoch, tcfg.epochs):
@@ -318,14 +318,13 @@ class Trainer:
                 if eval_loader is not None and not self._preempted and \
                         (epoch + 1) % tcfg.eval_every == 0:
                     em = self.evaluate(eval_loader)
-                    if tcfg.early_stop_patience is not None:
-                        acc = float(em["accuracy"])
-                        if acc > best_acc + tcfg.early_stop_min_delta:
-                            best_acc, stale_evals = acc, 0
-                        else:
-                            stale_evals += 1
-                            stop_early = (stale_evals
-                                          >= tcfg.early_stop_patience)
+                    acc = float(em["accuracy"])
+                    if acc > best_acc + tcfg.early_stop_min_delta:
+                        best_acc, best_epoch, stale_evals = acc, epoch, 0
+                    elif tcfg.early_stop_patience is not None:
+                        stale_evals += 1
+                        stop_early = (stale_evals
+                                      >= tcfg.early_stop_patience)
                     stats.update({f"val_{k}": v for k, v in em.items()
                                   if not hasattr(v, "shape") or v.shape == ()})
                     if writer:
@@ -366,7 +365,10 @@ class Trainer:
                         meta["partial"] = True
                     save_checkpoint(
                         tcfg.checkpoint_dir, jax.device_get(self.state), epoch,
-                        meta=meta, keep=tcfg.keep_checkpoints)
+                        meta=meta, keep=tcfg.keep_checkpoints,
+                        # pruning must not delete the best-accuracy epoch
+                        # (the one early stopping exists to preserve)
+                        protect=best_epoch)
                 self.history.append({"epoch": epoch, **stats})
                 msg = ", ".join(f"{k}={v:.4f}" for k, v in stats.items()
                                 if isinstance(v, (int, float)))
@@ -378,7 +380,7 @@ class Trainer:
                 if stop_early:
                     print(f"early stop at epoch {epoch}: val accuracy "
                           f"stale for {stale_evals} evals "
-                          f"(best {best_acc:.4f})")
+                          f"(best {best_acc:.4f} at epoch {best_epoch})")
                     break
         finally:
             if writer:

@@ -159,17 +159,19 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
         opt = optax.chain(*tx)
         return _FusedOptimizer(init=opt.init, update=opt.update)
     if optimizer == "sgd":
-        # decoupled weight decay (add_decayed_weights BEFORE the momentum/
-        # lr scaling, matching torch SGD(weight_decay=...) semantics)
-        tx.append(optax.add_decayed_weights(weight_decay))
-        tx.append(optax.sgd(lr_or_sched, momentum=0.9))
-        base = None
+        # SGDW (Loshchilov & Hutter 2019): the decay term joins AFTER the
+        # momentum trace (so wd never enters the momentum buffer) but
+        # BEFORE the lr scaling (so it anneals with the schedule) — truly
+        # decoupled, matching how adamw/lion treat their weight_decay
+        base = optax.chain(
+            optax.trace(decay=0.9),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(lr_or_sched))
     elif optimizer == "lion":
         base = optax.lion(lr_or_sched, weight_decay=weight_decay)
     else:
         base = optax.adamw(lr_or_sched, weight_decay=weight_decay)
-    if base is not None:
-        tx.append(base)
+    tx.append(base)
     if llrd is not None:
         if llrd_depth is None:
             raise ValueError("llrd requires llrd_depth (the encoder depth)")
