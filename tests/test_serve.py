@@ -234,3 +234,43 @@ def test_default_latency_window_is_bounded():
     params = init_params(jax.random.PRNGKey(0), CFG)
     with InferenceServer(params, CFG, batch_size=2) as srv:
         assert srv.stats.latencies_ms.maxlen == 10_000
+
+
+def test_resolve_serve_config_sources(tmp_path, capsys):
+    """Config discovery order: checkpoint DIR meta, direct .ckpt file meta
+    (the is_dir() gate regression), int8 artifact meta, preset fallback."""
+    import pathlib
+
+    from vitx.cli.serve import resolve_serve_config
+    from vitx.cli.train import main as train_main
+    from vitx.core.config import ViTConfig
+
+    cfg10 = ViTConfig(image_size=32, patch_size=4, num_classes=10,
+                      embed_dim=32, depth=2, num_heads=2,
+                      compute_dtype="float32")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg10.to_json())
+    train_main(["--config-json", str(cfg_path), "--data", "synthetic",
+                "--epochs", "1", "--batch-size", "32",
+                "--checkpoint-dir", str(tmp_path / "c")])
+    capsys.readouterr()
+
+    # directory: trained geometry, not the tiny preset
+    got = resolve_serve_config(str(tmp_path / "c"), None, "tiny")
+    assert got.num_classes == 10 and got.embed_dim == 32
+    # DIRECT file path must discover the same meta (regression: an
+    # is_dir() gate used to fall back to the preset and crash restore)
+    ckpt_file = next(pathlib.Path(tmp_path / "c").glob("*.ckpt"))
+    got = resolve_serve_config(str(ckpt_file), None, "tiny")
+    assert got.num_classes == 10
+    # int8 artifact meta
+    from vitx.cli.eval import main as eval_main
+
+    art = tmp_path / "m.quant.npz"
+    eval_main(["--data", "synthetic", "--checkpoint", str(tmp_path / "c"),
+               "--batch-size", "32", "--export-quantized", str(art)])
+    capsys.readouterr()
+    got = resolve_serve_config(str(art), None, "tiny", tome_r=4)
+    assert got.num_classes == 10 and got.tome_r == 4
+    # no checkpoint -> preset
+    assert resolve_serve_config(None, None, "tiny").num_classes == 4

@@ -78,6 +78,35 @@ def make_handler(server):
     return Handler
 
 
+def resolve_serve_config(checkpoint, config_json, preset,
+                         tome_r: int = 0) -> ViTConfig:
+    """The serve CLI's config discovery, testable on its own: explicit
+    --config-json wins; otherwise self-describing checkpoint meta (a
+    checkpoint DIR, a direct {epoch}.ckpt/orbax path, or a .quant.npz int8
+    artifact — reference .pt files carry no vitx config); preset as the
+    fallback. ``tome_r`` applies last (inference-only override)."""
+    cfg = (ViTConfig.from_json(open(config_json).read())
+           if config_json else get_config(preset))
+    if checkpoint and not config_json:
+        import pathlib
+
+        from vitx.train.checkpoint import peek_meta
+
+        p_ckpt = pathlib.Path(checkpoint)
+        if p_ckpt.name.endswith(".quant.npz"):
+            from vitx.quant import peek_meta as peek_quant_meta
+
+            saved = peek_quant_meta(p_ckpt)
+        elif p_ckpt.suffix == ".pt":
+            saved = None        # reference .pt carries no vitx config meta
+        else:
+            saved = peek_meta(p_ckpt)
+        if saved and "config" in saved:
+            # self-describing checkpoints: serve the exact trained geometry
+            cfg = ViTConfig.from_json(json.dumps(saved["config"]))
+    return cfg.replace(tome_r=tome_r) if tome_r else cfg
+
+
 def main(argv=None):
     from vitx.core.cache import enable_persistent_cache
 
@@ -110,29 +139,8 @@ def main(argv=None):
 
     from vitx.serve import load_server
 
-    cfg = (ViTConfig.from_json(open(args.config_json).read())
-           if args.config_json else get_config(args.preset))
-    if args.checkpoint and not args.config_json:
-        import pathlib
-
-        from vitx.train.checkpoint import peek_meta
-
-        p_ckpt = pathlib.Path(args.checkpoint)
-        if p_ckpt.name.endswith(".quant.npz"):
-            from vitx.quant import peek_meta as peek_quant_meta
-
-            saved = peek_quant_meta(p_ckpt)
-        elif p_ckpt.suffix == ".pt":
-            saved = None        # reference .pt carries no vitx config meta
-        else:
-            # peek_meta accepts a checkpoint DIR or a direct
-            # {epoch}.ckpt/orbax path alike
-            saved = peek_meta(p_ckpt)
-        if saved and "config" in saved:
-            # self-describing checkpoints: serve the exact trained geometry
-            cfg = ViTConfig.from_json(json.dumps(saved["config"]))
-    if args.tome_r:
-        cfg = cfg.replace(tome_r=args.tome_r)
+    cfg = resolve_serve_config(args.checkpoint, args.config_json,
+                               args.preset, args.tome_r)
     mesh = None
     if args.dp is not None:
         from vitx.parallel import make_mesh
