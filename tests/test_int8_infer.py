@@ -90,3 +90,35 @@ def test_server_int8_runtime_matches_float_argmax():
         a, b = plain.predict(x), quant.predict(x)
     assert a["classes"][0] == b["classes"][0]
     assert abs(a["probs"][0] - b["probs"][0]) < 0.05
+
+
+def test_forward_int8_dp_mesh_matches_single_device():
+    """int8 forward under a dp mesh: the quant kernel's row-parallel rule
+    shards the flattened token rows; logits must match single-device."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    rt = quantize_for_runtime(params, CFG)
+    x = jax.random.normal(jax.random.PRNGKey(6), (16, 32, 32, 3))
+    want = np.asarray(forward_int8(rt, x, CFG))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    rt_p = jax.device_put(rt, NamedSharding(mesh, P()))
+    x_p = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+    got = np.asarray(jax.jit(
+        lambda r, xx: forward_int8(r, xx, CFG))(rt_p, x_p))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_int8_runtime_rejects_bug_exact_and_tome():
+    import pytest
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with pytest.raises(ValueError, match="bug_exact"):
+        quantize_for_runtime(params, CFG.replace(parity="bug_exact"))
+    with pytest.raises(ValueError, match="tome"):
+        quantize_for_runtime(params, CFG.replace(tome_r=4))

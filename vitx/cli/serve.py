@@ -127,7 +127,7 @@ def main(argv=None):
     p.add_argument("--int8-runtime", action="store_true",
                    help="keep encoder weights resident as int8 and serve "
                         "through the weight-only Pallas matmul "
-                        "(vitx/nn/int8_infer.py; single-chip)")
+                        "(vitx/nn/int8_infer.py; composes with --dp)")
     p.add_argument("--temperature", type=float, default=None,
                    help="temperature-scale the served probabilities "
                         "(fit T with vitx.eval --calibrate)")

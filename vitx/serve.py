@@ -140,12 +140,10 @@ class InferenceServer:
 
         # int8_runtime: keep encoder matmul weights RESIDENT as int8 and
         # route projections through the weight-only Pallas matmul — ~2x
-        # less weight memory/traffic (vitx/nn/int8_infer.py). Single-chip
-        # path (no partition rules on the quant kernel yet).
+        # less weight memory/traffic (vitx/nn/int8_infer.py). Composes
+        # with dp meshes: the kernel's row-parallel partition rule shards
+        # the flattened token rows, int8 weights replicate.
         if int8_runtime:
-            if mesh is not None:
-                raise ValueError("int8_runtime serving is single-chip "
-                                 "(the quant matmul has no SPMD rule yet)")
             from vitx.nn.int8_infer import forward_int8, quantize_for_runtime
 
             params = quantize_for_runtime(params, cfg)
