@@ -714,3 +714,22 @@ def test_early_stopping(tmp_path, capsys):
     # ran at least 3 epochs (1 best + 2 stale) but nowhere near 40
     assert 3 <= sum(1 for ln in out.splitlines()
                     if ln.startswith("epoch ")) < 20
+
+
+def test_early_stop_keep_checkpoints_preserves_best_epoch(tmp_path, capsys):
+    """keep_checkpoints pruning must never delete the best-val-accuracy
+    epoch an early-stopped run exists to preserve."""
+    from vitx.train.checkpoint import list_checkpoints
+
+    train_loader, eval_loader = _loaders(batch=32)
+    tcfg = TrainerConfig(epochs=40, lr=3e-3, eval_every=1,
+                         early_stop_patience=2, keep_checkpoints=1,
+                         checkpoint_dir=str(tmp_path / "c"))
+    trainer = Trainer(CFG, tcfg)
+    history = trainer.fit(train_loader, eval_loader)
+    assert len(history) < 40
+    best = max(history, key=lambda h: h["val_accuracy"])["epoch"]
+    kept = list_checkpoints(tmp_path / "c")
+    assert best in kept, (best, kept)
+    # pruning still ran: only the protected best + the newest remain
+    assert len(kept) <= 2
