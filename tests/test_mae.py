@@ -167,6 +167,55 @@ def test_mae_export_init_roundtrip(tmp_path):
         np.asarray(state.params["encoder"]["blocks"]["wqkv"]))
 
 
+def test_init_from_resizes_pos_embed_for_new_resolution(tmp_path):
+    """--init-from at a different image size bilinearly resizes the saved
+    positional grid (the standard higher-resolution fine-tune trick) instead
+    of dropping it to fresh init; CLS row passes through exactly and the
+    model runs at the new resolution."""
+    import warnings
+
+    from vitx.cli.pretrain import _flatten_strs, load_vit_init
+
+    opt = make_optimizer(lr=1e-3)
+    state = create_mae_train_state(jax.random.PRNGKey(0), MCFG, opt)
+    vit_params = mae_to_vit_params(state.params, ENC, jax.random.PRNGKey(1))
+    path = tmp_path / "init.npz"
+    np.savez(path, **{"/".join(p): np.asarray(leaf)
+                      for p, leaf in _flatten_strs(vit_params)})
+
+    hi = ENC.replace(image_size=ENC.image_size * 2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        loaded = load_vit_init(path, hi, jax.random.PRNGKey(2))
+    assert any("pos_embed resized" in str(x.message) for x in w)
+    # pos_embed must NOT be in any "fresh init" warning
+    assert not any("fresh init" in str(x.message)
+                   and "pos_embed" in str(x.message) for x in w)
+
+    pe = np.asarray(loaded["pos_embed"])
+    assert pe.shape == (1, hi.pos_len, hi.embed_dim)
+    # CLS slot passes through the resize untouched
+    np.testing.assert_array_equal(
+        pe[:, 0], np.asarray(vit_params["pos_embed"][:, 0]))
+    # encoder weights still transfer verbatim
+    np.testing.assert_array_equal(
+        np.asarray(loaded["blocks"]["wqkv"]),
+        np.asarray(state.params["encoder"]["blocks"]["wqkv"]))
+    # grid corners map to grid corners under bilinear resize
+    g_from, g_to, E = ENC.grid_size, hi.grid_size, ENC.embed_dim
+    src = np.asarray(vit_params["pos_embed"][0, 1:]).reshape(g_from, g_from, E)
+    dst = pe[0, 1:].reshape(g_to, g_to, E)
+    np.testing.assert_allclose(dst[0, 0], src[0, 0], rtol=0, atol=1e-5)
+
+    # and the model runs at the new resolution with the resized embedding
+    imgs = jax.random.normal(jax.random.PRNGKey(3),
+                             (2, hi.image_size, hi.image_size, 3),
+                             jnp.float32)
+    logits = forward(loaded, imgs, hi)
+    assert logits.shape == (2, hi.num_classes)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason="needs 8 (virtual) devices")
 def test_mae_batch_sharded_matches_unsharded():

@@ -181,11 +181,34 @@ def _flatten_strs(tree, prefix=()):
         yield prefix, tree
 
 
+def _resize_saved_pos_embed(saved, cfg: ViTConfig):
+    """Bilinear-resize a saved (1, prefix+P_from, E) pos_embed to this
+    config's grid — the standard higher-resolution fine-tune trick — or
+    return None when the mismatch is not a pure grid-size change."""
+    import math
+
+    if (saved.ndim != 3 or saved.shape[0] != 1
+            or saved.shape[2] != cfg.embed_dim):
+        return None
+    n_patches = saved.shape[1] - cfg.num_prefix_tokens
+    g = math.isqrt(max(n_patches, 0))
+    if g <= 0 or g * g != n_patches or g == cfg.grid_size:
+        return None
+    from vitx.interop.pretrained import resize_pos_embed
+
+    cfg_from = cfg.replace(image_size=g * cfg.patch_size)
+    return resize_pos_embed({"pos_embed": saved}, cfg_from, cfg)["pos_embed"]
+
+
 def load_vit_init(path, cfg: ViTConfig, rng):
     """Load an ``--export-vit`` npz back into a classifier pytree.
 
     Leaves missing from the file or with mismatched shapes (e.g. the head
-    when fine-tuning on a different class count) keep their fresh init.
+    when fine-tuning on a different class count) keep their fresh init —
+    EXCEPT pos_embed, whose grid is bilinearly resized when the source was
+    trained at a different image size (fine-tune-at-384 from a 224 export
+    keeps its positional information; timm/HF imports do the same in
+    vitx/interop/pretrained.py:205).
     """
     import warnings
 
@@ -199,6 +222,14 @@ def load_vit_init(path, cfg: ViTConfig, rng):
         key = "/".join(str(k.key) for k in kp)
         if key in data.files and data[key].shape == leaf.shape:
             return jax.numpy.asarray(data[key], leaf.dtype)
+        if key == "pos_embed" and key in data.files:
+            resized = _resize_saved_pos_embed(data[key], cfg)
+            if resized is not None:
+                warnings.warn(
+                    f"init-from {path}: pos_embed resized from "
+                    f"{data[key].shape[1]} to {cfg.pos_len} positions "
+                    f"(grid {cfg.grid_size}x{cfg.grid_size})")
+                return jax.numpy.asarray(resized, leaf.dtype)
         fresh.append(key)
         return leaf
 
