@@ -19,8 +19,9 @@ A from-scratch re-design (NOT a port) of the capabilities of the reference
 """
 
 from vitx.core.config import ViTConfig, PRESETS, get_config
-from vitx.nn.vit import (init_params, forward, forward_heads,
-                         forward_with_attn, forward_with_rollout)
+from vitx.nn.vit import (init_params, forward, forward_features,
+                         forward_heads, forward_with_attn,
+                         forward_with_rollout)
 from vitx.nn.rollout import attention_rollout
 from vitx.nn.mae import (MAEConfig, init_mae_params, mae_forward,
                          mae_to_vit_params)
@@ -33,6 +34,7 @@ __all__ = [
     "get_config",
     "init_params",
     "forward",
+    "forward_features",
     "forward_heads",
     "forward_with_attn",
     "forward_with_rollout",

@@ -530,6 +530,32 @@ def forward(params: Params, images, cfg: ViTConfig, *, rng=None,
     return logits
 
 
+def forward_features(params: Params, images, cfg: ViTConfig, *,
+                     pool: str = "cls"):
+    """Images -> (B, E) fp32 feature embeddings (the pre-head representation).
+
+    The backbone-as-feature-extractor API (timm's ``forward_features`` /
+    the MAE & DINO representation-evaluation protocols — consumed by
+    ``vitx.cli.probe`` for linear-probe / k-NN eval and feature export).
+
+    pool="cls": token 0 of the encoder output — exactly what ``classify``
+    reads (reference vit.py:80). pool="gap": mean over the PATCH tokens
+    only (prefix/register tokens excluded; MAE's fine-tune pooling).
+    Always runs the full-token encoder (no ToMe merging: merged features
+    are a throughput trade, not a representation).
+    """
+    x, _ = encode(params, images, cfg)
+    if pool == "cls":
+        return x[:, 0, :].astype(jnp.float32)
+    if pool == "gap":
+        # bug_exact parity keeps the reference layout: patches FIRST, the
+        # CLS appended after them (reference vit.py:41)
+        s = 0 if cfg.parity == "bug_exact" else cfg.num_prefix_tokens
+        return jnp.mean(x[:, s:s + cfg.num_patches, :].astype(jnp.float32),
+                        axis=1)
+    raise ValueError(f"unknown pool {pool!r} (expected 'cls' or 'gap')")
+
+
 def forward_with_attn(params: Params, images, cfg: ViTConfig, *,
                       probs_mode: str = "full"):
     """Instrumented forward: returns (logits, attn_probs).
