@@ -274,3 +274,50 @@ def test_resolve_serve_config_sources(tmp_path, capsys):
     assert got.num_classes == 10 and got.tome_r == 4
     # no checkpoint -> preset
     assert resolve_serve_config(None, None, "tiny").num_classes == 4
+
+
+def test_explain_matches_rollout_and_http():
+    """explain() returns the same top-k as predict's path and exactly the
+    forward_with_rollout heatmap; the HTTP /explain route serves it and the
+    stats count it."""
+    from vitx import forward_with_rollout
+    from vitx.cli.serve import serve_in_thread
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with InferenceServer(params, CFG, batch_size=2, top_k=3) as srv:
+        img = _img(21)
+        out = srv.explain(img)
+        assert out["grid"] == CFG.grid_size
+        assert len(out["rollout"]) == CFG.grid_size * CFG.grid_size
+        assert out["classes"][0] == _expected_top1(params, img)
+
+        logits, roll = forward_with_rollout(
+            params, img[None].astype(np.float32), CFG)
+        np.testing.assert_allclose(np.asarray(out["rollout"], np.float32),
+                                   np.asarray(roll, np.float32)[0],
+                                   rtol=0, atol=1e-5)
+
+        httpd, _ = serve_in_thread(srv)
+        base = f"http://127.0.0.1:{httpd.server_port}"
+        try:
+            req = urllib.request.Request(base + "/explain",
+                                         data=img.tobytes(), method="POST")
+            http_out = json.loads(urllib.request.urlopen(req).read())
+            assert http_out["classes"] == out["classes"]
+            np.testing.assert_allclose(http_out["rollout"], out["rollout"],
+                                       rtol=0, atol=1e-6)
+            stats = json.loads(
+                urllib.request.urlopen(base + "/stats").read())
+            assert stats["explains"] == 2
+        finally:
+            httpd.shutdown()
+
+
+def test_explain_rejected_under_int8_runtime():
+    import pytest
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with InferenceServer(params, CFG, batch_size=2,
+                         int8_runtime=True) as srv:
+        with pytest.raises(RuntimeError, match="int8"):
+            srv.explain(_img(3))

@@ -6,6 +6,10 @@ batching, one compiled forward, on-device top-k). Endpoints:
 - ``POST /predict`` — body is a raw float32 (H, W, C) image (``.npy`` bytes
   or raw little-endian floats); response JSON ``{"probs": [...],
   "classes": [...]}`` for the top-k classes.
+- ``POST /explain`` — same body; response adds ``rollout`` (the
+  attention-rollout heatmap over the patch grid, row-major) and ``grid``.
+  Runs outside the batching path (debug/inspection surface; float servers
+  only — 400 under ``--int8-runtime``).
 - ``GET /stats`` — JSON throughput/latency/occupancy counters.
 - ``GET /healthz`` — 200 once the model is compiled and serving.
 
@@ -56,7 +60,7 @@ def make_handler(server):
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/predict":
+            if self.path not in ("/predict", "/explain"):
                 self._reply(404, {"error": "unknown path"})
                 return
             n = int(self.headers.get("Content-Length", 0))
@@ -67,7 +71,9 @@ def make_handler(server):
                 else:
                     img = np.frombuffer(raw, np.float32).reshape(
                         cfg.image_size, cfg.image_size, cfg.num_channels)
-                out = server.predict(np.asarray(img, np.float32))
+                img = np.asarray(img, np.float32)
+                out = (server.predict(img) if self.path == "/predict"
+                       else server.explain(img))
                 self._reply(200, out)
             except Exception as e:   # noqa: BLE001 — surface to the client
                 from vitx.serve import ServerOverloaded

@@ -48,6 +48,7 @@ class ServerStats:
     batches: int = 0
     padded_slots: int = 0
     rejected: int = 0
+    explains: int = 0
     window: int = 10_000
     recent_window: int = 1_000
     latencies_ms: deque = field(default=None)
@@ -70,13 +71,14 @@ class ServerStats:
             recent = sorted(self.recent_ms)
             requests, batches = self.requests, self.batches
             rejected, padded = self.rejected, self.padded_slots
+            explains = self.explains
         occupancy = 0.0
         if requests + padded:
             occupancy = requests / (requests + padded)
         p50, p99 = self._pct(lat, 0.50), self._pct(lat, 0.99)
         p50_r, p99_r = self._pct(recent, 0.50), self._pct(recent, 0.99)
         return {"requests": requests, "batches": batches,
-                "rejected": rejected,
+                "rejected": rejected, "explains": explains,
                 "batch_occupancy": round(occupancy, 3),
                 "p50_ms": round(p50, 2), "p90_ms":
                     round(self._pct(lat, 0.90), 2),
@@ -188,8 +190,58 @@ class InferenceServer:
                            cfg.num_channels), cfg.cdtype())
         jax.block_until_ready(self._run(self._params, dummy))
 
+        self._explain_run = None
+        self._explain_lock = threading.Lock()
+
         self._thread = threading.Thread(target=self._collector, daemon=True)
         self._thread.start()
+
+    # ------------------------------------------------------------------
+    def explain(self, image: np.ndarray) -> dict:
+        """Single-image explainability: top-k classes + the attention-rollout
+        heatmap over the patch grid (``forward_with_rollout``).
+
+        Runs OUTSIDE the batching path on a lazily-compiled batch-1 program
+        (explainability is a debug/inspection surface, not a throughput one
+        — the first call pays its compile, later calls are serialized by a
+        lock). Response adds ``rollout`` ((grid*grid,) weights, same order
+        as the patch raster) and ``grid`` to the predict fields. The HTTP
+        front end maps this to ``POST /explain``.
+        """
+        if self.int8_runtime:
+            raise RuntimeError(
+                "explain() needs the float forward (forward_with_rollout); "
+                "int8-runtime servers keep only the quantized encoder — "
+                "serve without --int8-runtime to use /explain")
+        expect = (self.cfg.image_size, self.cfg.image_size,
+                  self.cfg.num_channels)
+        if tuple(image.shape) != expect:
+            raise ValueError(f"expected image shape {expect}, "
+                             f"got {tuple(image.shape)}")
+        inv_t = 1.0 / self.temperature if self.temperature else 1.0
+        with self._explain_lock:
+            if self._explain_run is None:
+                from vitx.nn.vit import forward_with_rollout
+
+                def run1(params, images):
+                    logits, roll = forward_with_rollout(params, images,
+                                                        self.cfg)
+                    probs = jax.nn.softmax(
+                        logits.astype(jnp.float32) * inv_t, axis=-1)
+                    values, indices = jax.lax.top_k(probs, self.top_k)
+                    return values, indices, roll
+
+                self._explain_run = jax.jit(run1)
+            x = jnp.asarray(np.asarray(image, np.float32)[None],
+                            self.cfg.cdtype())
+            values, indices, roll = jax.device_get(
+                self._explain_run(self._params, x))
+        with self.stats.lock:
+            self.stats.explains += 1
+        return {"probs": values[0].tolist(),
+                "classes": indices[0].tolist(),
+                "rollout": roll[0].astype(np.float32).tolist(),
+                "grid": self.cfg.grid_size}
 
     # ------------------------------------------------------------------
     def predict(self, image: np.ndarray, timeout: float = 30.0) -> dict:
