@@ -394,11 +394,40 @@ C.append(code(
     "      f'{fp32_b/1e3:.0f} KB fp32 ({fp32_b/int8_b:.1f}x smaller)')"))
 
 C.append(md(
+    "## Feature space\n\n"
+    "The backbone as a feature extractor (`forward_features`, CLS pooling): "
+    "a 2-D PCA of the eval-set embeddings separates the classes the head "
+    "never sees here, and the frozen-feature protocols (closed-form linear "
+    "probe, DINO-style cosine k-NN — `python -m vitx.cli.probe`) put a "
+    "number on representation quality independent of the classifier head."))
+
+C.append(code(
+    "from vitx.cli.probe import extract_features, fit_linear_probe, knn_predict\n"
+    "tx, ty = extract_features(trainer.state.params, train_ds, cfg)\n"
+    "vx, vy = extract_features(trainer.state.params, eval_ds, cfg)\n"
+    "probe = fit_linear_probe(tx, ty, cfg.num_classes)\n"
+    "knn = knn_predict(tx, ty, vx, cfg.num_classes, k=20)\n"
+    "print('linear-probe val acc:', float((probe(vx) == vy).mean()))\n"
+    "print('k-NN (k=20)  val acc:', float((knn == vy).mean()))\n"
+    "# 2-D PCA of the eval features\n"
+    "centered = vx - vx.mean(axis=0)\n"
+    "_, _, vt = np.linalg.svd(centered, full_matrices=False)\n"
+    "z = centered @ vt[:2].T\n"
+    "fig, ax = plt.subplots(figsize=(5, 4))\n"
+    "for c in range(cfg.num_classes):\n"
+    "    ax.scatter(z[vy == c, 0], z[vy == c, 1], s=12, alpha=0.7,\n"
+    "               label=eval_ds.classes[c])\n"
+    "ax.set_xlabel('PC 1'); ax.set_ylabel('PC 2')\n"
+    "ax.set_title('CLS features, eval set (PCA)'); ax.legend(fontsize=8)\n"
+    "fig.tight_layout(); plt.show()"))
+
+C.append(md(
     "## Pointers\n\n"
     "- `examples/quickstart.py` — the 30-second training script\n"
     "- `examples/attention_rollout.py` — rollout overlay as a CLI\n"
-    "- `python -m vitx.cli.train / .eval / .bench / .pretrain / .serve` — "
-    "full CLIs\n"
+    "- `python -m vitx.cli.train / .eval / .bench / .pretrain / .serve / "
+    ".probe` — full CLIs\n"
+    "- `POST /explain` on the serve CLI — top-k + rollout heatmap per image\n"
     "- `vitx.cli.pretrain --export-vit` → `vitx.cli.train --init-from` — "
     "the MAE pretrain→fine-tune loop at CLI scale\n"
     "- `vitx/parallel` — the same Trainer scaled over a `jax.sharding.Mesh` "
