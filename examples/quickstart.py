@@ -16,6 +16,7 @@ from vitx.train.loop import Trainer, TrainerConfig
 # fresh dir per run: auto-resume would otherwise skip already-trained
 # epochs from a previous quickstart and leave nothing to demonstrate
 WORKDIR = tempfile.mkdtemp(prefix="vitx_quickstart_")
+print("workdir (checkpoints + TB logs; delete when done):", WORKDIR)
 
 cfg = get_config("tiny")
 train_ds = SyntheticDataset(num_examples=512, image_size=cfg.image_size,

@@ -321,3 +321,26 @@ def test_explain_rejected_under_int8_runtime():
                          int8_runtime=True) as srv:
         with pytest.raises(RuntimeError, match="int8"):
             srv.explain(_img(3))
+
+
+def test_explain_backpressure_503():
+    """explain() has its own concurrency bound: with all slots held it
+    raises ServerOverloaded (HTTP 503) instead of stacking threads."""
+    import pytest
+
+    from vitx.serve import ServerOverloaded
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with InferenceServer(params, CFG, batch_size=2) as srv:
+        for _ in range(4):
+            assert srv._explain_slots.acquire(blocking=False)
+        try:
+            with pytest.raises(ServerOverloaded):
+                srv.explain(_img(5))
+            assert srv.stats.summary()["rejected"] >= 1
+        finally:
+            for _ in range(4):
+                srv._explain_slots.release()
+        # slots released -> explain works again
+        out = srv.explain(_img(5))
+        assert out["grid"] == CFG.grid_size

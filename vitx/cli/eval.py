@@ -15,7 +15,7 @@ import jax
 import numpy as np
 
 from vitx.core.cache import enable_persistent_cache
-from vitx.core.config import PRESETS, ViTConfig, get_config
+from vitx.core.config import PRESETS
 from vitx.data import BatchLoader
 from vitx.data.pipeline import make_preprocess
 from vitx.metrics import confusion_to_metrics
@@ -62,27 +62,15 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from vitx.cli.train import make_datasets
+    from vitx.train.checkpoint import (load_artifact_params,
+                                       resolve_artifact_config)
 
-    from vitx.train.checkpoint import peek_meta
-
-    # int8 artifacts (vitx/quant.py) evaluate directly; their user meta
-    # carries the exporting config
-    quant_artifact = str(args.checkpoint).endswith(".quant.npz")
-    if quant_artifact:
-        from vitx.quant import peek_meta as peek_quant_meta
-
-        saved = peek_quant_meta(args.checkpoint)
-    else:
-        saved = peek_meta(args.checkpoint)
-    if args.config_json:
-        cfg = ViTConfig.from_json(open(args.config_json).read())
-    elif saved and "config" in saved:
-        # checkpoints are self-describing (Trainer stores the exact model
-        # config in meta) — the restored geometry always matches, even when
-        # training mutated the preset (e.g. --init-from sets final_norm)
-        cfg = ViTConfig.from_json(json.dumps(saved["config"]))
-    else:
-        cfg = get_config(args.preset)
+    # shared discovery rule (checkpoints are self-describing: the Trainer
+    # stores the exact model config in meta, int8 artifacts in user meta —
+    # the restored geometry always matches, even when training mutated the
+    # preset, e.g. --init-from sets final_norm)
+    cfg = resolve_artifact_config(args.checkpoint, args.config_json,
+                                  args.preset)
     _, eval_ds = make_datasets(args.data, cfg, seed=0)
     classes = getattr(eval_ds, "classes", None)
     # mirror the train CLI's class-count adjustment (cli/train.py), else the
@@ -94,23 +82,12 @@ def main(argv=None):
     if args.tome_r:
         cfg = cfg.replace(tome_r=args.tome_r)
 
-    if quant_artifact:
-        import jax as _jax
-
-        from vitx.nn.vit import init_params
-        from vitx.quant import load_quantized
-
-        params, user = load_quantized(
-            args.checkpoint, init_params(_jax.random.PRNGKey(0), cfg))
-        meta = {"epoch": user.get("epoch", -1)}
-    else:
-        from vitx.train.checkpoint import restore_eval_params
-
-        # restores the EMA shadow when the run trained with --ema-decay
-        # (the optimizer template is rebuilt from the checkpoint's
-        # recorded chain)
-        params, meta = restore_eval_params(args.checkpoint, cfg)
-    if meta is None:
+    try:
+        # shared loading rule: vitx dirs/files (EMA shadow restored for
+        # --ema-decay runs via a rebuilt optimizer template), .quant.npz
+        # int8 artifacts, reference .pt
+        params, meta = load_artifact_params(args.checkpoint, cfg)
+    except FileNotFoundError:
         print(f"error: no checkpoint under {args.checkpoint}",
               file=sys.stderr)
         return 1
@@ -221,7 +198,7 @@ def main(argv=None):
 
     metrics = jax.device_get(confusion_to_metrics(cm))
     out = {
-        "epoch": meta["epoch"],
+        "epoch": meta.get("epoch", -1),
         "accuracy": float(metrics["accuracy"]),
         "precision_weighted": float(metrics["precision_weighted"]),
         "recall_weighted": float(metrics["recall_weighted"]),

@@ -187,6 +187,12 @@ def _resize_saved_pos_embed(saved, cfg: ViTConfig):
     return None when the mismatch is not a pure grid-size change."""
     import math
 
+    if cfg.parity == "bug_exact":
+        # bug_exact stores [patches..., CLS] (reference vit.py:41);
+        # resize_pos_embed assumes the corrected prefix-first layout —
+        # resizing would blend the CLS row into the grid. Fresh init
+        # (with its warning) is the safe answer for that exotic combo.
+        return None
     if (saved.ndim != 3 or saved.shape[0] != 1
             or saved.shape[2] != cfg.embed_dim):
         return None

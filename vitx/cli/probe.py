@@ -13,7 +13,9 @@ capability; the reference's ``src/train.py`` only ever reads head logits):
   both splits, for any downstream analysis.
 
 Features come from :func:`vitx.nn.vit.forward_features` (CLS token or
-patch-mean pooling). Any checkpoint the eval CLI accepts works here:
+patch-mean pooling). Any artifact the eval/serve CLIs accept works here —
+discovery and loading go through the same shared rules
+(vitx/train/checkpoint.py::{resolve_artifact_config,load_artifact_params}):
 vitx ``{epoch}.ckpt`` dirs (EMA-aware restore), ``.quant.npz`` int8
 artifacts, or reference ``.pt`` files.
 
@@ -25,7 +27,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import pathlib
 import sys
 
 import jax
@@ -36,22 +37,34 @@ from vitx.data import BatchLoader
 from vitx.data.pipeline import make_preprocess
 
 
-def extract_features(params, dataset, cfg: ViTConfig, *, pool: str = "cls",
-                     batch_size: int = 64, normalize: bool = True):
-    """Dataset -> (features (N, E) fp32, labels (N,)) with mask-exact ragged
-    batches (padded rows never reach the output)."""
+def _feat_fn(params, x, cfg: ViTConfig, pool: str):
     from vitx.nn.vit import forward_features
 
-    pre = make_preprocess(
-        out_size=cfg.image_size,
-        mean=(0.5, 0.5, 0.5) if normalize else None,
-        std=(0.5, 0.5, 0.5) if normalize else None,
-        random_flip=False)
-    feat_fn = jax.jit(lambda p, x: forward_features(p, x, cfg, pool=pool))
+    return forward_features(params, x, cfg, pool=pool)
+
+
+# one jit cache entry per (cfg, pool): the train- and val-split extractions
+# (and repeat calls, e.g. the exploration notebook) share the compile
+_feat_jit = jax.jit(_feat_fn, static_argnames=("cfg", "pool"))
+
+
+def extract_features(params, dataset, cfg: ViTConfig, *, pool: str = "cls",
+                     batch_size: int = 64, normalize: bool = True,
+                     pre=None):
+    """Dataset -> (features (N, E) fp32, labels (N,)) with mask-exact ragged
+    batches (padded rows never reach the output). ``pre``: a
+    ``make_preprocess`` callable to reuse across calls (built per call
+    otherwise)."""
+    if pre is None:
+        pre = make_preprocess(
+            out_size=cfg.image_size,
+            mean=(0.5, 0.5, 0.5) if normalize else None,
+            std=(0.5, 0.5, 0.5) if normalize else None,
+            random_flip=False)
     feats, labels = [], []
     for batch in BatchLoader(dataset, batch_size):
         x = pre(batch["image"], None, train=False)
-        f = np.asarray(feat_fn(params, x))
+        f = np.asarray(_feat_jit(params, x, cfg, pool))
         keep = np.asarray(batch["mask"]).astype(bool)
         feats.append(f[keep])
         labels.append(np.asarray(batch["label"])[keep])
@@ -101,31 +114,6 @@ def knn_predict(train_x, train_y, test_x, num_classes: int, *, k: int = 20,
     return np.concatenate(preds)
 
 
-def load_probe_params(checkpoint, cfg: ViTConfig):
-    """Restore params for probing — same artifact surface as load_server
-    (vitx/serve.py:283): checkpoint dir / {epoch}.ckpt / orbax, .quant.npz
-    int8 artifact, or a reference .pt."""
-    from vitx.nn.vit import init_params
-
-    p = pathlib.Path(checkpoint)
-    if p.name.endswith(".quant.npz"):
-        from vitx.quant import load_quantized
-
-        params, _ = load_quantized(p, init_params(jax.random.PRNGKey(0), cfg))
-        return params
-    if p.suffix == ".pt":
-        from vitx.train.checkpoint import load_reference_pt
-
-        params, _ = load_reference_pt(p, cfg)
-        return params
-    from vitx.train.checkpoint import restore_eval_params
-
-    params, meta = restore_eval_params(p, cfg)
-    if meta is None:
-        raise FileNotFoundError(f"no checkpoint under {p}")
-    return params
-
-
 def main(argv=None):
     from vitx.core.cache import enable_persistent_cache
 
@@ -151,10 +139,12 @@ def main(argv=None):
     p.add_argument("--no-normalize", action="store_true")
     args = p.parse_args(argv)
 
-    from vitx.cli.serve import resolve_serve_config
     from vitx.cli.train import make_datasets
+    from vitx.train.checkpoint import (load_artifact_params,
+                                       resolve_artifact_config)
 
-    cfg = resolve_serve_config(args.checkpoint, args.config_json, args.preset)
+    cfg = resolve_artifact_config(args.checkpoint, args.config_json,
+                                  args.preset)
     train_ds, eval_ds = make_datasets(args.data, cfg, seed=0)
     classes = getattr(train_ds, "classes", None)
     n_classes = getattr(train_ds, "num_classes",
@@ -162,10 +152,14 @@ def main(argv=None):
     if n_classes != cfg.num_classes:
         cfg = cfg.replace(num_classes=n_classes)
 
-    params = load_probe_params(args.checkpoint, cfg)
+    params, _ = load_artifact_params(args.checkpoint, cfg)
 
-    kw = dict(pool=args.pool, batch_size=args.batch_size,
-              normalize=not args.no_normalize)
+    pre = make_preprocess(
+        out_size=cfg.image_size,
+        mean=None if args.no_normalize else (0.5, 0.5, 0.5),
+        std=None if args.no_normalize else (0.5, 0.5, 0.5),
+        random_flip=False)
+    kw = dict(pool=args.pool, batch_size=args.batch_size, pre=pre)
     train_x, train_y = extract_features(params, train_ds, cfg, **kw)
     val_x, val_y = extract_features(params, eval_ds, cfg, **kw)
 

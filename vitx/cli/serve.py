@@ -33,7 +33,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from vitx.core.config import PRESETS, ViTConfig, get_config
+from vitx.core.config import PRESETS, ViTConfig
 
 
 def make_handler(server):
@@ -86,31 +86,13 @@ def make_handler(server):
 
 def resolve_serve_config(checkpoint, config_json, preset,
                          tome_r: int = 0) -> ViTConfig:
-    """The serve CLI's config discovery, testable on its own: explicit
-    --config-json wins; otherwise self-describing checkpoint meta (a
-    checkpoint DIR, a direct {epoch}.ckpt/orbax path, or a .quant.npz int8
-    artifact — reference .pt files carry no vitx config); preset as the
-    fallback. ``tome_r`` applies last (inference-only override)."""
-    cfg = (ViTConfig.from_json(open(config_json).read())
-           if config_json else get_config(preset))
-    if checkpoint and not config_json:
-        import pathlib
+    """Config discovery for serving — delegates to the shared rule
+    (vitx/train/checkpoint.py::resolve_artifact_config, also used by the
+    eval and probe CLIs) so the three inference surfaces cannot drift."""
+    from vitx.train.checkpoint import resolve_artifact_config
 
-        from vitx.train.checkpoint import peek_meta
-
-        p_ckpt = pathlib.Path(checkpoint)
-        if p_ckpt.name.endswith(".quant.npz"):
-            from vitx.quant import peek_meta as peek_quant_meta
-
-            saved = peek_quant_meta(p_ckpt)
-        elif p_ckpt.suffix == ".pt":
-            saved = None        # reference .pt carries no vitx config meta
-        else:
-            saved = peek_meta(p_ckpt)
-        if saved and "config" in saved:
-            # self-describing checkpoints: serve the exact trained geometry
-            cfg = ViTConfig.from_json(json.dumps(saved["config"]))
-    return cfg.replace(tome_r=tome_r) if tome_r else cfg
+    return resolve_artifact_config(checkpoint, config_json, preset,
+                                   tome_r=tome_r)
 
 
 def main(argv=None):

@@ -192,6 +192,10 @@ class InferenceServer:
 
         self._explain_run = None
         self._explain_lock = threading.Lock()
+        # explain() backpressure: it bypasses the batching queue, so bound
+        # its own concurrency — beyond this many in-flight explain requests
+        # the call 503s instead of stacking threads on _explain_lock
+        self._explain_slots = threading.Semaphore(4)
 
         self._thread = threading.Thread(target=self._collector, daemon=True)
         self._thread.start()
@@ -218,24 +222,31 @@ class InferenceServer:
         if tuple(image.shape) != expect:
             raise ValueError(f"expected image shape {expect}, "
                              f"got {tuple(image.shape)}")
-        inv_t = 1.0 / self.temperature if self.temperature else 1.0
-        with self._explain_lock:
-            if self._explain_run is None:
-                from vitx.nn.vit import forward_with_rollout
+        if not self._explain_slots.acquire(blocking=False):
+            with self.stats.lock:
+                self.stats.rejected += 1
+            raise ServerOverloaded("too many in-flight explain requests")
+        try:
+            inv_t = 1.0 / self.temperature if self.temperature else 1.0
+            with self._explain_lock:
+                if self._explain_run is None:
+                    from vitx.nn.vit import forward_with_rollout
 
-                def run1(params, images):
-                    logits, roll = forward_with_rollout(params, images,
-                                                        self.cfg)
-                    probs = jax.nn.softmax(
-                        logits.astype(jnp.float32) * inv_t, axis=-1)
-                    values, indices = jax.lax.top_k(probs, self.top_k)
-                    return values, indices, roll
+                    def run1(params, images):
+                        logits, roll = forward_with_rollout(params, images,
+                                                            self.cfg)
+                        probs = jax.nn.softmax(
+                            logits.astype(jnp.float32) * inv_t, axis=-1)
+                        values, indices = jax.lax.top_k(probs, self.top_k)
+                        return values, indices, roll
 
-                self._explain_run = jax.jit(run1)
-            x = jnp.asarray(np.asarray(image, np.float32)[None],
-                            self.cfg.cdtype())
-            values, indices, roll = jax.device_get(
-                self._explain_run(self._params, x))
+                    self._explain_run = jax.jit(run1)
+                x = jnp.asarray(np.asarray(image, np.float32)[None],
+                                self.cfg.cdtype())
+                values, indices, roll = jax.device_get(
+                    self._explain_run(self._params, x))
+        finally:
+            self._explain_slots.release()
         with self.stats.lock:
             self.stats.explains += 1
         return {"probs": values[0].tolist(),
@@ -334,28 +345,15 @@ class InferenceServer:
 
 def load_server(checkpoint, cfg: ViTConfig, **kw) -> InferenceServer:
     """Build a server from a checkpoint path: ``{epoch}.ckpt`` / orbax dir
-    (vitx format), a reference ``.pt``, or ``None`` for fresh params."""
-    import pathlib
+    (vitx format, EMA-aware), a ``.quant.npz`` int8 artifact, a reference
+    ``.pt``, or ``None`` for fresh params — one shared loading rule with
+    the eval/probe CLIs (vitx/train/checkpoint.py::load_artifact_params)."""
+    if checkpoint is None:
+        from vitx.nn.vit import init_params
 
-    from vitx.nn.vit import init_params
+        params = init_params(jax.random.PRNGKey(0), cfg)
+    else:
+        from vitx.train.checkpoint import load_artifact_params
 
-    params = init_params(jax.random.PRNGKey(0), cfg)
-    if checkpoint is not None:
-        p = pathlib.Path(checkpoint)
-        if p.name.endswith(".quant.npz"):
-            from vitx.quant import load_quantized
-
-            params, _ = load_quantized(p, params)
-        elif p.suffix == ".pt":
-            from vitx.train.checkpoint import load_reference_pt
-
-            params, _ = load_reference_pt(p, cfg)
-        else:
-            from vitx.train.checkpoint import restore_eval_params
-
-            # serves the EMA shadow for --ema-decay runs (structure-matched
-            # optimizer template; see restore_eval_params)
-            params, meta = restore_eval_params(p, cfg)
-            if meta is None:
-                raise FileNotFoundError(f"no checkpoint under {p}")
+        params, _ = load_artifact_params(checkpoint, cfg)
     return InferenceServer(params, cfg, **kw)

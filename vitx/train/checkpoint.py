@@ -375,3 +375,57 @@ def load_reference_pt(path, cfg):
     meta = {k: ckpt.get(k) for k in ("epoch", "loss", "step")
             if isinstance(ckpt, dict) and k in ckpt}
     return params, meta
+
+
+# ---------------------------------------------------------------------------
+# One artifact surface for every inference CLI (eval / serve / probe)
+# ---------------------------------------------------------------------------
+
+def resolve_artifact_config(checkpoint, config_json=None, preset="tiny",
+                            tome_r: int = 0):
+    """THE config-discovery rule, shared by eval/serve/probe: an explicit
+    ``--config-json`` wins; otherwise self-describing artifact meta (a
+    checkpoint dir, a direct ``{epoch}.ckpt``/orbax path, or a
+    ``.quant.npz`` int8 artifact — reference ``.pt`` files carry no vitx
+    config); the preset is the fallback. ``tome_r`` applies last
+    (inference-only override, never persisted back into artifacts)."""
+    from vitx.core.config import ViTConfig, get_config
+
+    cfg = (ViTConfig.from_json(open(config_json).read())
+           if config_json else get_config(preset))
+    if checkpoint and not config_json:
+        p = pathlib.Path(checkpoint)
+        if p.name.endswith(".quant.npz"):
+            from vitx.quant import peek_meta as peek_quant_meta
+
+            saved = peek_quant_meta(p)
+        elif p.suffix == ".pt":
+            saved = None
+        else:
+            saved = peek_meta(p)
+        if saved and "config" in saved:
+            cfg = ViTConfig.from_json(json.dumps(saved["config"]))
+    return cfg.replace(tome_r=tome_r) if tome_r else cfg
+
+
+def load_artifact_params(checkpoint, cfg):
+    """THE artifact-loading rule, shared by eval/serve/probe: returns
+    ``(params, meta)`` for a vitx checkpoint dir / direct ``{epoch}.ckpt``
+    / orbax path (EMA-aware, via :func:`restore_eval_params`), a
+    ``.quant.npz`` int8 artifact, or a reference ``.pt``. Raises
+    ``FileNotFoundError`` when nothing restorable is found."""
+    from vitx.nn.vit import init_params
+
+    p = pathlib.Path(checkpoint)
+    if p.name.endswith(".quant.npz"):
+        from vitx.quant import load_quantized
+
+        params, user = load_quantized(
+            p, init_params(jax.random.PRNGKey(0), cfg))
+        return params, {"epoch": user.get("epoch", -1)}
+    if p.suffix == ".pt":
+        return load_reference_pt(p, cfg)
+    params, meta = restore_eval_params(p, cfg)
+    if meta is None:
+        raise FileNotFoundError(f"no checkpoint under {p}")
+    return params, meta
