@@ -287,13 +287,13 @@ def test_explain_matches_rollout_and_http():
     with InferenceServer(params, CFG, batch_size=2, top_k=3) as srv:
         img = _img(21)
         out = srv.explain(img)
-        assert out["grid"] == CFG.grid_size
-        assert len(out["rollout"]) == CFG.grid_size * CFG.grid_size
+        assert out["grid"] == CFG.grid_size and out["method"] == "rollout"
+        assert len(out["heatmap"]) == CFG.grid_size * CFG.grid_size
         assert out["classes"][0] == _expected_top1(params, img)
 
         logits, roll = forward_with_rollout(
             params, img[None].astype(np.float32), CFG)
-        np.testing.assert_allclose(np.asarray(out["rollout"], np.float32),
+        np.testing.assert_allclose(np.asarray(out["heatmap"], np.float32),
                                    np.asarray(roll, np.float32)[0],
                                    rtol=0, atol=1e-5)
 
@@ -304,7 +304,7 @@ def test_explain_matches_rollout_and_http():
                                          data=img.tobytes(), method="POST")
             http_out = json.loads(urllib.request.urlopen(req).read())
             assert http_out["classes"] == out["classes"]
-            np.testing.assert_allclose(http_out["rollout"], out["rollout"],
+            np.testing.assert_allclose(http_out["heatmap"], out["heatmap"],
                                        rtol=0, atol=1e-6)
             stats = json.loads(
                 urllib.request.urlopen(base + "/stats").read())
@@ -344,3 +344,49 @@ def test_explain_backpressure_503():
         # slots released -> explain works again
         out = srv.explain(_img(5))
         assert out["grid"] == CFG.grid_size
+
+
+def test_explain_gradcam_and_http_query():
+    """method='gradcam' returns the library grad_cam heatmap; the class
+    query selects the target; bad methods 400; class+rollout rejected."""
+    import pytest
+
+    from vitx import grad_cam
+    from vitx.cli.serve import serve_in_thread
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with InferenceServer(params, CFG, batch_size=2, top_k=2) as srv:
+        img = _img(31)
+        out = srv.explain(img, method="gradcam")
+        assert out["method"] == "gradcam"
+        assert len(out["heatmap"]) == CFG.grid_size * CFG.grid_size
+        assert all(v >= 0.0 for v in out["heatmap"])
+
+        out0 = srv.explain(img, method="gradcam", class_idx=0)
+        cam, _ = grad_cam(params, img[None].astype(np.float32), CFG,
+                          class_idx=0)
+        np.testing.assert_allclose(np.asarray(out0["heatmap"], np.float32),
+                                   np.asarray(cam)[0], rtol=0, atol=1e-5)
+
+        with pytest.raises(ValueError, match="class-agnostic"):
+            srv.explain(img, class_idx=0)          # rollout + class
+        with pytest.raises(ValueError, match="out of range"):
+            srv.explain(img, method="gradcam", class_idx=99)
+
+        httpd, _ = serve_in_thread(srv)
+        base = f"http://127.0.0.1:{httpd.server_port}"
+        try:
+            req = urllib.request.Request(
+                base + "/explain?method=gradcam&class=0",
+                data=img.tobytes(), method="POST")
+            http_out = json.loads(urllib.request.urlopen(req).read())
+            assert http_out["method"] == "gradcam"
+            np.testing.assert_allclose(http_out["heatmap"], out0["heatmap"],
+                                       rtol=0, atol=1e-6)
+            req = urllib.request.Request(base + "/explain?method=nope",
+                                         data=img.tobytes(), method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400
+        finally:
+            httpd.shutdown()

@@ -23,6 +23,7 @@ from vitx.nn.vit import (init_params, forward, forward_features,
                          forward_heads, forward_with_attn,
                          forward_with_rollout)
 from vitx.nn.rollout import attention_rollout
+from vitx.nn.saliency import grad_cam
 from vitx.nn.mae import (MAEConfig, init_mae_params, mae_forward,
                          mae_to_vit_params)
 
@@ -39,6 +40,7 @@ __all__ = [
     "forward_with_attn",
     "forward_with_rollout",
     "attention_rollout",
+    "grad_cam",
     "MAEConfig",
     "init_mae_params",
     "mae_forward",

@@ -6,10 +6,12 @@ batching, one compiled forward, on-device top-k). Endpoints:
 - ``POST /predict`` — body is a raw float32 (H, W, C) image (``.npy`` bytes
   or raw little-endian floats); response JSON ``{"probs": [...],
   "classes": [...]}`` for the top-k classes.
-- ``POST /explain`` — same body; response adds ``rollout`` (the
-  attention-rollout heatmap over the patch grid, row-major) and ``grid``.
-  Runs outside the batching path (debug/inspection surface; float servers
-  only — 400 under ``--int8-runtime``).
+- ``POST /explain[?method=rollout|gradcam&class=K]`` — same body; response
+  adds ``heatmap`` (patch-grid weights, row-major), ``grid`` and
+  ``method``. ``rollout`` = class-agnostic attention rollout; ``gradcam`` =
+  class-specific saliency (``class`` defaults to the prediction). Runs
+  outside the batching path (debug/inspection surface; float servers only
+  — 400 under ``--int8-runtime``).
 - ``GET /stats`` — JSON throughput/latency/occupancy counters.
 - ``GET /healthz`` — 200 once the model is compiled and serving.
 
@@ -60,7 +62,10 @@ def make_handler(server):
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path not in ("/predict", "/explain"):
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path not in ("/predict", "/explain"):
                 self._reply(404, {"error": "unknown path"})
                 return
             n = int(self.headers.get("Content-Length", 0))
@@ -72,8 +77,14 @@ def make_handler(server):
                     img = np.frombuffer(raw, np.float32).reshape(
                         cfg.image_size, cfg.image_size, cfg.num_channels)
                 img = np.asarray(img, np.float32)
-                out = (server.predict(img) if self.path == "/predict"
-                       else server.explain(img))
+                if url.path == "/predict":
+                    out = server.predict(img)
+                else:
+                    q = parse_qs(url.query)
+                    cls = q.get("class", [None])[0]
+                    out = server.explain(
+                        img, method=q.get("method", ["rollout"])[0],
+                        class_idx=None if cls is None else int(cls))
                 self._reply(200, out)
             except Exception as e:   # noqa: BLE001 — surface to the client
                 from vitx.serve import ServerOverloaded

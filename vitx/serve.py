@@ -190,7 +190,7 @@ class InferenceServer:
                            cfg.num_channels), cfg.cdtype())
         jax.block_until_ready(self._run(self._params, dummy))
 
-        self._explain_run = None
+        self._explain_run = {}          # compiled per explain method
         self._explain_lock = threading.Lock()
         # explain() backpressure: it bypasses the batching queue, so bound
         # its own concurrency — beyond this many in-flight explain requests
@@ -201,22 +201,37 @@ class InferenceServer:
         self._thread.start()
 
     # ------------------------------------------------------------------
-    def explain(self, image: np.ndarray) -> dict:
-        """Single-image explainability: top-k classes + the attention-rollout
-        heatmap over the patch grid (``forward_with_rollout``).
+    def explain(self, image: np.ndarray, *, method: str = "rollout",
+                class_idx: int | None = None) -> dict:
+        """Single-image explainability: top-k classes + a patch-grid heatmap.
 
-        Runs OUTSIDE the batching path on a lazily-compiled batch-1 program
-        (explainability is a debug/inspection surface, not a throughput one
-        — the first call pays its compile, later calls are serialized by a
-        lock). Response adds ``rollout`` ((grid*grid,) weights, same order
-        as the patch raster) and ``grid`` to the predict fields. The HTTP
-        front end maps this to ``POST /explain``.
+        ``method="rollout"``: class-agnostic attention rollout
+        (``forward_with_rollout`` — where CLS looked). ``method="gradcam"``:
+        class-SPECIFIC Grad-CAM (``vitx/nn/saliency.py``) for ``class_idx``
+        (default: the predicted class). Runs OUTSIDE the batching path on
+        lazily-compiled batch-1 programs (explainability is a debug/
+        inspection surface, not a throughput one — the first call per
+        method pays its compile, later calls are serialized by a lock with
+        a small concurrency bound). Response: predict's fields plus
+        ``heatmap`` ((grid*grid,) patch-raster weights), ``grid`` and
+        ``method``. The HTTP front end maps this to ``POST
+        /explain[?method=gradcam&class=K]``.
         """
         if self.int8_runtime:
             raise RuntimeError(
-                "explain() needs the float forward (forward_with_rollout); "
-                "int8-runtime servers keep only the quantized encoder — "
-                "serve without --int8-runtime to use /explain")
+                "explain() needs the float forward; int8-runtime servers "
+                "keep only the quantized encoder — serve without "
+                "--int8-runtime to use /explain")
+        if method not in ("rollout", "gradcam"):
+            raise ValueError(f"unknown explain method {method!r} "
+                             "(rollout or gradcam)")
+        if class_idx is not None:
+            if method != "gradcam":
+                raise ValueError("class selection needs method='gradcam' "
+                                 "(rollout is class-agnostic)")
+            if not 0 <= int(class_idx) < self.cfg.num_classes:
+                raise ValueError(f"class_idx {class_idx} out of range "
+                                 f"[0, {self.cfg.num_classes})")
         expect = (self.cfg.image_size, self.cfg.image_size,
                   self.cfg.num_channels)
         if tuple(image.shape) != expect:
@@ -228,31 +243,58 @@ class InferenceServer:
             raise ServerOverloaded("too many in-flight explain requests")
         try:
             inv_t = 1.0 / self.temperature if self.temperature else 1.0
+            key = (method, class_idx is not None)
             with self._explain_lock:
-                if self._explain_run is None:
-                    from vitx.nn.vit import forward_with_rollout
-
-                    def run1(params, images):
-                        logits, roll = forward_with_rollout(params, images,
-                                                            self.cfg)
-                        probs = jax.nn.softmax(
-                            logits.astype(jnp.float32) * inv_t, axis=-1)
-                        values, indices = jax.lax.top_k(probs, self.top_k)
-                        return values, indices, roll
-
-                    self._explain_run = jax.jit(run1)
+                if key not in self._explain_run:
+                    self._explain_run[key] = jax.jit(
+                        self._make_explain_fn(method, class_idx is not None,
+                                              inv_t))
                 x = jnp.asarray(np.asarray(image, np.float32)[None],
                                 self.cfg.cdtype())
-                values, indices, roll = jax.device_get(
-                    self._explain_run(self._params, x))
+                args = (self._params, x)
+                if class_idx is not None:
+                    args += (jnp.full((1,), int(class_idx), jnp.int32),)
+                values, indices, heat = jax.device_get(
+                    self._explain_run[key](*args))
         finally:
             self._explain_slots.release()
         with self.stats.lock:
             self.stats.explains += 1
         return {"probs": values[0].tolist(),
                 "classes": indices[0].tolist(),
-                "rollout": roll[0].astype(np.float32).tolist(),
+                "heatmap": heat[0].astype(np.float32).tolist(),
+                "method": method,
                 "grid": self.cfg.grid_size}
+
+    def _make_explain_fn(self, method: str, with_class: bool, inv_t: float):
+        def _topk(logits):
+            probs = jax.nn.softmax(logits.astype(jnp.float32) * inv_t,
+                                   axis=-1)
+            return jax.lax.top_k(probs, self.top_k)
+
+        if method == "rollout":
+            from vitx.nn.vit import forward_with_rollout
+
+            def run(params, images):
+                logits, roll = forward_with_rollout(params, images, self.cfg)
+                values, indices = _topk(logits)
+                return values, indices, roll
+
+            return run
+        from vitx.nn.saliency import grad_cam
+
+        if with_class:
+            def run(params, images, idx):
+                cam, logits = grad_cam(params, images, self.cfg,
+                                       class_idx=idx)
+                values, indices = _topk(logits)
+                return values, indices, cam
+        else:
+            def run(params, images):
+                cam, logits = grad_cam(params, images, self.cfg)
+                values, indices = _topk(logits)
+                return values, indices, cam
+        return run
 
     # ------------------------------------------------------------------
     def predict(self, image: np.ndarray, timeout: float = 30.0) -> dict:
