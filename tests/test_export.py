@@ -80,3 +80,60 @@ def test_export_tome_requires_pinned_batch():
     want = np.asarray(forward(params, x, CFG.replace(tome_r=4)))
     np.testing.assert_allclose(got, want.astype(np.float32),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_stablehlo_serving_e2e(tmp_path):
+    """Deployment loop closed: export -> sidecar config discovery ->
+    load_server serves the artifact; predictions match the live forward;
+    /explain is refused (the artifact bakes only the logits program)."""
+    from vitx.serve import load_server
+    from vitx.train.checkpoint import resolve_artifact_config
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    path = tmp_path / "m.stablehlo"
+    save_exported(path, params, CFG)          # symbolic batch
+    assert (tmp_path / "m.stablehlo.json").exists()
+
+    cfg = resolve_artifact_config(str(path), None, "tiny")
+    assert cfg.image_size == 32 and cfg.num_classes == 4
+
+    srv = load_server(str(path), cfg, batch_size=4, top_k=3)
+    try:
+        img = np.asarray(jax.random.normal(jax.random.PRNGKey(2),
+                                           (32, 32, 3)), np.float32)
+        out = srv.predict(img)
+        want = np.asarray(forward(params, img[None], CFG))[0]
+        assert out["classes"][0] == int(want.argmax())
+        e = np.exp(want - want.max())
+        p = (e / e.sum()).astype(np.float64)
+        np.testing.assert_allclose(out["probs"][0], float(np.max(p)),
+                                   rtol=1e-4, atol=1e-5)
+        with pytest.raises(RuntimeError, match="StableHLO"):
+            srv.explain(img)
+    finally:
+        srv.close()
+
+
+def test_stablehlo_serving_guards(tmp_path):
+    """with_softmax artifacts are refused (double softmax); pinned-batch
+    artifacts demand the matching server batch and serve at it."""
+    from vitx.serve import load_server
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    soft = tmp_path / "soft.stablehlo"
+    save_exported(soft, params, CFG, with_softmax=True, batch_size=4)
+    with pytest.raises(ValueError, match="with_softmax"):
+        load_server(str(soft), CFG, batch_size=4)
+
+    pinned = tmp_path / "p.stablehlo"
+    save_exported(pinned, params, CFG, batch_size=8)
+    with pytest.raises(ValueError, match="batch_size=8"):
+        load_server(str(pinned), CFG, batch_size=4)
+    srv = load_server(str(pinned), CFG, batch_size=8, top_k=1)
+    try:
+        img = np.asarray(jax.random.normal(jax.random.PRNGKey(3),
+                                           (32, 32, 3)), np.float32)
+        want = np.asarray(forward(params, img[None], CFG))[0]
+        assert srv.predict(img)["classes"][0] == int(want.argmax())
+    finally:
+        srv.close()

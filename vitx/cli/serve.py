@@ -115,7 +115,9 @@ def main(argv=None):
     p.add_argument("--config-json", default=None)
     p.add_argument("--checkpoint", default=None,
                    help="{epoch}.ckpt file, checkpoint dir (newest epoch), "
-                        "orbax dir, or reference .pt; omit for fresh params")
+                        "orbax dir, reference .pt, .quant.npz int8 artifact "
+                        "or .stablehlo deployment artifact (params baked "
+                        "in); omit for fresh params")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8808)
     p.add_argument("--batch-size", type=int, default=32)

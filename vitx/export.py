@@ -63,11 +63,35 @@ def export_forward(params, cfg: ViTConfig, *, batch_size: int | None = None,
 
 
 def save_exported(path, params, cfg: ViTConfig, **kw):
-    """Serialize ``export_forward`` to ``path``; returns the byte count."""
+    """Serialize ``export_forward`` to ``path``; returns the byte count.
+
+    Also writes a ``<path>.json`` sidecar (config + export options) so the
+    artifact is self-describing to vitx surfaces (``serve --checkpoint
+    m.stablehlo``, ``resolve_artifact_config``) while the artifact file
+    itself stays pure StableHLO for third-party consumers."""
+    import json
+
     blob = export_forward(params, cfg, **kw).serialize()
     with open(path, "wb") as f:
         f.write(blob)
+    sidecar = {"config": json.loads(cfg.to_json()),
+               "batch_size": kw.get("batch_size"),
+               "with_softmax": bool(kw.get("with_softmax", False))}
+    with open(f"{path}.json", "w") as f:
+        json.dump(sidecar, f)
     return len(blob)
+
+
+def peek_meta(path):
+    """Read an artifact's ``<path>.json`` sidecar (None if absent)."""
+    import json
+    import os
+
+    side = f"{path}.json"
+    if not os.path.exists(side):
+        return None
+    with open(side) as f:
+        return json.load(f)
 
 
 def load_exported(path):

@@ -116,7 +116,8 @@ class InferenceServer:
                  top_k: int = 5, max_delay_ms: float = 5.0, mesh=None,
                  max_queue: int | None = None,
                  temperature: float | None = None,
-                 int8_runtime: bool = False):
+                 int8_runtime: bool = False,
+                 logits_fn=None):
         """``mesh``: a ``jax.sharding.Mesh`` (vitx.parallel.make_mesh) turns
         this into multi-chip serving — batches shard over the ``data`` axis
         (batch_size must be divisible by its size), params replicate, and
@@ -138,21 +139,34 @@ class InferenceServer:
             maxsize=self.max_queue)
         self._stop = threading.Event()
 
-        from vitx.nn.vit import forward as _forward
-
-        # int8_runtime: keep encoder matmul weights RESIDENT as int8 and
-        # route projections through the weight-only Pallas matmul — ~2x
-        # less weight memory/traffic (vitx/nn/int8_infer.py). Composes
-        # with dp meshes: the kernel's row-parallel partition rule shards
-        # the flattened token rows, int8 weights replicate.
-        if int8_runtime:
+        # logits_fn: serve a params-baked callable (images -> fp32 logits)
+        # instead of the vitx forward — the StableHLO deployment-artifact
+        # path (vitx/export.py; load_server routes *.stablehlo here).
+        # Single-device: the baked module carries no sharding annotations.
+        if logits_fn is not None:
+            if int8_runtime:
+                raise ValueError("logits_fn serving and --int8-runtime are "
+                                 "mutually exclusive (the artifact already "
+                                 "bakes its compute)")
+            if mesh is not None:
+                raise ValueError("logits_fn (StableHLO artifact) serving "
+                                 "is single-device — re-export from the "
+                                 "checkpoint for mesh serving")
+            fwd = None
+        elif int8_runtime:
+            # int8_runtime: keep encoder matmul weights RESIDENT as int8
+            # and route projections through the weight-only Pallas matmul
+            # — ~2x less weight memory/traffic (vitx/nn/int8_infer.py).
+            # Composes with dp meshes: the kernel's row-parallel partition
+            # rule shards the flattened token rows, int8 weights replicate.
             from vitx.nn.int8_infer import forward_int8, quantize_for_runtime
 
             params = quantize_for_runtime(params, cfg)
             fwd = forward_int8
         else:
-            fwd = _forward
+            from vitx.nn.vit import forward as fwd
         self.int8_runtime = int8_runtime
+        self._logits_only = logits_fn is not None
 
         # temperature scaling (vitx/metrics/calibration.py, eval
         # --calibrate reports the fitted T): returned probs become
@@ -161,7 +175,8 @@ class InferenceServer:
         inv_t = 1.0 / temperature if temperature else 1.0
 
         def run(params, images):
-            logits = fwd(params, images, cfg)
+            logits = (logits_fn(images) if logits_fn is not None
+                      else fwd(params, images, cfg))
             probs = jax.nn.softmax(logits.astype(jnp.float32) * inv_t,
                                    axis=-1)
             top = jax.lax.top_k(probs, self.top_k)
@@ -222,6 +237,11 @@ class InferenceServer:
                 "explain() needs the float forward; int8-runtime servers "
                 "keep only the quantized encoder — serve without "
                 "--int8-runtime to use /explain")
+        if self._logits_only:
+            raise RuntimeError(
+                "explain() needs the vitx forward; a StableHLO artifact "
+                "bakes only the logits program — serve the checkpoint "
+                "itself to use /explain")
         if method not in ("rollout", "gradcam"):
             raise ValueError(f"unknown explain method {method!r} "
                              "(rollout or gradcam)")
@@ -388,8 +408,27 @@ class InferenceServer:
 def load_server(checkpoint, cfg: ViTConfig, **kw) -> InferenceServer:
     """Build a server from a checkpoint path: ``{epoch}.ckpt`` / orbax dir
     (vitx format, EMA-aware), a ``.quant.npz`` int8 artifact, a reference
-    ``.pt``, or ``None`` for fresh params — one shared loading rule with
-    the eval/probe CLIs (vitx/train/checkpoint.py::load_artifact_params)."""
+    ``.pt``, a ``.stablehlo`` deployment artifact (params baked in; served
+    through its compiled call), or ``None`` for fresh params — one shared
+    loading rule with the eval/probe CLIs
+    (vitx/train/checkpoint.py::load_artifact_params)."""
+    if checkpoint is not None and str(checkpoint).endswith(".stablehlo"):
+        from vitx.export import load_exported
+        from vitx.export import peek_meta as peek_export_meta
+
+        meta = peek_export_meta(checkpoint) or {}
+        if meta.get("with_softmax"):
+            raise ValueError(
+                "this artifact was exported with_softmax=True (it returns "
+                "probabilities); export logits for serving — the server "
+                "applies softmax/temperature itself")
+        pinned = meta.get("batch_size")
+        if pinned is not None and pinned != kw.get("batch_size", 32):
+            raise ValueError(
+                f"artifact pins batch_size={pinned} (ToMe export); pass "
+                f"batch_size={pinned} to serve it")
+        exported = load_exported(checkpoint)
+        return InferenceServer({}, cfg, logits_fn=exported.call, **kw)
     if checkpoint is None:
         from vitx.nn.vit import init_params
 

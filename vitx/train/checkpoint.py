@@ -399,6 +399,10 @@ def resolve_artifact_config(checkpoint, config_json=None, preset="tiny",
             from vitx.quant import peek_meta as peek_quant_meta
 
             saved = peek_quant_meta(p)
+        elif p.suffix == ".stablehlo":
+            from vitx.export import peek_meta as peek_export_meta
+
+            saved = peek_export_meta(p)
         elif p.suffix == ".pt":
             saved = None
         else:
