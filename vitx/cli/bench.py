@@ -227,14 +227,49 @@ def bench_6():
             "images_per_sec": round(256 / dt, 1)}
 
 
+def bench_7():
+    """Serving latency: ViT-B/16 @224 at request-sized batches (1/4/8)
+    through the predict program (forward + softmax + top-k), float weights
+    vs the int8 runtime (vitx/nn/int8_infer.py). Small-batch inference is
+    weight-HBM-bound — the regime where streaming int8 weights through the
+    weight-only Pallas matmul halves the per-forward weight traffic. Device
+    latency only (the HTTP/batching layers add host time; see
+    test_serve.py's soak for those). iters=50 per the round-3 timing rule
+    (sub-5ms bodies need >=50-iter device loops on the tunnel)."""
+    from vitx.nn.int8_infer import forward_int8, quantize_for_runtime
+
+    cfg = get_config("base16")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_for_runtime(params, cfg)
+    out = {"config": "7:vit-b16-serving-latency"}
+
+    def body_float(acc, p, x):
+        lg = forward(p, x * _scl(acc), cfg)
+        v, _ = jax.lax.top_k(jax.nn.softmax(lg.astype(jnp.float32)), 5)
+        return acc + jnp.mean(v)
+
+    def body_int8(acc, qp, x):
+        lg = forward_int8(qp, x * _scl(acc), cfg)
+        v, _ = jax.lax.top_k(jax.nn.softmax(lg.astype(jnp.float32)), 5)
+        return acc + jnp.mean(v)
+
+    for b in (1, 4, 8):
+        x = _images(jax.random.PRNGKey(b), b, 224)
+        out[f"float_b{b}_ms"] = round(
+            _fwd_loop_seconds(body_float, 50, params, x) * 1e3, 3)
+        out[f"int8_b{b}_ms"] = round(
+            _fwd_loop_seconds(body_int8, 50, qparams, x) * 1e3, 3)
+    return out
+
+
 BENCHES = {1: bench_1, 2: bench_2, 3: bench_3, 4: bench_4, 5: bench_5,
-           6: bench_6}
+           6: bench_6, 7: bench_7}
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="vitx.bench")
     p.add_argument("--config", default="all",
-                   help="benchmark number 1-6 or 'all'")
+                   help="benchmark number 1-7 or 'all'")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="also capture a jax.profiler trace of each bench "
                         "into DIR (open with xprof/tensorboard-profile)")
