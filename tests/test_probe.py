@@ -128,3 +128,33 @@ def test_cli_probe_e2e(tmp_path, capsys):
     assert data["val_features"].shape == (512, cfg.embed_dim)
     assert str(data["pool"]) == "cls"
     assert out["dim"] == cfg.embed_dim
+
+
+def test_cli_probe_int8_artifact_and_stablehlo_rejection(tmp_path, capsys):
+    """probe serves the whole artifact surface: a .quant.npz int8 artifact
+    probes end to end (features from dequantized weights), while a
+    .stablehlo artifact is rejected with a pointer to the checkpoint."""
+    import pytest
+
+    from vitx.cli.probe import main as probe_main
+    from vitx.quant import save_quantized
+    from vitx.train.checkpoint import load_artifact_params
+    from vitx.train.step import create_train_state, make_optimizer
+
+    cfg = CFG
+    state = create_train_state(jax.random.PRNGKey(0), cfg, make_optimizer())
+    art = tmp_path / "m.quant.npz"
+    save_quantized(art, state.params,
+                   meta={"config": json.loads(cfg.to_json()), "epoch": 0})
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    rc = probe_main(["--checkpoint", str(art),
+                     "--config-json", str(cfg_path),
+                     "--data", "synthetic", "--batch-size", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dim"] == cfg.embed_dim and out["num_val"] == 512
+
+    with pytest.raises(ValueError, match="stablehlo"):
+        load_artifact_params(tmp_path / "m.stablehlo", cfg)

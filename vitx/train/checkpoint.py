@@ -421,6 +421,12 @@ def load_artifact_params(checkpoint, cfg):
     from vitx.nn.vit import init_params
 
     p = pathlib.Path(checkpoint)
+    if p.suffix == ".stablehlo":
+        raise ValueError(
+            "a .stablehlo artifact bakes only the logits program — there "
+            "are no parameters to load; eval/probe the checkpoint it was "
+            "exported from (serving it works: serve --checkpoint "
+            "m.stablehlo)")
     if p.name.endswith(".quant.npz"):
         from vitx.quant import load_quantized
 
