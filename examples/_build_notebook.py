@@ -188,6 +188,29 @@ C.append(code(
     "fig.suptitle('attention rollout (bottom: overlay)'); fig.tight_layout(); plt.show()"))
 
 C.append(md(
+    "### Class-specific saliency (Grad-CAM)\n\n"
+    "Rollout is class-agnostic — it shows where CLS looked. `grad_cam` "
+    "(vitx/nn/saliency.py) shows what drove a PARTICULAR class's logit: "
+    "gradients at the last block's input tokens (the head reads only CLS, "
+    "so that block's attention is what routes patch evidence into it). "
+    "Also served per request: `POST /explain?method=gradcam&class=K`."))
+
+C.append(code(
+    "from vitx import grad_cam\n"
+    "cam, cam_logits = grad_cam(trainer.state.params, x, cfg)\n"
+    "fig, axes = plt.subplots(2, 4, figsize=(10, 5))\n"
+    "for i in range(4):\n"
+    "    heat = np.asarray(cam)[i].reshape(g, g)\n"
+    "    heat = np.kron(heat, np.ones((cfg.patch_size, cfg.patch_size)))\n"
+    "    axes[0, i].imshow(imgs[i])\n"
+    "    axes[0, i].set_title(\n"
+    "        eval_ds.classes[int(np.argmax(cam_logits[i]))], fontsize=8)\n"
+    "    axes[1, i].imshow(imgs[i]); axes[1, i].imshow(heat, cmap='inferno', alpha=0.55)\n"
+    "    axes[0, i].axis('off'); axes[1, i].axis('off')\n"
+    "fig.suptitle('grad-cam for the predicted class (bottom: overlay)')\n"
+    "fig.tight_layout(); plt.show()"))
+
+C.append(md(
     "## 8. Checkpoint interop with the reference\n\n"
     "Export reference-layout `{epoch}.pt` (exact state_dict keys, including "
     "the `emdeddings` misspelling and real AdamW optimizer state) and "

@@ -733,3 +733,22 @@ def test_early_stop_keep_checkpoints_preserves_best_epoch(tmp_path, capsys):
     assert best in kept, (best, kept)
     # pruning still ran: only the protected best + the newest remain
     assert len(kept) <= 2
+
+
+def test_cli_image_size_override(tmp_path, capsys):
+    """--image-size retargets the preset's resolution; the checkpoint
+    records the overridden geometry so eval restores it."""
+    from vitx.cli.train import main as train_main
+    from vitx.train.checkpoint import peek_meta
+
+    rc = train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--image-size", "32",
+        "--compute-dtype", "float32",
+        "--checkpoint-dir", str(tmp_path / "c"),
+    ])
+    assert rc == 0
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(final["loss"])
+    saved = peek_meta(tmp_path / "c")
+    assert saved["config"]["image_size"] == 32

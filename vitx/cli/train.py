@@ -24,6 +24,11 @@ def build_argparser():
                    help="model preset (see vitx.core.config.PRESETS)")
     p.add_argument("--config-json", default=None,
                    help="path to a ViTConfig JSON (overrides --preset)")
+    p.add_argument("--image-size", type=int, default=None,
+                   help="override the config's input resolution (must be a "
+                        "multiple of the patch size) — with --init-from the "
+                        "positional grid is bilinearly resized, the "
+                        "standard higher-resolution fine-tune")
     p.add_argument("--data", default="synthetic",
                    help="'synthetic', 'cifar10:<dir>' or 'folder:<dir>'")
     p.add_argument("--epochs", type=int, default=10)
@@ -151,6 +156,10 @@ def main(argv=None):
         cfg = get_config(args.preset)
     if args.compute_dtype:
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
+    if args.image_size:
+        # ViTConfig validates patch divisibility; --init-from resizes the
+        # positional grid to this resolution (load_vit_init)
+        cfg = cfg.replace(image_size=args.image_size)
 
     train_ds, eval_ds = make_datasets(args.data, cfg, args.seed)
     n_classes = getattr(train_ds, "num_classes", len(train_ds.classes))
