@@ -390,3 +390,28 @@ def test_explain_gradcam_and_http_query():
             assert ei.value.code == 400
         finally:
             httpd.shutdown()
+
+
+def test_metrics_prometheus_endpoint():
+    """GET /metrics exposes the stats counters in Prometheus text format
+    and tracks served requests."""
+    from vitx.cli.serve import serve_in_thread
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with InferenceServer(params, CFG, batch_size=2, top_k=1) as srv:
+        srv.predict(_img(40))
+        httpd, _ = serve_in_thread(srv)
+        base = f"http://127.0.0.1:{httpd.server_port}"
+        try:
+            resp = urllib.request.urlopen(base + "/metrics")
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            text = resp.read().decode()
+            metrics = {line.split(" ")[0]: float(line.split(" ")[1])
+                       for line in text.splitlines()
+                       if line and not line.startswith("#")}
+            assert metrics["vitx_requests_total"] >= 1
+            assert metrics["vitx_rejected_total"] == 0
+            assert 0 < metrics["vitx_batch_occupancy"] <= 1
+            assert 'vitx_latency_ms{quantile="0.99"}' in metrics
+        finally:
+            httpd.shutdown()

@@ -13,6 +13,7 @@ batching, one compiled forward, on-device top-k). Endpoints:
   outside the batching path (debug/inspection surface; float servers only
   — 400 under ``--int8-runtime``).
 - ``GET /stats`` — JSON throughput/latency/occupancy counters.
+- ``GET /metrics`` — the same counters in Prometheus text exposition format.
 - ``GET /healthz`` — 200 once the model is compiled and serving.
 
 Client example:
@@ -58,6 +59,30 @@ def make_handler(server):
                 self._reply(200, {"status": "ok"})
             elif self.path == "/stats":
                 self._reply(200, server.stats.summary())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the same counters
+                s = server.stats.summary()
+                lines = []
+                for name, key in (("requests_total", "requests"),
+                                  ("batches_total", "batches"),
+                                  ("rejected_total", "rejected"),
+                                  ("explains_total", "explains")):
+                    lines.append(f"# TYPE vitx_{name} counter")
+                    lines.append(f"vitx_{name} {s[key]}")
+                lines.append("# TYPE vitx_batch_occupancy gauge")
+                lines.append(f"vitx_batch_occupancy {s['batch_occupancy']}")
+                lines.append("# TYPE vitx_latency_ms summary")
+                for q, key in (("0.5", "p50_ms"), ("0.9", "p90_ms"),
+                               ("0.99", "p99_ms")):
+                    lines.append(
+                        f'vitx_latency_ms{{quantile="{q}"}} {s[key]}')
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": "unknown path"})
 
