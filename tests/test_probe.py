@@ -158,3 +158,23 @@ def test_cli_probe_int8_artifact_and_stablehlo_rejection(tmp_path, capsys):
 
     with pytest.raises(ValueError, match="stablehlo"):
         load_artifact_params(tmp_path / "m.stablehlo", cfg)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 (virtual) devices")
+def test_extract_features_dp_mesh_matches_single_device():
+    """Feature extraction over a dp=8 mesh (batches sharded on the data
+    axis, params replicated) returns the same features as single-device."""
+    from vitx.parallel import make_mesh
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    ds = SyntheticDataset(num_examples=70, image_size=16, num_classes=4)
+    single_x, single_y = extract_features(params, ds, CFG, batch_size=16)
+    mesh_x, mesh_y = extract_features(params, ds, CFG, batch_size=16,
+                                      mesh=make_mesh(dp=8, tp=1))
+    np.testing.assert_array_equal(single_y, mesh_y)
+    np.testing.assert_allclose(mesh_x, single_x, rtol=0, atol=1e-6)
+
+    with pytest.raises(ValueError, match="divisible"):
+        extract_features(params, ds, CFG, batch_size=12,
+                         mesh=make_mesh(dp=8, tp=1))

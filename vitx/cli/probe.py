@@ -50,21 +50,35 @@ _feat_jit = jax.jit(_feat_fn, static_argnames=("cfg", "pool"))
 
 def extract_features(params, dataset, cfg: ViTConfig, *, pool: str = "cls",
                      batch_size: int = 64, normalize: bool = True,
-                     pre=None):
+                     pre=None, mesh=None):
     """Dataset -> (features (N, E) fp32, labels (N,)) with mask-exact ragged
     batches (padded rows never reach the output). ``pre``: a
     ``make_preprocess`` callable to reuse across calls (built per call
-    otherwise)."""
+    otherwise). ``mesh``: a ``vitx.parallel.make_mesh`` mesh — batches
+    shard over its data axis (batch_size must divide), params replicate."""
     if pre is None:
         pre = make_preprocess(
             out_size=cfg.image_size,
             mean=(0.5, 0.5, 0.5) if normalize else None,
             std=(0.5, 0.5, 0.5) if normalize else None,
             random_flip=False)
+    feat = _feat_jit
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape["data"]
+        if batch_size % dp:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"the mesh's data axis ({dp})")
+        rep = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P("data", None, None, None))
+        params = jax.device_put(params, rep)
+        feat = jax.jit(_feat_fn, static_argnames=("cfg", "pool"),
+                       in_shardings=(rep, bsh))
     feats, labels = [], []
     for batch in BatchLoader(dataset, batch_size):
         x = pre(batch["image"], None, train=False)
-        f = np.asarray(_feat_jit(params, x, cfg, pool))
+        f = np.asarray(feat(params, x, cfg, pool))
         keep = np.asarray(batch["mask"]).astype(bool)
         feats.append(f[keep])
         labels.append(np.asarray(batch["label"])[keep])
@@ -137,6 +151,9 @@ def main(argv=None):
     p.add_argument("--features", default=None, metavar="OUT.npz",
                    help="also export raw features+labels for both splits")
     p.add_argument("--no-normalize", action="store_true")
+    p.add_argument("--dp", type=int, default=None,
+                   help="extract features over a data-parallel mesh of "
+                        "this many chips (batch-size must divide)")
     args = p.parse_args(argv)
 
     from vitx.cli.train import make_datasets
@@ -159,7 +176,13 @@ def main(argv=None):
         mean=None if args.no_normalize else (0.5, 0.5, 0.5),
         std=None if args.no_normalize else (0.5, 0.5, 0.5),
         random_flip=False)
-    kw = dict(pool=args.pool, batch_size=args.batch_size, pre=pre)
+    mesh = None
+    if args.dp:
+        from vitx.parallel import make_mesh
+
+        mesh = make_mesh(dp=args.dp, tp=1)
+    kw = dict(pool=args.pool, batch_size=args.batch_size, pre=pre,
+              mesh=mesh)
     train_x, train_y = extract_features(params, train_ds, cfg, **kw)
     val_x, val_y = extract_features(params, eval_ds, cfg, **kw)
 
