@@ -360,3 +360,26 @@ def test_restore_eval_params_prefers_ema_shadow(tmp_path):
     params_c, _ = restore_eval_params(tmp_path / "c", cfg)
     np.testing.assert_array_equal(np.asarray(params_c["head"]["w1"]),
                                   np.asarray(state_p.params["head"]["w1"]))
+
+
+def test_eval_cli_on_reference_pt(tmp_path, capsys):
+    """The eval CLI evaluates a reference .pt DIRECTLY (the shared artifact
+    loading rule) — report well-formed, epoch read from the .pt meta."""
+    import json
+
+    from vitx.cli.eval import main as eval_main
+
+    state, _, _ = _state_and_step()
+    params = jax.device_get(state.params)
+    path = tmp_path / "3.pt"
+    save_reference_pt(path, params, CFG, epoch=3, batch_size=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(CFG.to_json())
+    rc = eval_main(["--checkpoint", str(path),
+                    "--config-json", str(cfg_path),
+                    "--data", "synthetic", "--batch-size", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epoch"] == 3
+    assert out["num_examples"] == 512
+    assert 0.0 <= out["accuracy"] <= 1.0
