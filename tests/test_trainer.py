@@ -752,3 +752,39 @@ def test_cli_image_size_override(tmp_path, capsys):
     assert np.isfinite(final["loss"])
     saved = peek_meta(tmp_path / "c")
     assert saved["config"]["image_size"] == 32
+
+
+def test_nan_abort_stops_diverged_run(tmp_path):
+    """A non-finite train loss aborts the run at the next flush with a
+    resumable error instead of burning the remaining epochs on NaNs; the
+    epoch-boundary checkpoint from before the divergence survives."""
+    import jax.numpy as jnp
+    import pytest
+
+    from vitx.train.loop import NonFiniteLossError
+    from vitx.train.step import make_train_step, make_optimizer
+
+    opt = make_optimizer(lr=1e-3)
+    real_step = make_train_step(CFG, opt)
+    calls = {"n": 0}
+
+    def poisoned_step(state, batch, rng):
+        state, m = real_step(state, batch, rng)
+        calls["n"] += 1
+        if calls["n"] > 10:
+            m = dict(m, loss=jnp.float32(float("nan")))
+        return state, m
+
+    train_loader, eval_loader = _loaders()
+    trainer = Trainer(CFG, TrainerConfig(
+        epochs=3, lr=1e-3, log_every=4,
+        checkpoint_dir=str(tmp_path / "c")), train_step=poisoned_step)
+    with pytest.raises(NonFiniteLossError, match="non-finite train loss"):
+        trainer.fit(train_loader, eval_loader)
+    # nan_abort=False keeps going (fresh trainer, same poisoned step)
+    calls["n"] = 0
+    trainer2 = Trainer(CFG, TrainerConfig(epochs=1, lr=1e-3, log_every=4,
+                                          nan_abort=False),
+                       train_step=poisoned_step)
+    history = trainer2.fit(train_loader, eval_loader)
+    assert len(history) == 1

@@ -314,7 +314,13 @@ def main(argv=None):
                       tp=args.tp > 1, zero1=args.zero == 1,
                       zero3=args.zero == 3, init_state=init_state,
                       optimizer=optimizer, train_step=train_step)
-    history = trainer.fit(train_loader, eval_loader)
+    from vitx.train.loop import NonFiniteLossError
+
+    try:
+        history = trainer.fit(train_loader, eval_loader)
+    except NonFiniteLossError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     if history:
         final = history[-1]
         print(json.dumps({k: v for k, v in final.items()

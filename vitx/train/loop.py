@@ -83,7 +83,16 @@ class TrainerConfig:
     # without k× activation memory. Composes with dp meshes (per-device
     # micro-batches) and remat for batch sizes past HBM.
     accum_steps: int = 1
+    # Abort on a non-finite train loss at the next scalar flush (checked
+    # host-side per log_every chunk — no extra device syncs). A diverged
+    # run otherwise burns the rest of its epochs producing NaNs; the last
+    # epoch-boundary checkpoint stays intact for a lower-lr resume.
+    nan_abort: bool = True
     seed: int = 0
+
+
+class NonFiniteLossError(RuntimeError):
+    """Raised by Trainer when ``nan_abort`` sees a NaN/inf train loss."""
 
 
 class Trainer:
@@ -493,4 +502,10 @@ class Trainer:
             if writer:
                 # reference's per-step tag (train.py:99)
                 writer.add_scalar("Loss/train_batch", loss, step)
+            if self.tcfg.nan_abort and not np.isfinite(loss):
+                raise NonFiniteLossError(
+                    f"non-finite train loss ({loss}) at step {step}: the "
+                    f"run has diverged. The last epoch-boundary checkpoint "
+                    f"is intact — resume with a lower lr and/or grad_clip "
+                    f"(set TrainerConfig.nan_abort=False to keep going)")
         return total
