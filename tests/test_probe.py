@@ -178,3 +178,34 @@ def test_extract_features_dp_mesh_matches_single_device():
     with pytest.raises(ValueError, match="divisible"):
         extract_features(params, ds, CFG, batch_size=12,
                          mesh=make_mesh(dp=8, tp=1))
+
+
+def test_cli_probe_mae_export_directly(tmp_path, capsys):
+    """The MAE-paper frozen-encoder eval: probe a pretrain --export-vit npz
+    directly (bare params file, no TrainState/meta)."""
+    from vitx.cli.pretrain import _flatten_strs
+    from vitx.cli.probe import main as probe_main
+    from vitx.nn.mae import MAEConfig, create_mae_train_state, \
+        mae_to_vit_params
+    from vitx.train.step import make_optimizer
+
+    enc = CFG.replace(final_norm=True)
+    mcfg = MAEConfig(encoder=enc, decoder_dim=32, decoder_depth=1,
+                     decoder_heads=2, mask_ratio=0.75)
+    state = create_mae_train_state(jax.random.PRNGKey(0), mcfg,
+                                   make_optimizer(lr=1e-3))
+    vit_params = mae_to_vit_params(state.params, enc, jax.random.PRNGKey(1))
+    path = tmp_path / "vit_init.npz"
+    np.savez(path, **{"/".join(p): np.asarray(leaf)
+                      for p, leaf in _flatten_strs(vit_params)})
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(enc.to_json())
+
+    rc = probe_main(["--checkpoint", str(path),
+                     "--config-json", str(cfg_path),
+                     "--data", "synthetic", "--batch-size", "32",
+                     "--pool", "gap"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pool"] == "gap" and out["dim"] == enc.embed_dim
+    assert 0.0 <= out["linear_probe_val_acc"] <= 1.0

@@ -435,6 +435,17 @@ def load_artifact_params(checkpoint, cfg):
         return params, {"epoch": user.get("epoch", -1)}
     if p.suffix == ".pt":
         return load_reference_pt(p, cfg)
+    if p.suffix == ".npz" and p.is_file():
+        # a bare params npz (vitx.cli.pretrain --export-vit): no TrainState
+        # or meta, just flat "a/b/c" leaves. The MAE frozen-encoder eval
+        # probes these directly (pass the fine-tune config: final_norm=True)
+        import numpy as _np
+
+        if "meta" not in _np.load(p).files:
+            from vitx.cli.pretrain import load_vit_init
+
+            return (load_vit_init(p, cfg, jax.random.PRNGKey(0)),
+                    {"epoch": -1})
     params, meta = restore_eval_params(p, cfg)
     if meta is None:
         raise FileNotFoundError(f"no checkpoint under {p}")
