@@ -383,3 +383,67 @@ def test_eval_cli_on_reference_pt(tmp_path, capsys):
     assert out["epoch"] == 3
     assert out["num_examples"] == 512
     assert 0.0 <= out["accuracy"] <= 1.0
+
+
+def test_transfer_params_new_head_and_resolution(tmp_path):
+    """transfer_params grafts a trained checkpoint into a NEW geometry:
+    encoder verbatim, a different-class-count head fresh (warned), a
+    doubled resolution's pos_embed bilinearly resized."""
+    import warnings
+
+    from vitx.train.checkpoint import transfer_params
+
+    state, step, _ = _state_and_step()
+    state, _ = step(state, _batch(0), jax.random.PRNGKey(1))
+    save_checkpoint(tmp_path / "c", state, epoch=0,
+                    meta={"config": __import__("json").loads(CFG.to_json())})
+
+    target = CFG.replace(num_classes=CFG.num_classes + 3,
+                         image_size=CFG.image_size * 2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        params = transfer_params(tmp_path / "c", target,
+                                 jax.random.PRNGKey(2))
+    msgs = " | ".join(str(x.message) for x in w)
+    assert "pos_embed resized" in msgs and "fresh init" in msgs
+
+    np.testing.assert_array_equal(
+        np.asarray(params["blocks"]["wqkv"]),
+        np.asarray(jax.device_get(state.params)["blocks"]["wqkv"]))
+    assert params["pos_embed"].shape == (1, target.pos_len,
+                                         target.embed_dim)
+    assert params["head"]["w2"].shape[-1] == target.num_classes
+    # grafted params run at the new geometry
+    imgs = jax.random.normal(jax.random.PRNGKey(3),
+                             (2, target.image_size, target.image_size, 3))
+    logits = np.asarray(forward(params, imgs, target))
+    assert logits.shape == (2, target.num_classes)
+    assert np.all(np.isfinite(logits))
+
+
+def test_cli_transfer_finetune_from_checkpoint(tmp_path, capsys):
+    """CLI transfer loop: train -> --init-from CKPT_DIR --image-size 2x
+    fine-tunes at the new resolution (pos_embed resized, not fresh)."""
+    import json
+
+    from vitx.cli.train import main as train_main
+    from vitx.train.checkpoint import peek_meta
+
+    rc = train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--compute-dtype", "float32",
+        "--image-size", "32",
+        "--checkpoint-dir", str(tmp_path / "a"),
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--compute-dtype", "float32",
+        "--image-size", "64", "--init-from", str(tmp_path / "a"),
+        "--checkpoint-dir", str(tmp_path / "b"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["loss"])
+    assert peek_meta(tmp_path / "b")["config"]["image_size"] == 64

@@ -59,8 +59,12 @@ def build_argparser():
     p.add_argument("--random-erase", type=float, default=None, metavar="P",
                    help="random-erasing probability (timm pixel mode)")
     p.add_argument("--init-from", default=None,
-                   help="npz pytree to initialize params from (e.g. a "
-                        "vitx.cli.pretrain --export-vit MAE encoder)")
+                   help="initialize params from an artifact for TRANSFER "
+                        "fine-tuning: a pretrain --export-vit npz, a "
+                        "checkpoint dir/{epoch}.ckpt, a .quant.npz, or a "
+                        "reference .pt — mismatched leaves (new class "
+                        "head) stay fresh, a changed resolution resizes "
+                        "pos_embed (combine with --image-size)")
     p.add_argument("--compute-dtype", default=None,
                    choices=["float32", "bfloat16"])
     # DeiT-style recipe knobs
@@ -214,16 +218,22 @@ def main(argv=None):
 
     init_state = None
     if args.init_from:
+        import pathlib
+
         import jax
         import jax.numpy as jnp
 
-        from vitx.cli.pretrain import load_vit_init
+        from vitx.train.checkpoint import transfer_params
         from vitx.train.step import TrainState, make_optimizer
 
-        # MAE encoders always normalize their output (vitx/nn/mae.py)
-        cfg = cfg.replace(final_norm=True)
-        params = load_vit_init(args.init_from, cfg,
-                               jax.random.PRNGKey(args.seed))
+        src = pathlib.Path(args.init_from)
+        if src.suffix == ".npz" and not src.name.endswith(".quant.npz"):
+            # bare --export-vit npz: MAE encoders always normalize their
+            # output (vitx/nn/mae.py). Checkpoint/artifact sources keep
+            # the user's cfg — transfer grafts whatever matches.
+            cfg = cfg.replace(final_norm=True)
+        params = transfer_params(args.init_from, cfg,
+                                 jax.random.PRNGKey(args.seed))
         # build the optimizer ONCE and hand the same instance to Trainer:
         # opt_state's chain structure must match the update chain exactly
         # (a const-schedule run with --ema-decay used to init without the

@@ -435,7 +435,7 @@ def load_artifact_params(checkpoint, cfg):
         return params, {"epoch": user.get("epoch", -1)}
     if p.suffix == ".pt":
         return load_reference_pt(p, cfg)
-    if p.suffix == ".npz" and p.is_file():
+    if p.suffix == ".npz" and p.is_file() and not p.name.endswith(".quant.npz"):
         # a bare params npz (vitx.cli.pretrain --export-vit): no TrainState
         # or meta, just flat "a/b/c" leaves. The MAE frozen-encoder eval
         # probes these directly (pass the fine-tune config: final_norm=True)
@@ -450,3 +450,65 @@ def load_artifact_params(checkpoint, cfg):
     if meta is None:
         raise FileNotFoundError(f"no checkpoint under {p}")
     return params, meta
+
+
+def transfer_params(checkpoint, cfg, rng):
+    """Initialize a ``cfg``-shaped params pytree from ANY artifact, for
+    TRANSFER fine-tuning (new class head, new resolution, new dataset).
+
+    The source geometry comes from the artifact's own meta (self-describing
+    checkpoints; reference ``.pt`` files carry none and are imported at the
+    target geometry). Leaves graft by (path, shape); a grid-size-only
+    ``pos_embed`` mismatch is bilinearly resized (the higher-resolution
+    fine-tune trick); everything else — e.g. a head with a different class
+    count — keeps its fresh init, with a warning listing what stayed fresh.
+    Bare ``--export-vit`` npz files route through ``load_vit_init``
+    (identical semantics, file-backed)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from vitx.nn.vit import init_params
+
+    p = pathlib.Path(checkpoint)
+    if (p.suffix == ".npz" and p.is_file()
+            and not p.name.endswith(".quant.npz")):
+        from vitx.cli.pretrain import load_vit_init
+
+        return load_vit_init(p, cfg, rng)
+    src_cfg = cfg if p.suffix == ".pt" else resolve_artifact_config(p)
+    src, _ = load_artifact_params(p, src_cfg)
+    template = init_params(rng, cfg)
+    fresh = []
+
+    def pick(kp, leaf):
+        key = "/".join(str(k.key) for k in kp)
+        node = src
+        for k in kp:
+            if isinstance(node, dict) and k.key in node:
+                node = node[k.key]
+            else:
+                node = None
+                break
+        if node is not None:
+            arr = np.asarray(node)
+            if arr.shape == leaf.shape:
+                return jnp.asarray(arr, leaf.dtype)
+            if key == "pos_embed":
+                from vitx.cli.pretrain import _resize_saved_pos_embed
+
+                resized = _resize_saved_pos_embed(arr, cfg)
+                if resized is not None:
+                    warnings.warn(
+                        f"transfer from {p}: pos_embed resized from "
+                        f"{arr.shape[1]} to {cfg.pos_len} positions "
+                        f"(grid {cfg.grid_size}x{cfg.grid_size})")
+                    return jnp.asarray(resized, leaf.dtype)
+        fresh.append(key)
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(pick, template)
+    if fresh:
+        warnings.warn(f"transfer from {p}: fresh init kept for {fresh} "
+                      "(missing or shape-mismatched in the source)")
+    return out
