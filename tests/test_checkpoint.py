@@ -447,3 +447,45 @@ def test_cli_transfer_finetune_from_checkpoint(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["loss"])
     assert peek_meta(tmp_path / "b")["config"]["image_size"] == 64
+
+
+def test_transfer_params_guards(tmp_path):
+    """transfer_params refuses config-less sources (MAE pretrain dirs)
+    instead of silently grafting against the tiny preset; cross-parity
+    sources keep pos_embed fresh (row order differs at identical shape);
+    a non-params flat npz never silently 'loads'."""
+    import warnings
+
+    import pytest
+
+    from vitx.train.checkpoint import load_artifact_params, transfer_params
+
+    # 1. config-less checkpoint dir -> clear error
+    state, _, _ = _state_and_step()
+    save_checkpoint(tmp_path / "mae", state, epoch=0,
+                    meta={"kind": "mae", "loss": 1.0})
+    with pytest.raises(ValueError, match="no model config"):
+        transfer_params(tmp_path / "mae", CFG, jax.random.PRNGKey(0))
+
+    # 2. bug_exact source -> corrected target: pos_embed stays fresh
+    import json as _json
+    bug = CFG.replace(parity="bug_exact")
+    opt = make_optimizer(lr=1e-3)
+    bstate = create_train_state(jax.random.PRNGKey(1), bug, opt)
+    save_checkpoint(tmp_path / "bug", bstate, epoch=0,
+                    meta={"config": _json.loads(bug.to_json())})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = transfer_params(tmp_path / "bug", CFG, jax.random.PRNGKey(2))
+    assert any("fresh init" in str(x.message)
+               and "pos_embed" in str(x.message) for x in w)
+    # encoder still transfers (layout-independent leaves)
+    np.testing.assert_array_equal(
+        np.asarray(got["blocks"]["wqkv"]),
+        np.asarray(jax.device_get(bstate.params)["blocks"]["wqkv"]))
+
+    # 3. a features-export-style npz (no pos_embed) must not silently load
+    np.savez(tmp_path / "feats.npz",
+             train_features=np.zeros((4, 8), np.float32))
+    with pytest.raises(Exception):
+        load_artifact_params(tmp_path / "feats.npz", CFG)

@@ -80,3 +80,11 @@ def test_grad_cam_jits():
     cam_e, _ = grad_cam(params, imgs, CFG)
     np.testing.assert_allclose(np.asarray(cam_j), np.asarray(cam_e),
                                rtol=0, atol=1e-5)
+
+
+def test_grad_cam_rejects_out_of_range_class():
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    with pytest.raises(ValueError, match="out of range"):
+        grad_cam(params, _images(6, batch=1), CFG, class_idx=99)
+    with pytest.raises(ValueError, match="out of range"):
+        grad_cam(params, _images(6, batch=1), CFG, class_idx=-1)

@@ -46,6 +46,20 @@ def _feat_fn(params, x, cfg: ViTConfig, pool: str):
 # one jit cache entry per (cfg, pool): the train- and val-split extractions
 # (and repeat calls, e.g. the exploration notebook) share the compile
 _feat_jit = jax.jit(_feat_fn, static_argnames=("cfg", "pool"))
+# ... and per mesh for the --dp path (same sharing rationale)
+_mesh_feat_jits = {}
+
+
+def _mesh_feat_jit(mesh):
+    if mesh not in _mesh_feat_jits:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P("data", None, None, None))
+        _mesh_feat_jits[mesh] = jax.jit(
+            _feat_fn, static_argnames=("cfg", "pool"),
+            in_shardings=(rep, bsh))
+    return _mesh_feat_jits[mesh]
 
 
 def extract_features(params, dataset, cfg: ViTConfig, *, pool: str = "cls",
@@ -70,11 +84,8 @@ def extract_features(params, dataset, cfg: ViTConfig, *, pool: str = "cls",
         if batch_size % dp:
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"the mesh's data axis ({dp})")
-        rep = NamedSharding(mesh, P())
-        bsh = NamedSharding(mesh, P("data", None, None, None))
-        params = jax.device_put(params, rep)
-        feat = jax.jit(_feat_fn, static_argnames=("cfg", "pool"),
-                       in_shardings=(rep, bsh))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        feat = _mesh_feat_jit(mesh)
     feats, labels = [], []
     for batch in BatchLoader(dataset, batch_size):
         x = pre(batch["image"], None, train=False)

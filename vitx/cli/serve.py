@@ -46,13 +46,16 @@ def make_handler(server):
         def log_message(self, *a):            # quiet access log
             pass
 
-        def _reply(self, code, payload: dict):
-            body = json.dumps(payload).encode()
+        def _send(self, code, body: bytes, ctype: str):
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _reply(self, code, payload: dict):
+            self._send(code, json.dumps(payload).encode(),
+                       "application/json")
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -76,13 +79,8 @@ def make_handler(server):
                                ("0.99", "p99_ms")):
                     lines.append(
                         f'vitx_latency_ms{{quantile="{q}"}} {s[key]}')
-                body = ("\n".join(lines) + "\n").encode()
-                self.send_response(200)
-                self.send_header("Content-Type",
-                                 "text/plain; version=0.0.4")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._send(200, ("\n".join(lines) + "\n").encode(),
+                           "text/plain; version=0.0.4")
             else:
                 self._reply(404, {"error": "unknown path"})
 

@@ -77,6 +77,17 @@ def grad_cam(params, images, cfg: ViTConfig, *, class_idx=None):
     if class_idx is None:
         idx = jnp.argmax(logits, axis=-1)
     else:
+        import numpy as np
+
+        # concrete indices validate host-side (take_along_axis clamps
+        # out-of-bounds under jit instead of erroring — a silent wrong-
+        # class heatmap otherwise); traced arrays pass through
+        concrete = np.asarray(class_idx) if isinstance(
+            class_idx, (int, np.integer, list, tuple, np.ndarray)) else None
+        if concrete is not None and (np.any(concrete < 0) or
+                                     np.any(concrete >= cfg.num_classes)):
+            raise ValueError(f"class_idx {class_idx} out of range "
+                             f"[0, {cfg.num_classes})")
         idx = jnp.broadcast_to(jnp.asarray(class_idx, jnp.int32), (B,))
 
     def scalar_fn(tokens):

@@ -437,11 +437,13 @@ def load_artifact_params(checkpoint, cfg):
         return load_reference_pt(p, cfg)
     if p.suffix == ".npz" and p.is_file() and not p.name.endswith(".quant.npz"):
         # a bare params npz (vitx.cli.pretrain --export-vit): no TrainState
-        # or meta, just flat "a/b/c" leaves. The MAE frozen-encoder eval
-        # probes these directly (pass the fine-tune config: final_norm=True)
-        import numpy as _np
-
-        if "meta" not in _np.load(p).files:
+        # or __meta__, just flat "a/b/c" leaves with pos_embed present. The
+        # MAE frozen-encoder eval probes these directly (pass the fine-tune
+        # config: final_norm=True). Anything else-shaped falls through to
+        # the checkpoint restore (which errors clearly).
+        with np.load(p) as data:
+            bare = "__meta__" not in data.files and "pos_embed" in data.files
+        if bare:
             from vitx.cli.pretrain import load_vit_init
 
             return (load_vit_init(p, cfg, jax.random.PRNGKey(0)),
@@ -476,7 +478,26 @@ def transfer_params(checkpoint, cfg, rng):
         from vitx.cli.pretrain import load_vit_init
 
         return load_vit_init(p, cfg, rng)
-    src_cfg = cfg if p.suffix == ".pt" else resolve_artifact_config(p)
+    if p.suffix == ".pt":
+        # reference .pt carries no vitx config: import at the target
+        # geometry (the importer raises on a true geometry mismatch)
+        src_cfg = cfg
+    else:
+        if p.name.endswith(".quant.npz"):
+            from vitx.quant import peek_meta as _peek
+
+            saved = _peek(p)
+        else:
+            saved = peek_meta(p)
+        if not saved or "config" not in saved:
+            raise ValueError(
+                f"transfer from {p}: the artifact records no model config "
+                f"(e.g. an MAE pretraining checkpoint dir — export a "
+                f"fine-tune init with `pretrain --export-vit` instead), "
+                f"so the source geometry cannot be restored safely")
+        from vitx.core.config import ViTConfig
+
+        src_cfg = ViTConfig.from_json(json.dumps(saved["config"]))
     src, _ = load_artifact_params(p, src_cfg)
     template = init_params(rng, cfg)
     fresh = []
@@ -490,6 +511,11 @@ def transfer_params(checkpoint, cfg, rng):
             else:
                 node = None
                 break
+        if key == "pos_embed" and src_cfg.parity != cfg.parity:
+            # cross-parity transfer: bug_exact stores [patches..., CLS],
+            # corrected stores [CLS, patches...] — same shape, different
+            # row order; grafting (or resizing) would scramble the grid
+            node = None
         if node is not None:
             arr = np.asarray(node)
             if arr.shape == leaf.shape:
