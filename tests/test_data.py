@@ -308,3 +308,41 @@ def test_randaugment_batch_and_pipeline():
     np.testing.assert_allclose(
         np.asarray(pre(u8, jax.random.PRNGKey(0), train=False)),
         np.asarray(plain(u8, jax.random.PRNGKey(0), train=False)), rtol=1e-6)
+
+
+def test_folder_predefined_split_dirs(tmp_path):
+    """folder: datasets with predefined Training/Testing (or train/val)
+    split dirs use them verbatim — no internal stratified split — and the
+    class lists must agree across splits."""
+    import pytest
+    from PIL import Image
+
+    from vitx.cli.train import make_datasets
+    from vitx.core.config import ViTConfig
+
+    rng = np.random.default_rng(0)
+    counts = {"Training": {"glioma": 6, "none": 5},
+              "Testing": {"glioma": 3, "none": 2}}
+    for split, classes in counts.items():
+        for cls, n in classes.items():
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                Image.fromarray(rng.integers(0, 255, (20, 20, 3),
+                                             dtype=np.uint8)).save(
+                    d / f"{i}.png")
+
+    cfg = ViTConfig(image_size=16, patch_size=4, num_classes=2,
+                    embed_dim=32, depth=1, num_heads=2,
+                    compute_dtype="float32")
+    train_ds, eval_ds = make_datasets(f"folder:{tmp_path}", cfg, seed=0)
+    assert len(train_ds) == 11 and len(eval_ds) == 5
+    assert train_ds.classes == eval_ds.classes == ["glioma", "none"]
+
+    # class mismatch across splits is an error, not silent label skew
+    (tmp_path / "Testing" / "pituitary").mkdir()
+    Image.fromarray(rng.integers(0, 255, (20, 20, 3),
+                                 dtype=np.uint8)).save(
+        tmp_path / "Testing" / "pituitary" / "0.png")
+    with pytest.raises(ValueError, match="disagree"):
+        make_datasets(f"folder:{tmp_path}", cfg, seed=0)

@@ -144,6 +144,24 @@ def make_datasets(spec: str, cfg: ViTConfig, seed: int):
     if kind == "cifar10":
         return CIFAR10(path, train=True), CIFAR10(path, train=False)
     if kind == "folder":
+        import pathlib
+
+        root = pathlib.Path(path)
+        # predefined split directories (the Kaggle brain-tumor layout ships
+        # Training/ + Testing/) beat the internal stratified split
+        for tr_name, te_name in (("train", "val"), ("train", "test"),
+                                 ("Training", "Testing")):
+            tr, te = root / tr_name, root / te_name
+            if tr.is_dir() and te.is_dir():
+                train_ds = FolderDataset(tr, test_size=None,
+                                         image_size=cfg.image_size)
+                eval_ds = FolderDataset(te, test_size=None,
+                                        image_size=cfg.image_size)
+                if train_ds.classes != eval_ds.classes:
+                    raise ValueError(
+                        f"{tr} and {te} disagree on class subfolders: "
+                        f"{train_ds.classes} vs {eval_ds.classes}")
+                return train_ds, eval_ds
         return (FolderDataset(path, train=True, image_size=cfg.image_size),
                 FolderDataset(path, train=False, image_size=cfg.image_size))
     raise ValueError(f"unknown --data spec {spec!r}")

@@ -23,9 +23,16 @@ _IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".gif",
 
 
 class FolderDataset:
-    """data_dir/<class_name>/*.img ; train/test selected at construction."""
+    """data_dir/<class_name>/*.img ; train/test selected at construction.
 
-    def __init__(self, data_dir, *, train: bool = True, test_size: float = 0.2,
+    ``test_size=None`` disables the internal stratified split and uses every
+    image — for datasets that ship PREDEFINED split directories (the Kaggle
+    brain-tumor layout: ``Training/``/``Testing/``); ``make_datasets``
+    (vitx/cli/train.py) auto-detects those and builds one full FolderDataset
+    per split directory."""
+
+    def __init__(self, data_dir, *, train: bool = True,
+                 test_size: float | None = 0.2,
                  random_state: int = 42, image_size: int | None = None):
         self.data_dir = pathlib.Path(data_dir)
         self.image_size = image_size
@@ -47,13 +54,16 @@ class FolderDataset:
             raise ValueError(f"no images under {data_dir}")
         labels = np.array(labels, np.int32)
 
-        from sklearn.model_selection import train_test_split
-
         idx_all = np.arange(len(paths))
-        idx_tr, idx_te = train_test_split(
-            idx_all, test_size=test_size, stratify=labels,
-            random_state=random_state)
-        sel = np.sort(idx_tr if train else idx_te)
+        if test_size is None:
+            sel = idx_all
+        else:
+            from sklearn.model_selection import train_test_split
+
+            idx_tr, idx_te = train_test_split(
+                idx_all, test_size=test_size, stratify=labels,
+                random_state=random_state)
+            sel = np.sort(idx_tr if train else idx_te)
         self.paths = [paths[i] for i in sel]
         self.labels = labels[sel]
 
