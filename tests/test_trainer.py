@@ -788,3 +788,55 @@ def test_nan_abort_stops_diverged_run(tmp_path):
                        train_step=poisoned_step)
     history = trainer2.fit(train_loader, eval_loader)
     assert len(history) == 1
+
+
+def test_class_weighted_loss_torch_parity_and_cli(tmp_path, capsys):
+    """cross_entropy_loss(class_weights=...) matches torch
+    CrossEntropyLoss(weight=..., label_smoothing=...) exactly (weighted
+    normalization included), and the CLI wires --class-weights balanced."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vitx.train.step import cross_entropy_loss
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((16, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, 16)
+    weights = np.array([0.5, 2.0, 1.0, 3.0], np.float32)
+    for s in (0.0, 0.1):
+        ours = float(cross_entropy_loss(
+            jnp.asarray(logits), jnp.asarray(labels), None,
+            label_smoothing=s, class_weights=weights))
+        want = float(torch.nn.CrossEntropyLoss(
+            weight=torch.tensor(weights), label_smoothing=s)(
+            torch.tensor(logits), torch.tensor(labels)))
+        np.testing.assert_allclose(ours, want, rtol=1e-6, atol=1e-7)
+
+    # masked rows drop out of both numerator and weighted denominator
+    mask = np.ones(16, np.float32)
+    mask[10:] = 0.0
+    ours_m = float(cross_entropy_loss(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask),
+        class_weights=weights))
+    want_m = float(torch.nn.CrossEntropyLoss(weight=torch.tensor(weights))(
+        torch.tensor(logits[:10]), torch.tensor(labels[:10])))
+    np.testing.assert_allclose(ours_m, want_m, rtol=1e-6, atol=1e-7)
+
+    from vitx.cli.train import main as train_main
+
+    rc = train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--compute-dtype", "float32",
+        "--class-weights", "balanced",
+        "--checkpoint-dir", str(tmp_path / "c"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert np.isfinite(out["loss"])
+    # wrong count -> clean error
+    rc = train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--class-weights", "1.0,2.0",
+    ])
+    assert rc == 1

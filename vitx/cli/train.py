@@ -24,6 +24,10 @@ def build_argparser():
                    help="model preset (see vitx.core.config.PRESETS)")
     p.add_argument("--config-json", default=None,
                    help="path to a ViTConfig JSON (overrides --preset)")
+    p.add_argument("--class-weights", default=None,
+                   help="per-class loss weights for imbalanced data: "
+                        "'balanced' (n/(C*count_c) from the train split, "
+                        "sklearn semantics) or C comma-separated floats")
     p.add_argument("--image-size", type=int, default=None,
                    help="override the config's input resolution (must be a "
                         "multiple of the patch size) — with --init-from the "
@@ -320,8 +324,32 @@ def main(argv=None):
             label_smoothing=args.label_smoothing)
         train_step = lambda s, b, r: dstep(s, b, teacher_params, r)
 
+    class_weights = None
+    if args.class_weights:
+        import numpy as np
+
+        if args.class_weights == "balanced":
+            labels = getattr(train_ds, "labels", None)
+            if labels is None:
+                print("error: --class-weights balanced needs a dataset "
+                      "exposing .labels", file=sys.stderr)
+                return 1
+            counts = np.bincount(np.asarray(labels),
+                                 minlength=cfg.num_classes)
+            w = len(labels) / (cfg.num_classes
+                               * np.maximum(counts, 1)).astype(np.float64)
+        else:
+            w = np.array([float(x) for x in args.class_weights.split(",")])
+            if len(w) != cfg.num_classes:
+                print(f"error: --class-weights needs {cfg.num_classes} "
+                      f"comma-separated values, got {len(w)}",
+                      file=sys.stderr)
+                return 1
+        class_weights = tuple(float(x) for x in w)
+
     tcfg = TrainerConfig(
         epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,
+        class_weights=class_weights,
         grad_clip=args.grad_clip, label_smoothing=args.label_smoothing,
         mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
         sam_rho=args.sam_rho, progress=args.progress,

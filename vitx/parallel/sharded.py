@@ -234,7 +234,8 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                              label_smoothing: float = 0.0,
                              mixup_alpha: float | None = None,
                              cutmix_alpha: float | None = None,
-                             sam_rho: float | None = None):
+                             sam_rho: float | None = None,
+                             class_weights=None):
     """Jitted SPMD train step. State donated; grads psum over ``data``.
 
     Shardings are inferred from the placed inputs (pjit committed-input
@@ -246,7 +247,7 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
     step_fn = partial(train_step, cfg=cfg, optimizer=optimizer,
                       label_smoothing=label_smoothing,
                       mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha,
-                      sam_rho=sam_rho)
+                      sam_rho=sam_rho, class_weights=class_weights)
 
     def wrapped(state, batch, rng):
         return step_fn(state, batch, rng)

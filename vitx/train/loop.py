@@ -45,6 +45,10 @@ class TrainerConfig:
     # ascend rho along the normalized gradient, update with the gradient
     # there. ~2x step cost. Typical: 0.05 (ViT-B ImageNet).
     sam_rho: float | None = None
+    # Per-class loss weights for imbalanced data ((num_classes,) sequence;
+    # torch CrossEntropyLoss(weight=...) parity). The train CLI's
+    # --class-weights balanced computes n/(C*count_c) from the train split.
+    class_weights: tuple | None = None
     # "adamw" (reference semantics), "sgd" (momentum 0.9, decoupled wd),
     # or "lion" (Chen 2023) — see make_optimizer.
     optimizer: str = "adamw"
@@ -157,7 +161,8 @@ class Trainer:
                 label_smoothing=tcfg.label_smoothing,
                 mixup_alpha=tcfg.mixup_alpha,
                 cutmix_alpha=tcfg.cutmix_alpha,
-                sam_rho=tcfg.sam_rho)
+                sam_rho=tcfg.sam_rho,
+                class_weights=tcfg.class_weights)
             self.eval_step = eval_step or make_parallel_eval_step(cfg, mesh,
                                                                   tp=tp)
         else:
@@ -167,7 +172,8 @@ class Trainer:
                                    label_smoothing=tcfg.label_smoothing,
                                    mixup_alpha=tcfg.mixup_alpha,
                                    cutmix_alpha=tcfg.cutmix_alpha,
-                                   sam_rho=tcfg.sam_rho))
+                                   sam_rho=tcfg.sam_rho,
+                                   class_weights=tcfg.class_weights))
             self.eval_step = eval_step or make_eval_step(cfg)
         self.preprocess = preprocess
         if tcfg.steps_per_dispatch > 1 and mesh is not None:

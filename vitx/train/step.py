@@ -202,23 +202,44 @@ def create_train_state(rng, cfg: ViTConfig, optimizer) -> TrainState:
                       opt_state=opt_state)
 
 
-def cross_entropy_loss(logits, labels, mask=None, label_smoothing=0.0):
+def cross_entropy_loss(logits, labels, mask=None, label_smoothing=0.0,
+                       class_weights=None):
     """Mean softmax cross-entropy — nn.CrossEntropyLoss parity (train.py:81).
 
     ``mask`` (0/1 per row) excludes the loader's padding rows from the mean
     so ragged final batches don't bias the loss or the gradients.
     ``label_smoothing``: standard uniform smoothing (the DeiT recipe knob;
     matches torch CrossEntropyLoss(label_smoothing=s)).
+    ``class_weights``: (C,) per-class weights for imbalanced data — torch
+    CrossEntropyLoss(weight=w) parity: per-class terms scale by w_c and the
+    mean normalizes by the summed TARGET-class weights.
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    if label_smoothing:
-        s = label_smoothing
-        nll = (1.0 - s) * nll + s * (-jnp.mean(logp, axis=-1))
+    if class_weights is None:
+        if label_smoothing:
+            s = label_smoothing
+            nll = (1.0 - s) * nll + s * (-jnp.mean(logp, axis=-1))
+        denom_w = None
+    else:
+        w = jnp.asarray(class_weights, jnp.float32)
+        wy = w[labels]
+        if label_smoothing:
+            s = label_smoothing
+            C = logp.shape[-1]
+            nll = ((1.0 - s) * wy * nll
+                   + (s / C) * jnp.sum(w[None, :] * (-logp), axis=-1))
+        else:
+            nll = wy * nll
+        denom_w = wy
     if mask is None:
-        return jnp.mean(nll)
+        if denom_w is None:
+            return jnp.mean(nll)
+        return jnp.sum(nll) / jnp.maximum(jnp.sum(denom_w), 1e-9)
     mask = mask.astype(jnp.float32)
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    denom = (jnp.sum(mask) if denom_w is None
+             else jnp.sum(denom_w * mask))
+    return jnp.sum(nll * mask) / jnp.maximum(denom, 1e-9)
 
 
 def _cutmix_weight_map(rng, height, width, alpha):
@@ -261,7 +282,7 @@ def _mix_weight_map(rng, image_shape, mixup_alpha, cutmix_alpha):
 
 def loss_fn(params, batch, cfg: ViTConfig, rng, *,
             label_smoothing: float = 0.0, mixup_alpha: float | None = None,
-            cutmix_alpha: float | None = None):
+            cutmix_alpha: float | None = None, class_weights=None):
     """Training loss. ``label_smoothing`` / ``mixup_alpha`` /
     ``cutmix_alpha`` implement the DeiT-style recipe knobs (mixup: Zhang et
     al. 2018 — convex input/target mixing with Beta(alpha, alpha) weights;
@@ -287,13 +308,16 @@ def loss_fn(params, batch, cfg: ViTConfig, rng, *,
                  ).astype(image.dtype)
         logits = forward(params, image, cfg, rng=rng, deterministic=False)
         loss = (lam * cross_entropy_loss(
-                    logits, batch["label"], mask, label_smoothing)
+                    logits, batch["label"], mask, label_smoothing,
+                    class_weights)
                 + (1.0 - lam) * cross_entropy_loss(
-                    logits, batch["label"][perm], mask, label_smoothing))
+                    logits, batch["label"][perm], mask, label_smoothing,
+                    class_weights))
         return loss, logits
     logits = forward(params, image, cfg, rng=rng,
                      deterministic=rng is None)
-    loss = cross_entropy_loss(logits, batch["label"], mask, label_smoothing)
+    loss = cross_entropy_loss(logits, batch["label"], mask, label_smoothing,
+                              class_weights)
     return loss, logits
 
 
@@ -301,7 +325,8 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
                label_smoothing: float = 0.0,
                mixup_alpha: float | None = None,
                cutmix_alpha: float | None = None,
-               sam_rho: float | None = None):
+               sam_rho: float | None = None,
+               class_weights=None):
     """One SGD step. batch: {"image": (B,H,W,C), "label": (B,)}.
 
     ``sam_rho``: sharpness-aware minimization (Foret et al. 2021; Chen et
@@ -318,7 +343,8 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
     step_rng = jax.random.fold_in(rng, state.step) if rng is not None else None
     grad_fn = jax.value_and_grad(
         partial(loss_fn, label_smoothing=label_smoothing,
-                mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha),
+                mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha,
+                class_weights=class_weights),
         has_aux=True)
     (loss, logits), grads = grad_fn(state.params, batch, cfg, step_rng)
     grad_norm = optax.global_norm(grads)
@@ -377,12 +403,14 @@ def make_train_step(cfg: ViTConfig, optimizer, *,
                     label_smoothing: float = 0.0,
                     mixup_alpha: float | None = None,
                     cutmix_alpha: float | None = None,
-                    sam_rho: float | None = None):
+                    sam_rho: float | None = None,
+                    class_weights=None):
     """Jitted train step with the state donated (in-place on device)."""
     return jax.jit(
         partial(train_step, cfg=cfg, optimizer=optimizer,
                 label_smoothing=label_smoothing, mixup_alpha=mixup_alpha,
-                cutmix_alpha=cutmix_alpha, sam_rho=sam_rho),
+                cutmix_alpha=cutmix_alpha, sam_rho=sam_rho,
+                class_weights=class_weights),
         donate_argnums=(0,),
     )
 
