@@ -68,5 +68,28 @@ def test_confusion_to_metrics_keys():
     m = confusion_to_metrics(
         confusion_matrix(jnp.asarray(preds), jnp.asarray(labels), C))
     assert set(m) == {"accuracy", "precision_weighted", "recall_weighted",
-                      "per_class_accuracy"}
+                      "per_class_accuracy", "per_class_f1", "f1_macro"}
     assert m["per_class_accuracy"].shape == (C,)
+    assert m["per_class_f1"].shape == (C,)
+
+
+def test_f1_sklearn_parity():
+    """per-class F1 and macro F1 match sklearn (zero_division=0, all-labels
+    averaging) on an imbalanced prediction set with an absent class."""
+    from sklearn.metrics import f1_score
+
+    from vitx.metrics import confusion_matrix, macro_f1, per_class_f1
+
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 3, 200)          # class 3 absent from y_true
+    preds = np.where(rng.random(200) < 0.3,
+                     rng.integers(0, 4, 200), labels)
+    cm = confusion_matrix(jnp.asarray(preds), jnp.asarray(labels), 4)
+    ours_pc = np.asarray(per_class_f1(cm))
+    want_pc = f1_score(labels, preds, labels=range(4), average=None,
+                       zero_division=0)
+    np.testing.assert_allclose(ours_pc, want_pc, rtol=1e-6, atol=1e-7)
+    want_macro = f1_score(labels, preds, labels=range(4), average="macro",
+                          zero_division=0)
+    np.testing.assert_allclose(float(macro_f1(cm)), want_macro,
+                               rtol=1e-6, atol=1e-7)

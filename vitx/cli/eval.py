@@ -202,9 +202,13 @@ def main(argv=None):
         "accuracy": float(metrics["accuracy"]),
         "precision_weighted": float(metrics["precision_weighted"]),
         "recall_weighted": float(metrics["recall_weighted"]),
+        "f1_macro": float(metrics["f1_macro"]),
         "per_class_accuracy": {
             (classes[i] if classes else str(i)): round(float(v), 4)
             for i, v in enumerate(np.asarray(metrics["per_class_accuracy"]))},
+        "per_class_f1": {
+            (classes[i] if classes else str(i)): round(float(v), 4)
+            for i, v in enumerate(np.asarray(metrics["per_class_f1"]))},
         "num_examples": int(np.asarray(cm).sum()),
     }
     if top5_n:

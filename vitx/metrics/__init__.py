@@ -7,7 +7,9 @@ from vitx.metrics.metrics import (
     accuracy,
     confusion_matrix,
     confusion_to_metrics,
+    macro_f1,
     per_class_accuracy,
+    per_class_f1,
     weighted_precision,
     weighted_recall,
 )
@@ -19,7 +21,9 @@ __all__ = [
     "confusion_to_metrics",
     "expected_calibration_error",
     "fit_temperature",
+    "macro_f1",
     "per_class_accuracy",
+    "per_class_f1",
     "weighted_precision",
     "weighted_recall",
 ]

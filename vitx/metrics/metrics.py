@@ -63,11 +63,31 @@ def weighted_recall(cm):
     return jnp.where(total > 0, jnp.sum(rec * support) / total, 0.0)
 
 
+def per_class_f1(cm):
+    """F1 per class — sklearn f1_score(average=None, zero_division=0):
+    0 where precision + recall is 0."""
+    support = jnp.sum(cm, axis=1).astype(jnp.float32)
+    pred_count = jnp.sum(cm, axis=0).astype(jnp.float32)
+    diag = jnp.diagonal(cm).astype(jnp.float32)
+    prec = jnp.where(pred_count > 0, diag / jnp.maximum(pred_count, 1.0), 0.0)
+    rec = jnp.where(support > 0, diag / jnp.maximum(support, 1.0), 0.0)
+    pr = prec + rec
+    return jnp.where(pr > 0, 2.0 * prec * rec / jnp.maximum(pr, 1e-12), 0.0)
+
+
+def macro_f1(cm):
+    """sklearn f1_score(average='macro', labels=range(C), zero_division=0) —
+    the unweighted class mean, the imbalanced-data headline metric."""
+    return jnp.mean(per_class_f1(cm))
+
+
 def confusion_to_metrics(cm):
-    """Confusion matrix -> dict of scalar metrics (+ per-class vector)."""
+    """Confusion matrix -> dict of scalar metrics (+ per-class vectors)."""
     return {
         "accuracy": accuracy(cm),
         "precision_weighted": weighted_precision(cm),
         "recall_weighted": weighted_recall(cm),
         "per_class_accuracy": per_class_accuracy(cm),
+        "per_class_f1": per_class_f1(cm),
+        "f1_macro": macro_f1(cm),
     }
