@@ -93,3 +93,28 @@ def test_f1_sklearn_parity():
                           zero_division=0)
     np.testing.assert_allclose(float(macro_f1(cm)), want_macro,
                                rtol=1e-6, atol=1e-7)
+
+
+def test_eval_cli_reports_f1_and_confusion(tmp_path, capsys):
+    """The eval report carries f1_macro, per-class F1 and (small label
+    spaces) the full confusion matrix, consistent with each other."""
+    import json
+
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    train_main(["--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+                "--batch-size", "32", "--compute-dtype", "float32",
+                "--checkpoint-dir", str(tmp_path / "c")])
+    capsys.readouterr()
+    rc = eval_main(["--checkpoint", str(tmp_path / "c"),
+                    "--data", "synthetic", "--batch-size", "64"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= out["f1_macro"] <= 1.0
+    assert len(out["per_class_f1"]) == 4
+    cm = np.asarray(out["confusion_matrix"])
+    assert cm.shape == (4, 4)
+    assert cm.sum() == out["num_examples"]
+    np.testing.assert_allclose(np.trace(cm) / cm.sum(), out["accuracy"],
+                               atol=1e-6)

@@ -211,6 +211,10 @@ def main(argv=None):
             for i, v in enumerate(np.asarray(metrics["per_class_f1"]))},
         "num_examples": int(np.asarray(cm).sum()),
     }
+    if cfg.num_classes <= 10:
+        # small label spaces (the brain-tumor regime): ship the full matrix
+        # (rows = true class, reference train.py's sklearn order)
+        out["confusion_matrix"] = np.asarray(cm).astype(int).tolist()
     if top5_n:
         # reported whenever a logits pass ran (--predict/--calibrate/--tta)
         # and the label space makes top-5 meaningful
