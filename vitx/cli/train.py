@@ -133,8 +133,9 @@ def build_argparser():
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel size (default: single device)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
-    p.add_argument("--zero", type=int, default=0, choices=[0, 1, 3],
-                   help="ZeRO stage: 1 = moments, 3 = params+moments (FSDP)")
+    p.add_argument("--zero", type=int, default=0, choices=[0, 1, 2, 3],
+                   help="ZeRO stage: 1 = moments, 2 = moments + "
+                        "reduce-scattered grads, 3 = params+moments (FSDP)")
     return p
 
 
@@ -368,6 +369,7 @@ def main(argv=None):
         mesh = make_mesh(dp=args.dp, tp=args.tp)
     trainer = Trainer(cfg, tcfg, preprocess=pre, mesh=mesh,
                       tp=args.tp > 1, zero1=args.zero == 1,
+                      zero2=args.zero == 2,
                       zero3=args.zero == 3, init_state=init_state,
                       optimizer=optimizer, train_step=train_step)
     from vitx.train.loop import NonFiniteLossError

@@ -1,6 +1,7 @@
 from vitx.parallel.mesh import make_mesh
 from vitx.parallel.sharded import (
     batch_sharding,
+    grad_sharding,
     make_parallel_eval_step,
     make_parallel_train_step,
     param_sharding,
@@ -13,6 +14,7 @@ __all__ = [
     "make_mesh",
     "param_sharding",
     "state_sharding",
+    "grad_sharding",
     "batch_sharding",
     "shard_batch",
     "shard_host_batch",

@@ -108,6 +108,26 @@ def _data_shard(shard, shape, dp, mesh):
     return shard
 
 
+def grad_sharding(params, cfg: ViTConfig, mesh: Mesh, tp: bool = False):
+    """Data-axis shardings for the GRADIENTS (ZeRO-2).
+
+    Each gradient leaf gets its parameter's sharding plus a ``data``-axis
+    split of its largest free dim — the same rule ``state_sharding`` applies
+    to the Adam moments under ``zero1``, so the optimizer update is purely
+    local elementwise math on 1/dp of every tensor. Pinning this onto the
+    grads (``train_step``'s ``grad_shardings``) makes XLA reduce-scatter
+    them instead of all-reducing; the updated params are all-gathered once
+    per step. Same per-step comm volume as plain DP, but the optimizer
+    (and its fp32 moment reads/writes) runs at 1/dp cost per rank.
+    """
+    dp_size = mesh.shape[DATA_AXIS]
+    pshard = param_sharding(cfg, mesh, tp)
+    return jax.tree.map(
+        lambda shard, p: (_data_shard(shard, np.shape(p), dp_size, mesh)
+                          if np.size(p) >= 1024 else shard),
+        pshard, params)
+
+
 def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
                    tp: bool = False, zero1: bool = False,
                    zero3: bool = False):
@@ -235,19 +255,24 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                              mixup_alpha: float | None = None,
                              cutmix_alpha: float | None = None,
                              sam_rho: float | None = None,
-                             class_weights=None):
+                             class_weights=None, grad_shardings=None):
     """Jitted SPMD train step. State donated; grads psum over ``data``.
 
     Shardings are inferred from the placed inputs (pjit committed-input
     semantics); pass ``state_shardings`` (from ``state_sharding``) to pin the
     output state layout explicitly — required for zero1 so the updated
     moments stay sharded rather than following the replicated params.
+    Pass ``grad_shardings`` (from ``grad_sharding``) for ZeRO-2: gradients
+    reduce-scatter over ``data`` instead of all-reducing, and the optimizer
+    update runs sharded. Redundant under zero3 (sharded params already
+    yield sharded grads).
     """
     cfg = tp_safe_cfg(cfg, tp)
     step_fn = partial(train_step, cfg=cfg, optimizer=optimizer,
                       label_smoothing=label_smoothing,
                       mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha,
-                      sam_rho=sam_rho, class_weights=class_weights)
+                      sam_rho=sam_rho, class_weights=class_weights,
+                      grad_shardings=grad_shardings)
 
     def wrapped(state, batch, rng):
         return step_fn(state, batch, rng)

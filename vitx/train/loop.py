@@ -118,7 +118,7 @@ class Trainer:
                  preprocess: Callable | None = None,
                  train_step=None, eval_step=None, init_state=None,
                  mesh=None, tp: bool = False, zero1: bool = False,
-                 zero3: bool = False, optimizer=None):
+                 zero2: bool = False, zero3: bool = False, optimizer=None):
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
@@ -142,12 +142,15 @@ class Trainer:
                 self.state.opt_state, is_leaf=_sched_leaf))
         if mesh is not None:
             from vitx.parallel.sharded import (
+                grad_sharding,
                 make_parallel_eval_step,
                 make_parallel_train_step,
                 place_state,
                 state_sharding,
             )
 
+            # zero2 = zero1 moment layout + reduce-scattered grads
+            zero1 = zero1 or zero2
             self.state = place_state(self.state, cfg, mesh, tp=tp,
                                      zero1=zero1, zero3=zero3)
             # ALWAYS pin the output state to its input shardings: left to
@@ -155,9 +158,11 @@ class Trainer:
             # (measured 131 -> 111 ms/step at ViT-B b128 dp1, round 3)
             shardings = state_sharding(self.state, cfg, mesh, tp, zero1,
                                        zero3)
+            gshard = (grad_sharding(self.state.params, cfg, mesh, tp)
+                      if zero2 and not zero3 else None)
             self.train_step = train_step or make_parallel_train_step(
                 cfg, self.optimizer, mesh, tp=tp, zero1=zero1, zero3=zero3,
-                state_shardings=shardings,
+                state_shardings=shardings, grad_shardings=gshard,
                 label_smoothing=tcfg.label_smoothing,
                 mixup_alpha=tcfg.mixup_alpha,
                 cutmix_alpha=tcfg.cutmix_alpha,

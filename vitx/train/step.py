@@ -326,8 +326,14 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
                mixup_alpha: float | None = None,
                cutmix_alpha: float | None = None,
                sam_rho: float | None = None,
-               class_weights=None):
+               class_weights=None, grad_shardings=None):
     """One SGD step. batch: {"image": (B,H,W,C), "label": (B,)}.
+
+    ``grad_shardings``: optional pytree of shardings pinned onto the
+    gradients the moment autodiff produces them (ZeRO-2: a data-axis spec
+    here turns XLA's gradient all-reduce into a reduce-scatter, so the
+    optimizer update runs on 1/dp of each tensor per rank against the
+    ZeRO-1-sharded moments, and the updated params are all-gathered once).
 
     ``sam_rho``: sharpness-aware minimization (Foret et al. 2021; Chen et
     al. 2021 showed it lets ViTs match their augmented recipes from
@@ -347,6 +353,8 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
                 class_weights=class_weights),
         has_aux=True)
     (loss, logits), grads = grad_fn(state.params, batch, cfg, step_rng)
+    if grad_shardings is not None:
+        grads = jax.lax.with_sharding_constraint(grads, grad_shardings)
     grad_norm = optax.global_norm(grads)
     if sam_rho:
         # first-order SAM: re-evaluate the gradient at the ascent point,
@@ -356,6 +364,8 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
             lambda p, g: p + (scale * g).astype(p.dtype),
             state.params, grads)
         _, grads = grad_fn(params_adv, batch, cfg, step_rng)
+        if grad_shardings is not None:
+            grads = jax.lax.with_sharding_constraint(grads, grad_shardings)
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     if getattr(optimizer, "returns_new_params", False):
         params = updates           # fused kernel already applied the step
