@@ -69,6 +69,21 @@ def build_argparser():
                         "reference .pt — mismatched leaves (new class "
                         "head) stay fresh, a changed resolution resizes "
                         "pos_embed (combine with --image-size)")
+    p.add_argument("--lora-rank", type=int, default=0, metavar="R",
+                   help="LoRA fine-tuning (Hu 2021): rank-R adapters on the "
+                        "block weights train while the backbone stays "
+                        "frozen (pair with --init-from); fold for "
+                        "deployment with vitx.nn.lora.merge_lora_params")
+    p.add_argument("--lora-alpha", type=float, default=0.0,
+                   help="LoRA scale numerator (delta = alpha/rank * A@B); "
+                        "0 = rank (scale 1)")
+    p.add_argument("--lora-targets", default="attn",
+                   choices=["attn", "all"],
+                   help="adapt wqkv+wo only, or also the MLP w1/w2")
+    p.add_argument("--freeze-backbone", action="store_true",
+                   help="train ONLY the classifier head(s) — linear-probe-"
+                        "style fine-tuning with no optimizer moments or "
+                        "weight-grad matmuls for the frozen encoder")
     p.add_argument("--compute-dtype", default=None,
                    choices=["float32", "bfloat16"])
     # DeiT-style recipe knobs
@@ -220,6 +235,19 @@ def main(argv=None):
         cfg = cfg.replace(distill_token=True)
     if args.num_registers:
         cfg = cfg.replace(num_registers=args.num_registers)
+    if args.lora_rank:
+        cfg = cfg.replace(lora_rank=args.lora_rank,
+                          lora_alpha=args.lora_alpha,
+                          lora_targets=args.lora_targets)
+    if args.freeze_backbone and args.lora_rank:
+        print("error: --freeze-backbone conflicts with --lora-rank "
+              "(LoRA already freezes the backbone and trains the "
+              "adapters + head)", file=sys.stderr)
+        return 1
+    # freeze policy: LoRA implies frozen backbone (Trainer also defaults
+    # this, but the CLI's own make_optimizer calls must mask identically)
+    train_filter = ("head" if args.freeze_backbone
+                    else "lora" if args.lora_rank else None)
 
     optimizer = None
     if args.schedule == "cosine":
@@ -237,7 +265,7 @@ def main(argv=None):
             weight_decay=args.weight_decay, grad_clip=args.grad_clip,
             ema_decay=args.ema_decay, accum_steps=args.accum_steps,
             llrd=args.llrd, llrd_depth=cfg.depth,
-            optimizer=args.optimizer)
+            optimizer=args.optimizer, trainable=train_filter)
 
     init_state = None
     if args.init_from:
@@ -267,7 +295,7 @@ def main(argv=None):
                 grad_clip=args.grad_clip, ema_decay=args.ema_decay,
                 accum_steps=args.accum_steps,
                 llrd=args.llrd, llrd_depth=cfg.depth,
-                optimizer=args.optimizer)
+                optimizer=args.optimizer, trainable=train_filter)
         init_state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=optimizer.init(params))
 
@@ -292,6 +320,11 @@ def main(argv=None):
                   "--mixup-alpha/--cutmix-alpha/--sam-rho are not applied "
                   "there (combine via the library API instead)",
                   file=sys.stderr)
+            return 1
+        if train_filter is not None:
+            print("error: --distill-from builds its own train step, which "
+                  "has no freeze policy — --lora-rank/--freeze-backbone "
+                  "are not applied there", file=sys.stderr)
             return 1
         # the teacher's exact geometry comes from its self-describing
         # checkpoint meta (Trainer records the model config) — read it
@@ -318,7 +351,7 @@ def main(argv=None):
                 grad_clip=args.grad_clip, ema_decay=args.ema_decay,
                 accum_steps=args.accum_steps,
                 llrd=args.llrd, llrd_depth=cfg.depth,
-                optimizer=args.optimizer)
+                optimizer=args.optimizer, trainable=train_filter)
         dstep = make_distill_train_step(
             cfg, teacher_cfg, optimizer, alpha=args.distill_alpha,
             tau=args.distill_tau, hard=args.distill_hard,
@@ -357,7 +390,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
         eval_every=args.eval_every, log_every=args.log_every,
         ema_decay=args.ema_decay, llrd=args.llrd, seed=args.seed,
-        optimizer=args.optimizer,
+        optimizer=args.optimizer, train_filter=train_filter,
         early_stop_patience=args.early_stop,
         early_stop_min_delta=args.early_stop_delta,
         steps_per_dispatch=args.steps_per_dispatch,

@@ -96,6 +96,19 @@ class ViTConfig:
     # ignore it). 0 = off. Works on any trained checkpoint unchanged.
     tome_r: int = 0
 
+    # LoRA adapters (Hu et al. 2021): rank-r low-rank deltas on the block
+    # weight matrices, trained with the base weights FROZEN — the
+    # parameter-efficient fine-tune path (pairs with --init-from). 0 = off.
+    # Targets: "attn" adapts wqkv + wo (the paper's choice), "all" also
+    # adapts the MLP's w1/w2. The merged weight is w + (alpha/rank) * A @ B,
+    # folded per-layer inside the encoder scan (cheap: an (E, r) x (r, ...)
+    # matmul per target per block) so every forward path — fused kernels,
+    # rollout, ToMe, saliency — sees ordinary dense weights. Fold the
+    # adapters into a plain checkpoint with vitx.nn.lora.merge_lora_params.
+    lora_rank: int = 0
+    lora_alpha: float = 0.0      # 0.0 -> defaults to lora_rank (scale 1)
+    lora_targets: str = "attn"
+
     layer_norm_eps: float = 1e-5  # torch nn.LayerNorm default, for parity
 
     # --- reference-semantics mode ---
@@ -187,6 +200,16 @@ class ViTConfig:
                 "num_registers is a beyond-reference extension; bug_exact "
                 "parity reproduces the reference model, which has no "
                 "register tokens")
+        if self.lora_rank < 0:
+            raise ValueError(f"lora_rank must be >= 0, got {self.lora_rank}")
+        if self.lora_targets not in ("attn", "all"):
+            raise ValueError(f"unknown lora_targets {self.lora_targets!r}; "
+                             "have 'attn', 'all'")
+        if self.lora_rank and self.parity == "bug_exact":
+            raise ValueError(
+                "lora_rank is a beyond-reference extension; bug_exact "
+                "parity reproduces the reference model, which has no "
+                "LoRA adapters")
         if self.tome_r < 0:
             raise ValueError(f"tome_r must be >= 0, got {self.tome_r}")
         if self.tome_r:
@@ -231,6 +254,14 @@ class ViTConfig:
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads
+
+    @property
+    def lora_scale(self) -> float:
+        """The adapter scale alpha/rank (alpha defaults to rank -> 1.0)."""
+        if not self.lora_rank:
+            return 0.0
+        alpha = self.lora_alpha if self.lora_alpha else float(self.lora_rank)
+        return alpha / self.lora_rank
 
     @property
     def mlp_dim(self) -> int:

@@ -47,6 +47,12 @@ def quantize_for_runtime(params: Params, cfg: ViTConfig) -> Params:
         raise ValueError("int8 runtime has no ToMe merging step — use "
                          "tome_r OR int8_runtime, not both (the combination "
                          "would silently drop the merging)")
+    if cfg.lora_rank:
+        # the int8 block loop reads dense names only — fold the adapters
+        # first so the quantized weights ARE the adapted weights
+        from vitx.nn.lora import merge_lora_params
+
+        params, cfg = merge_lora_params(params, cfg)
     L, E = cfg.depth, cfg.embed_dim
     out = dict(params)
     blocks = dict(params["blocks"])

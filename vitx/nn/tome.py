@@ -176,6 +176,10 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
 
     for l in range(cfg.depth):
         bp = jax.tree.map(lambda a: a[l], blocks)
+        if cfg.lora_rank:
+            from vitx.nn.lora import merge_block
+
+            bp = merge_block(bp, cfg)
         h = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"],
                        eps=cfg.layer_norm_eps)
         attn_out, k_mean = _attention_with_sizes(h, bp, cfg, jnp.log(sizes))

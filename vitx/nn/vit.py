@@ -71,6 +71,12 @@ def init_blocks(rng, cfg: ViTConfig) -> Params:
     if cfg.proj_bias:
         # reference attention has an output-projection bias (transformer.py:38)
         blocks["bo"] = jnp.zeros((L, E), pdt)
+    if cfg.lora_rank:
+        from vitx.nn.lora import init_lora_leaves
+
+        # fold_in (not a wider split): widening the split would shift
+        # keys[0..3] and perturb every pinned init (golden/parity tests)
+        blocks.update(init_lora_leaves(jax.random.fold_in(rng, 0x10A), cfg))
     return blocks
 
 
@@ -255,6 +261,12 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
     ``dp_rate``: this block's stochastic-depth rate (traced; from the
     linear schedule in ``encode``). Applied to both residual branches.
     """
+    if cfg.lora_rank:
+        from vitx.nn.lora import merge_block
+
+        # fold w + (alpha/rank) * A @ B per layer; everything downstream
+        # (fused kernels, flash attention, probs paths) sees dense weights
+        bp = merge_block(bp, cfg)
     r_dp1 = r_dp2 = None
     if rng is not None:
         if cfg.drop_path:

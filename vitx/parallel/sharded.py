@@ -55,6 +55,23 @@ def _block_specs(cfg: ViTConfig, tp: bool) -> dict:
         specs["bqkv"] = P(None, None, m, None)
     if cfg.proj_bias:
         specs["bo"] = P()
+    if cfg.lora_rank:
+        # LoRA adapters: B mirrors its base weight's model-axis placement
+        # (so the merged w + A@B einsum partitions Megatron-style without a
+        # gather), A and the rank dim stay replicated (rank is tiny)
+        from vitx.nn.lora import target_names
+
+        # shapes: lora_{t}_a (L, in, r); lora_wqkv_b (L, r, 3, H, D),
+        # lora_wo_b / lora_w2_b (L, r, E), lora_w1_b (L, r, M)
+        lora_b = {"wqkv": P(None, None, None, m, None),
+                  "wo": P(),
+                  "w1": P(None, None, m),
+                  "w2": P()}
+        lora_a = {"wqkv": P(), "wo": P(None, m, None),
+                  "w1": P(), "w2": P(None, m, None)}
+        for name in target_names(cfg):
+            specs[f"lora_{name}_a"] = lora_a[name]
+            specs[f"lora_{name}_b"] = lora_b[name]
     return specs
 
 
@@ -255,7 +272,8 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                              mixup_alpha: float | None = None,
                              cutmix_alpha: float | None = None,
                              sam_rho: float | None = None,
-                             class_weights=None, grad_shardings=None):
+                             class_weights=None, grad_shardings=None,
+                             train_filter: str | None = None):
     """Jitted SPMD train step. State donated; grads psum over ``data``.
 
     Shardings are inferred from the placed inputs (pjit committed-input
@@ -272,7 +290,8 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                       label_smoothing=label_smoothing,
                       mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha,
                       sam_rho=sam_rho, class_weights=class_weights,
-                      grad_shardings=grad_shardings)
+                      grad_shardings=grad_shardings,
+                      train_filter=train_filter)
 
     def wrapped(state, batch, rng):
         return step_fn(state, batch, rng)

@@ -283,6 +283,10 @@ def restore_eval_params(path_or_dir, cfg):
     has_schedule = bool(meta.get("schedule"))
     accum = meta.get("accum_steps", 1)
     opt_name = meta.get("optimizer", "adamw")
+    # freeze policy (LoRA / head-only runs): a masked optimizer stores NO
+    # moment leaves for frozen params — the template must mask identically
+    # or the positional npz restore shifts every leaf
+    trainable = meta.get("train_filter")
     if not path.is_dir() and (ema_decay is None or not has_schedule):
         # checkpoint whose meta predates (or omits) part of the recorded
         # optimizer recipe: probe by leaf count. The EMA chain link adds one
@@ -293,7 +297,8 @@ def restore_eval_params(path_or_dir, cfg):
         n_saved = _npz_leaf_count(path)
         plain = create_train_state(
             _jax.random.PRNGKey(0), cfg,
-            make_optimizer(accum_steps=accum, optimizer=opt_name))
+            make_optimizer(accum_steps=accum, optimizer=opt_name,
+                           trainable=trainable))
         n_plain = len(_jax.tree_util.tree_leaves(plain))
         n_params = len(_jax.tree_util.tree_leaves(plain.params))
         if n_saved is not None and n_saved > n_plain:
@@ -308,7 +313,8 @@ def restore_eval_params(path_or_dir, cfg):
             # a constant dummy schedule reproduces the ScaleByScheduleState
             # in the chain; leaf VALUES all come from the checkpoint
             schedule=(lambda _: 0.0) if has_schedule else None,
-            ema_decay=ema_decay, accum_steps=accum, optimizer=opt_name))
+            ema_decay=ema_decay, accum_steps=accum, optimizer=opt_name,
+            trainable=trainable))
     state, meta = restore_checkpoint(path, template)
     ema = get_ema_params(state.opt_state)
     return (ema if ema is not None else state.params), meta
@@ -339,6 +345,16 @@ def save_reference_pt(path, params, cfg, *, epoch: int, loss: float = 0.0,
         reference_parameter_order,
     )
 
+    if cfg.lora_rank:
+        # the reference layout has no adapter slots — fold them into the
+        # dense weights (exact: the merged forward IS the adapted forward).
+        # NOTE: opt_state moments (if passed) describe the adapters, not
+        # the merged weights — the adapters' base stayed frozen, so a fresh
+        # torch AdamW state is the honest export; drop the moments.
+        from vitx.nn.lora import merge_lora_params
+
+        params, cfg = merge_lora_params(params, cfg)
+        opt_state = None
     sd = export_reference_state_dict(jax.device_get(params), cfg,
                                      batch_size=batch_size)
     if opt_state is not None:

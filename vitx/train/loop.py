@@ -52,6 +52,13 @@ class TrainerConfig:
     # "adamw" (reference semantics), "sgd" (momentum 0.9, decoupled wd),
     # or "lion" (Chen 2023) — see make_optimizer.
     optimizer: str = "adamw"
+    # Freeze policy (make_trainable_mask): None trains everything, except
+    # that a ViTConfig with lora_rank > 0 defaults to "lora" (adapters +
+    # heads train, backbone frozen — LoRA's defining semantics); "head"
+    # trains only the classifier heads (linear-probe-style fine-tune).
+    # Frozen leaves get no optimizer moments, no weight decay, and their
+    # weight-gradient matmuls are never emitted (step.py::train_step).
+    train_filter: str | None = None
     # Early stopping: end the run after this many CONSECUTIVE evals whose
     # val accuracy fails to beat the best seen by > early_stop_min_delta.
     # Counted in evals (so eval_every scales the horizon). None = off.
@@ -122,6 +129,11 @@ class Trainer:
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
+        if tcfg.train_filter is None and cfg.lora_rank:
+            # LoRA MEANS frozen base weights (Hu et al. 2021) — default the
+            # freeze policy rather than silently full-fine-tuning adapters
+            tcfg = self.tcfg = dataclasses.replace(tcfg,
+                                                   train_filter="lora")
         # ``optimizer``: inject a custom optax transform (e.g. one built on
         # warmup_cosine); default is the reference's AdamW semantics
         self.optimizer = optimizer if optimizer is not None else \
@@ -130,7 +142,8 @@ class Trainer:
                            ema_decay=tcfg.ema_decay,
                            llrd=tcfg.llrd, llrd_depth=cfg.depth,
                            accum_steps=tcfg.accum_steps,
-                           optimizer=tcfg.optimizer)
+                           optimizer=tcfg.optimizer,
+                           trainable=tcfg.train_filter)
         rng = jax.random.PRNGKey(tcfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.state = (init_state if init_state is not None
@@ -167,7 +180,8 @@ class Trainer:
                 mixup_alpha=tcfg.mixup_alpha,
                 cutmix_alpha=tcfg.cutmix_alpha,
                 sam_rho=tcfg.sam_rho,
-                class_weights=tcfg.class_weights)
+                class_weights=tcfg.class_weights,
+                train_filter=tcfg.train_filter)
             self.eval_step = eval_step or make_parallel_eval_step(cfg, mesh,
                                                                   tp=tp)
         else:
@@ -178,7 +192,8 @@ class Trainer:
                                    mixup_alpha=tcfg.mixup_alpha,
                                    cutmix_alpha=tcfg.cutmix_alpha,
                                    sam_rho=tcfg.sam_rho,
-                                   class_weights=tcfg.class_weights))
+                                   class_weights=tcfg.class_weights,
+                                   train_filter=tcfg.train_filter))
             self.eval_step = eval_step or make_eval_step(cfg)
         self.preprocess = preprocess
         if tcfg.steps_per_dispatch > 1 and mesh is not None:
@@ -249,7 +264,9 @@ class Trainer:
                       label_smoothing=tcfg.label_smoothing,
                       mixup_alpha=tcfg.mixup_alpha,
                       cutmix_alpha=tcfg.cutmix_alpha,
-                      sam_rho=tcfg.sam_rho)
+                      sam_rho=tcfg.sam_rho,
+                      class_weights=tcfg.class_weights,
+                      train_filter=tcfg.train_filter)
         pre = self.preprocess
 
         def multi(state, batches, rng):
@@ -376,6 +393,10 @@ class Trainer:
                         # sgd/lion opt_states have different leaf structure;
                         # eval/serve rebuild the template from this
                         meta["optimizer"] = tcfg.optimizer
+                    if tcfg.train_filter:
+                        # masked optimizers store no moments for frozen
+                        # leaves — the restore template must mask identically
+                        meta["train_filter"] = tcfg.train_filter
                     if self._opt_has_schedule:
                         # an lr schedule adds a ScaleByScheduleState count
                         # leaf — record it so the eval/serve template matches

@@ -105,6 +105,37 @@ def layerwise_lr_decay(decay: float, depth: int) -> optax.GradientTransformation
                                          update)
 
 
+def make_trainable_mask(train_filter: str | None):
+    """A callable ``params -> bool pytree`` selecting the TRAINABLE leaves
+    for a freeze policy (``optax.masked``-compatible):
+
+    - ``"lora"``: LoRA adapter leaves (``blocks/lora_*``) plus the classifier
+      heads (``head``/``dist_head``) and ``final_norm`` — the Hu et al. 2021
+      recipe (adapters + task head train, backbone frozen).
+    - ``"head"``: only the heads/final_norm — linear-probe-style head-only
+      fine-tuning through the full training loop (frozen backbone).
+    - ``None``/``"all"``: everything trains (returns None — no masking).
+    """
+    if train_filter in (None, "all"):
+        return None
+    if train_filter not in ("lora", "head"):
+        raise ValueError(f"unknown train_filter {train_filter!r}; "
+                         "have 'lora', 'head', 'all'/None")
+    head_keys = ("head", "dist_head", "final_norm")
+
+    def mask(params):
+        def pick(path, _leaf):
+            top = path[0].key
+            if top in head_keys:
+                return True
+            if train_filter == "lora" and top == "blocks":
+                return str(path[-1].key).startswith("lora_")
+            return False
+        return jax.tree_util.tree_map_with_path(pick, params)
+
+    return mask
+
+
 def get_ema_params(opt_state):
     """Find the EMA shadow params inside a (possibly chained) opt_state;
     returns None when the optimizer was built without ``ema_decay``."""
@@ -120,7 +151,8 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
                    accum_steps: int = 1, fused: bool | str = "auto",
                    ema_decay: float | None = None,
                    llrd: float | None = None, llrd_depth: int | None = None,
-                   optimizer: str = "adamw"):
+                   optimizer: str = "adamw",
+                   trainable: str | None = None):
     """AdamW (train.py:66 semantics) with optional schedule / grad clipping /
     gradient accumulation (`accum_steps` micro-batches per update).
 
@@ -147,7 +179,8 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
         raise ValueError(f"unknown optimizer {optimizer!r}; "
                          "have adamw, sgd, lion")
     use_fused = (fused is True and accum_steps == 1 and ema_decay is None
-                 and llrd is None and optimizer == "adamw")
+                 and llrd is None and optimizer == "adamw"
+                 and trainable in (None, "all"))
     tx = []
     if grad_clip is not None:
         tx.append(optax.clip_by_global_norm(grad_clip))
@@ -171,6 +204,19 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
         base = optax.lion(lr_or_sched, weight_decay=weight_decay)
     else:
         base = optax.adamw(lr_or_sched, weight_decay=weight_decay)
+    mask_fn = make_trainable_mask(trainable)
+    if mask_fn is not None:
+        # freeze policy (LoRA / head-only fine-tune): moments, weight decay
+        # and lr scaling exist ONLY for the trainable leaves (optax.masked
+        # stores a stateless MaskedNode per frozen leaf — the optimizer
+        # memory is proportional to the adapters, not the backbone); the
+        # complementary set_to_zero pins frozen updates to exact zeros so
+        # frozen params are bit-identical across any number of steps,
+        # independent of the train step's stop_gradient structure.
+        inv = (lambda params: jax.tree.map(lambda m: not m,
+                                           mask_fn(params)))
+        base = optax.chain(optax.masked(base, mask_fn),
+                           optax.masked(optax.set_to_zero(), inv))
     tx.append(base)
     if llrd is not None:
         if llrd_depth is None:
@@ -326,8 +372,16 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
                mixup_alpha: float | None = None,
                cutmix_alpha: float | None = None,
                sam_rho: float | None = None,
-               class_weights=None, grad_shardings=None):
+               class_weights=None, grad_shardings=None,
+               train_filter: str | None = None):
     """One SGD step. batch: {"image": (B,H,W,C), "label": (B,)}.
+
+    ``train_filter`` ("lora" / "head", see ``make_trainable_mask``): frozen
+    leaves enter the loss through ``lax.stop_gradient``, so autodiff never
+    emits their weight-gradient matmuls (roughly half the backward matmul
+    FLOPs for a frozen backbone) and their gradient leaves are zeros. Pair
+    with an optimizer built with the same ``trainable=`` so no moments are
+    allocated for them either.
 
     ``grad_shardings``: optional pytree of shardings pinned onto the
     gradients the moment autodiff produces them (ZeRO-2: a data-axis spec
@@ -347,11 +401,22 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
     averages) — the "m-sharpness" variant, which the SAM paper found
     generalizes better than perturbing on the full accumulated batch."""
     step_rng = jax.random.fold_in(rng, state.step) if rng is not None else None
-    grad_fn = jax.value_and_grad(
-        partial(loss_fn, label_smoothing=label_smoothing,
-                mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha,
-                class_weights=class_weights),
-        has_aux=True)
+    base_loss = partial(loss_fn, label_smoothing=label_smoothing,
+                        mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha,
+                        class_weights=class_weights)
+    mask_fn = make_trainable_mask(train_filter)
+    if mask_fn is not None:
+        mask = mask_fn(state.params)
+
+        def masked_loss(params, batch, cfg, rng):
+            p = jax.tree.map(
+                lambda m, x: x if m else jax.lax.stop_gradient(x),
+                mask, params)
+            return base_loss(p, batch, cfg, rng)
+
+        grad_fn = jax.value_and_grad(masked_loss, has_aux=True)
+    else:
+        grad_fn = jax.value_and_grad(base_loss, has_aux=True)
     (loss, logits), grads = grad_fn(state.params, batch, cfg, step_rng)
     if grad_shardings is not None:
         grads = jax.lax.with_sharding_constraint(grads, grad_shardings)
@@ -414,13 +479,13 @@ def make_train_step(cfg: ViTConfig, optimizer, *,
                     mixup_alpha: float | None = None,
                     cutmix_alpha: float | None = None,
                     sam_rho: float | None = None,
-                    class_weights=None):
+                    class_weights=None, train_filter: str | None = None):
     """Jitted train step with the state donated (in-place on device)."""
     return jax.jit(
         partial(train_step, cfg=cfg, optimizer=optimizer,
                 label_smoothing=label_smoothing, mixup_alpha=mixup_alpha,
                 cutmix_alpha=cutmix_alpha, sam_rho=sam_rho,
-                class_weights=class_weights),
+                class_weights=class_weights, train_filter=train_filter),
         donate_argnums=(0,),
     )
 
