@@ -36,11 +36,18 @@ def _attention_with_sizes(h, bp, cfg: ViTConfig, log_size):
     B, T, E = h.shape
     H, D = cfg.num_heads, cfg.head_dim
     wqkv = bp["wqkv"].astype(h.dtype)                     # (E, 3, H, D)
-    qkv = jnp.einsum("bte,eshd->sbhtd", h, wqkv,
-                     preferred_element_type=jnp.float32).astype(h.dtype)
+    # three per-projection einsums, not one stacked "bte,eshd->sbhtd": the
+    # stacked form writes an exotic (3,B,H,T,D) layout that XLA repairs
+    # with slice+relayout copies (measured on the ViT-L composed path:
+    # 39 ms/call of copies removed by splitting, ROADMAP.md round 2)
+    q, k, v = (jnp.einsum("bte,ehd->bhtd", h, wqkv[:, i],
+                          preferred_element_type=jnp.float32).astype(h.dtype)
+               for i in range(3))                         # (B, H, T, D)
     if bp.get("bqkv") is not None:
-        qkv = qkv + bp["bqkv"].astype(h.dtype)[:, None, :, None, :]
-    q, k, v = qkv[0], qkv[1], qkv[2]                      # (B, H, T, D)
+        bqkv = bp["bqkv"].astype(h.dtype)                 # (3, H, D)
+        q = q + bqkv[0][None, :, None, :]
+        k = k + bqkv[1][None, :, None, :]
+        v = v + bqkv[2][None, :, None, :]
     scale = 1.0 / (D ** 0.5)
     logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
                         preferred_element_type=jnp.float32) * scale
@@ -167,6 +174,9 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
     x = x + params["pos_embed"].astype(cdt)
     x = _append_registers(params, x, cfg, B)
 
+    from vitx.nn.vit import _use_fused_mlp
+
+    use_fused_mlp = _use_fused_mlp(cfg)
     sizes = jnp.ones((B, x.shape[1]), jnp.float32)
     sources = (jnp.broadcast_to(jnp.eye(x.shape[1], dtype=jnp.float32),
                                 (B, x.shape[1], x.shape[1]))
@@ -189,10 +199,23 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
                                              n_reg, sources=sources)
         elif r:
             x, sizes = merge_tokens(x, sizes, k_mean, r, n_pre, n_reg)
-        h = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"],
-                       eps=cfg.layer_norm_eps)
-        x = x + mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"],
-                    act=cfg.mlp_act)
+        if use_fused_mlp:
+            # the fused LN->Linear->act->Linear kernel takes any static T
+            # and auto-falls back below T=128 — exactly ToMe's shrinking
+            # per-block shapes (chip-measured: bench_6 2656 -> see ROADMAP)
+            from vitx.kernels.mlp_block import fused_mlp_block
+
+            x = x + fused_mlp_block(
+                x, bp["w1"].astype(x.dtype), bp["b1"].astype(jnp.float32),
+                bp["w2"].astype(x.dtype), bp["b2"].astype(jnp.float32),
+                bp["ln2_scale"].astype(jnp.float32),
+                bp["ln2_bias"].astype(jnp.float32),
+                act=cfg.mlp_act, eps=cfg.layer_norm_eps)
+        else:
+            h = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"],
+                           eps=cfg.layer_norm_eps)
+            x = x + mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"],
+                        act=cfg.mlp_act)
 
     if cfg.final_norm:
         fn = params["final_norm"]
