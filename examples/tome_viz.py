@@ -55,9 +55,9 @@ def main():
     _, src = jax.jit(
         lambda p, x: encode_tome(p, x, cfg, return_sources=True))(params, x)
     owners = np.asarray(tome_patch_assignment(src, cfg))   # (B, g, g)
-    n_final = cfg.num_patches - cfg.depth * cfg.tome_r
+    n_final = cfg.num_patches - sum(cfg.tome_schedule)
     print(f"{cfg.num_patches} patches -> {n_final} merged tokens "
-          f"(r={cfg.tome_r} x {cfg.depth} blocks)")
+          f"(schedule {cfg.tome_schedule})")
     print("distinct regions per image:",
           [len(np.unique(owners[i])) for i in range(4)])
 

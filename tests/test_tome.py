@@ -214,3 +214,132 @@ def test_tome_training_uses_full_tokens():
             state, m = step(state, batch, jax.random.PRNGKey(1))
         losses.append(float(m["loss"]))
     assert losses[0] == losses[1]
+
+
+def test_fused_tome_attention_matches_composed():
+    """The fused ToMe attention kernel (per-key log-size score bias + QKV
+    bias + head-mean-key output in one pallas_call) must match the composed
+    reference math in both outputs, and its VJP (saliency through a ToMe
+    model) must match composed gradients."""
+    from vitx.kernels.mha_block import _composed_tome, fused_mha_block_tome
+
+    B, T, E, H = 2, 13, 32, 2
+    D = E // H
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    x = jax.random.normal(ks[0], (B, T, E), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (E, 3, H, D), jnp.float32) * 0.1
+    bqkv = jax.random.normal(ks[2], (3, H, D), jnp.float32) * 0.1
+    wo = jax.random.normal(ks[3], (E, E), jnp.float32) * 0.1
+    bo = jax.random.normal(ks[4], (E,), jnp.float32) * 0.1
+    g = 1.0 + 0.1 * jax.random.normal(ks[5], (E,), jnp.float32)
+    b = 0.1 * jax.random.normal(ks[6], (E,), jnp.float32)
+    sizes = 1.0 + jax.random.uniform(ks[7], (B, T), jnp.float32) * 5
+    ls = jnp.log(sizes)
+
+    args = (x, wqkv, bqkv, wo, bo, g, b, ls)
+    out_f, km_f = fused_mha_block_tome(*args, eps=1e-5)
+    out_c, km_c = _composed_tome(*args, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(km_f), np.asarray(km_c),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fused(*a):
+        o, km = fused_mha_block_tome(*a, eps=1e-5)
+        return jnp.sum(o ** 2) + jnp.sum(km ** 2)
+
+    def loss_comp(*a):
+        o, km = _composed_tome(*a, eps=1e-5)
+        return jnp.sum(o ** 2) + jnp.sum(km ** 2)
+
+    ga = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    gb = jax.grad(loss_comp, argnums=tuple(range(8)))(*args)
+    for la, lb in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_encode_tome_fused_attn_path_matches_composed():
+    """End-to-end: forcing the fused ToMe attention (fuse_mha="on") must
+    reproduce the composed path's logits — same merges, same proportional
+    attention, with and without QKV bias."""
+    for qkv_bias in (False, True):
+        cfg_off = CFG.replace(tome_r=8, fuse_mha="off", fuse_mlp="off",
+                              qkv_bias=qkv_bias)
+        cfg_on = cfg_off.replace(fuse_mha="on")
+        params = init_params(jax.random.PRNGKey(3), cfg_on)
+        if qkv_bias:
+            params = dict(params)
+            blocks = dict(params["blocks"])
+            blocks["bqkv"] = 0.1 * jax.random.normal(
+                jax.random.PRNGKey(4), blocks["bqkv"].shape)
+            params["blocks"] = blocks
+        x = jax.random.normal(jax.random.PRNGKey(5),
+                              (2, cfg_on.image_size, cfg_on.image_size, 3))
+        out_on = forward(params, x, cfg_on)
+        out_off = forward(params, x, cfg_off)
+        np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_tome_r_schedule():
+    """Per-block r schedules (the paper's decreasing-schedule variant):
+    token counts follow the schedule, short schedules zero-pad, JSON
+    round-trips, infeasible and overlong schedules are rejected, and an
+    all-zero schedule normalizes to off."""
+    from vitx.nn.tome import encode_tome
+
+    cfg = CFG.replace(tome_r=(16, 8))        # depth 3 -> pads to (16, 8, 0)
+    assert cfg.tome_r == (16, 8, 0)
+    assert cfg.tome_schedule == (16, 8, 0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    toks = encode_tome(params, x, cfg)
+    assert toks.shape[1] == cfg.seq_len - 24
+
+    # logits well-formed through forward()
+    out = forward(params, x, cfg)
+    assert out.shape == (2, cfg.num_classes)
+
+    # JSON round-trip (tuple -> list -> tuple)
+    cfg2 = type(cfg).from_json(cfg.to_json())
+    assert cfg2.tome_r == (16, 8, 0)
+
+    assert CFG.replace(tome_r=(0, 0, 0)).tome_r == 0          # normalizes
+    with pytest.raises(ValueError):                            # too long
+        CFG.replace(tome_r=(1, 1, 1, 1))
+    with pytest.raises(ValueError):  # infeasible: block 2 has 16 left, r>8
+        CFG.replace(tome_r=(32, 16, 9))
+    with pytest.raises(ValueError):                            # negative
+        CFG.replace(tome_r=(4, -1))
+
+    from vitx.nn.tome import parse_tome_r
+    assert parse_tome_r("13") == 13
+    assert parse_tome_r("23,23,22") == (23, 23, 22)
+
+
+def test_fused_tome_attn_dp_mesh_matches_single_device():
+    """The fused ToMe attention's custom_partitioning rule must shard
+    batch-parallel under a dp mesh (x and log_size on the data axis,
+    weights replicated) and reproduce single-device logits exactly."""
+    from vitx.parallel import make_mesh, make_parallel_eval_step, shard_batch
+    from vitx.parallel.sharded import place_state
+    from vitx.train.step import (create_train_state, make_eval_step,
+                                 make_optimizer)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    cfg = CFG.replace(tome_r=4, fuse_mha="on")
+    mesh = make_mesh(dp=8, tp=1)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(7),
+                                        (32, 32, 32, 3)),
+             "label": jax.random.randint(jax.random.PRNGKey(8), (32,), 0, 4)}
+
+    cm_ref, loss_ref = make_eval_step(cfg)(state.params, batch)
+    state_p = place_state(state, cfg, mesh)
+    cm_par, loss_par = make_parallel_eval_step(cfg, mesh)(
+        state_p.params, shard_batch(batch, mesh))
+    np.testing.assert_array_equal(np.asarray(cm_ref), np.asarray(cm_par))
+    np.testing.assert_allclose(float(loss_ref), float(loss_par), rtol=1e-5)

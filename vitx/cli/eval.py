@@ -54,9 +54,13 @@ def main(argv=None):
                         "in, symbolic batch dim) via jax.export — runs on "
                         "any StableHLO consumer with no model code "
                         "(vitx/export.py)")
-    p.add_argument("--tome-r", type=int, default=0,
+    from vitx.nn.tome import parse_tome_r
+    p.add_argument("--tome-r", type=parse_tome_r, default=0,
                    help="ToMe token merging: merge this many patch-token "
-                        "pairs per block at inference (vitx/nn/tome.py); "
+                        "pairs per block at inference (vitx/nn/tome.py), "
+                        "or a comma-separated per-block schedule "
+                        "('23,23,22' = merge to 128 tokens on ViT-B/16, "
+                        "lane-exact attention tiles after block 3); "
                         "works on any checkpoint, trades a small accuracy "
                         "delta for throughput")
     args = p.parse_args(argv)

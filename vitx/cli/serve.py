@@ -119,7 +119,7 @@ def make_handler(server):
 
 
 def resolve_serve_config(checkpoint, config_json, preset,
-                         tome_r: int = 0) -> ViTConfig:
+                         tome_r=0) -> ViTConfig:
     """Config discovery for serving — delegates to the shared rule
     (vitx/train/checkpoint.py::resolve_artifact_config, also used by the
     eval and probe CLIs) so the three inference surfaces cannot drift."""
@@ -155,10 +155,12 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=None,
                    help="temperature-scale the served probabilities "
                         "(fit T with vitx.eval --calibrate)")
-    p.add_argument("--tome-r", type=int, default=0,
+    from vitx.nn.tome import parse_tome_r
+    p.add_argument("--tome-r", type=parse_tome_r, default=0,
                    help="ToMe token merging: merge this many patch-token "
-                        "pairs per block (vitx/nn/tome.py) — higher "
-                        "throughput for a small accuracy delta")
+                        "pairs per block (vitx/nn/tome.py), or a comma-"
+                        "separated per-block schedule ('23,23,22') — "
+                        "higher throughput for a small accuracy delta")
     args = p.parse_args(argv)
 
     from vitx.serve import load_server

@@ -94,7 +94,12 @@ class ViTConfig:
     # seq_len - l*tome_r tokens, trading a small accuracy delta for large
     # throughput (vitx/nn/tome.py; forward-only; training/probs paths
     # ignore it). 0 = off. Works on any trained checkpoint unchanged.
-    tome_r: int = 0
+    # Also accepts a PER-BLOCK schedule (tuple of ints, one per block —
+    # the paper's decreasing-schedule variant): e.g. on ViT-B/16 @224,
+    # (23, 23, 22) + nine zeros merges down to exactly 128 tokens by block
+    # 3, after which every T x T attention tile is lane-exact on TPU (a
+    # constant r=13 leaves every block's scores padded to 256 lanes).
+    tome_r: Any = 0
 
     # LoRA adapters (Hu et al. 2021): rank-r low-rank deltas on the block
     # weight matrices, trained with the base weights FROZEN — the
@@ -210,20 +215,37 @@ class ViTConfig:
                 "lora_rank is a beyond-reference extension; bug_exact "
                 "parity reproduces the reference model, which has no "
                 "LoRA adapters")
-        if self.tome_r < 0:
+        if isinstance(self.tome_r, (list, tuple)):
+            # normalize: JSON round-trips tuples as lists; an all-zero
+            # schedule is just "off" (and must not be truthy at call sites)
+            sched = tuple(int(r) for r in self.tome_r)
+            if len(sched) > self.depth:
+                raise ValueError(
+                    f"a tome_r schedule has at most one entry per block "
+                    f"(depth={self.depth}), got {len(sched)}")
+            sched += (0,) * (self.depth - len(sched))  # tail: no merging
+            if any(r < 0 for r in sched):
+                raise ValueError(f"tome_r schedule entries must be >= 0, "
+                                 f"got {sched}")
+            object.__setattr__(self, "tome_r",
+                               sched if any(sched) else 0)
+        elif self.tome_r < 0:
             raise ValueError(f"tome_r must be >= 0, got {self.tome_r}")
         if self.tome_r:
             if self.parity == "bug_exact":
                 raise ValueError("tome_r is a beyond-reference extension; "
                                  "bug_exact parity has no token merging")
-            # every block needs >= 2*r patch tokens left to split A/B
-            # block l merges with N - l*r patches left; the last block
-            # needs N - (depth-1)*r >= 2r, i.e. r <= N // (depth + 1)
-            if self.num_patches < self.tome_r * (self.depth + 1):
-                raise ValueError(
-                    f"tome_r={self.tome_r} exhausts the {self.num_patches} "
-                    f"patch tokens before block {self.depth}; max r here is "
-                    f"{self.num_patches // (self.depth + 1)}")
+            # every merging block needs >= 2*r patch tokens left to split
+            # its A/B sets (for constant r this is the paper's
+            # r <= N // (depth + 1) bound)
+            remaining = self.num_patches
+            for l, r in enumerate(self.tome_schedule):
+                if r and not r <= remaining // 2:
+                    raise ValueError(
+                        f"tome_r schedule exhausts the patch tokens: block "
+                        f"{l} merges r={r} with {remaining} patches left "
+                        f"(needs r <= {remaining // 2})")
+                remaining -= r
 
     # -- derived --
     @property
@@ -254,6 +276,14 @@ class ViTConfig:
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads
+
+    @property
+    def tome_schedule(self) -> tuple:
+        """Per-block ToMe merge counts, as a depth-length tuple (constant
+        ``tome_r`` broadcast; explicit schedules returned as-is)."""
+        if isinstance(self.tome_r, tuple):
+            return self.tome_r
+        return (self.tome_r,) * self.depth
 
     @property
     def lora_scale(self) -> float:

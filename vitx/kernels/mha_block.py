@@ -474,6 +474,204 @@ def fused_mha_block_with_mean_probs(x, wqkv, wo, bo, g, b, *,
     return _composed_with_mean_probs(x, wqkv, wo, bo, g, b, eps=eps)
 
 
+# --- ToMe variant: per-key additive score bias + head-mean-key output ------
+#
+# ToMe's proportional attention (Bolya 2023 §3.1) adds log(size) per KEY to
+# the attention logits, and its merge metric is the head-mean key — neither
+# fits the plain fused kernel's signature, which is why encode_tome ran the
+# composed path (chip-measured bench_6: 3082 vs 3879 img/s full-token,
+# ROADMAP round 3). This variant folds both into the same one-pallas_call
+# block: score bias added in-kernel before the softmax, k accumulated
+# across the head loop into a (T, D) fp32 sum written as k_mean, and QKV
+# bias supported (imported timm/HF checkpoints — the realistic ToMe users —
+# have one; the reference does not, transformer.py:12-17).
+
+def _kernel_tome(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, g_ref, b_ref,
+                 ls_ref, o_ref, km_ref, *, num_heads: int, eps: float,
+                 scale: float):
+    E = x_ref.shape[-1]
+    D = E // num_heads
+    s = x_ref[0]                                        # (T, E)
+    s32 = s.astype(jnp.float32)
+    mean = jnp.mean(s32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s32 - mean), axis=-1, keepdims=True)
+    h = ((s32 - mean) * jax.lax.rsqrt(var + eps)
+         * g_ref[...] + b_ref[...]).astype(s.dtype)
+    qkv = (jnp.dot(h, wqkv_ref[...],
+                   preferred_element_type=jnp.float32,
+                   precision=dot_precision(h, wqkv_ref))
+           + bqkv_ref[...]).astype(s.dtype)             # (T, 3E)
+    ls = ls_ref[...].astype(jnp.float32)                # (1, T) key bias
+    outs = []
+    k_sum = None
+    for head in range(num_heads):
+        q0 = qkv[:, head * D:(head + 1) * D]
+        k = qkv[:, E + head * D:E + (head + 1) * D]
+        v = qkv[:, 2 * E + head * D:2 * E + (head + 1) * D]
+        k_sum = (k.astype(jnp.float32) if k_sum is None
+                 else k_sum + k.astype(jnp.float32))
+        q = (q0.astype(jnp.float32) * scale).astype(s.dtype)
+        sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=dot_precision(q, k))
+        sc = sc + ls                                    # proportional attn
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(s.dtype), v,
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(v)) / l
+        outs.append(o.astype(s.dtype))
+    o_all = jnp.concatenate(outs, axis=1)               # (T, E)
+    out = jnp.dot(o_all, wo_ref[...],
+                  preferred_element_type=jnp.float32,
+                  precision=dot_precision(o_all, wo_ref)) + bo_ref[...]
+    o_ref[0] = out.astype(o_ref.dtype)
+    km_ref[0] = (k_sum / num_heads).astype(km_ref.dtype)
+
+
+def _tome_fwd(x, wqkv, bqkv, wo, bo, g, b, log_size, *, eps: float):
+    B, T, E = x.shape
+    H = wqkv.shape[2]
+    D = E // H
+    wqkv = wqkv.reshape(E, 3 * E)
+    bqkv = bqkv.reshape(1, 3 * E).astype(jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_kernel_tome, num_heads=H, eps=eps,
+                          scale=1.0 / D ** 0.5),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, E), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 3 * E), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * E), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, T, E), x.dtype),
+                   jax.ShapeDtypeStruct((B, T, D), x.dtype)],
+        out_specs=[pl.BlockSpec((1, T, E), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, T, D), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * E * 4 * E + 4 * B * H * T * T * D,
+            bytes_accessed=2 * B * T * E * 2 + 8 * E * E,
+            transcendentals=B * H * T * T,
+        ),
+    )(x, wqkv, bqkv, wo, bo, g, b, log_size)
+    return tuple(outs)
+
+
+def _composed_tome(x, wqkv, bqkv, wo, bo, g, b, log_size, *, eps: float):
+    """Identical math unfused (fallback + VJP reference): LN -> biased QKV
+    -> proportional attention -> out-proj, plus the head-mean key."""
+    from vitx.nn.layers import layer_norm
+
+    H = wqkv.shape[2]
+    E = x.shape[-1]
+    h = layer_norm(x, g, b, eps=eps)
+    w = wqkv.astype(h.dtype)
+    bq = bqkv.astype(h.dtype)                            # (3, H, D)
+    q, k, v = (jnp.einsum("bte,ehd->bhtd", h, w[:, s],
+                          preferred_element_type=jnp.float32)
+               .astype(h.dtype) + bq[s][None, :, None, :]
+               for s in range(3))
+    D = E // H
+    logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                        preferred_element_type=jnp.float32) / (D ** 0.5)
+    logits = logits + log_size[:, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
+    o = jnp.einsum("bhts,bhsd->bthd", probs, v,
+                   preferred_element_type=jnp.float32).astype(h.dtype)
+    o = o.reshape(x.shape)
+    out = jnp.einsum("bte,ef->btf", o, wo.astype(h.dtype),
+                     preferred_element_type=jnp.float32).astype(h.dtype)
+    out = out + bo.astype(h.dtype)
+    return out, k.mean(axis=1).astype(h.dtype)
+
+
+def _make_tome_sharded(eps: float):
+    def _positional(x, wqkv, bqkv, wo, bo, g, b, log_size):
+        return _tome_fwd(x, wqkv, bqkv, wo, bo, g, b, log_size, eps=eps)
+
+    f = custom_partitioning(_positional)
+
+    def _outs(mesh, x_spec):
+        b_axis = _b_spec(x_spec)[0]
+        return (NamedSharding(mesh, _P(b_axis, None, None)),
+                NamedSharding(mesh, _P(b_axis, None, None)))
+
+    def infer(mesh, arg_infos, result_infos):
+        return _outs(mesh, arg_infos[0].sharding.spec)
+
+    def part(mesh, arg_infos, result_infos):
+        b_axis = _b_spec(arg_infos[0].sharding.spec)[0]
+        sh = NamedSharding(mesh, _P(b_axis, None, None))
+        ls_sh = NamedSharding(mesh, _P(b_axis, None))
+        rep = NamedSharding(mesh, _P())
+        return (mesh, _positional,
+                _outs(mesh, arg_infos[0].sharding.spec),
+                (sh, rep, rep, rep, rep, rep, rep, ls_sh))
+
+    f.def_partition(
+        part, infer_sharding_from_operands=infer,
+        # x (b,t,e); wqkv (e,s,h,d); bqkv (s,h,d); wo (f,g); bo/g/b; ls (b,t)
+        sharding_rule=("b t e, e s h d, i j k, f g, o, p, q, b u "
+                       "-> b t e, b t d"),
+        need_replication_factors=("t", "e", "s", "h", "d", "i", "j", "k",
+                                  "f", "g", "o", "p", "q", "u"))
+    return f
+
+
+_TOME_SHARDED_CACHE: dict = {}
+_TOME_OP_CACHE: dict = {}
+
+
+def _make_tome_op(eps: float):
+    @jax.custom_vjp
+    def op(x, wqkv, bqkv, wo, bo, g, b, log_size):
+        key = float(eps)
+        if key not in _TOME_SHARDED_CACHE:
+            _TOME_SHARDED_CACHE[key] = _make_tome_sharded(eps)
+        return _TOME_SHARDED_CACHE[key](x, wqkv, bqkv, wo, bo, g, b,
+                                        log_size)
+
+    def fwd(*args):
+        return op(*args), args
+
+    def bwd(res, cts):
+        # ToMe is an inference path; grads (saliency through a ToMe model)
+        # differentiate the composed reference math
+        _, vjp = jax.vjp(lambda *a: _composed_tome(*a, eps=eps), *res)
+        return vjp(tuple(cts))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def fused_mha_block_tome(x, wqkv, bqkv, wo, bo, g, b, log_size, *,
+                         eps: float = 1e-5):
+    """ToMe attention half, fused: LN -> QKV(+bias) -> proportional
+    attention (per-key ``log_size`` score bias) -> out-proj; also returns
+    the head-mean key (B, T, D) — the merge metric. ``bqkv`` is (3, H, D)
+    (zeros when the model has no QKV bias). Falls back to the composed
+    path for shapes outside the fused kernel's envelope."""
+    H = wqkv.shape[2]
+    if supports_fused_mha(x.shape, H, x.dtype):
+        key = float(eps)
+        if key not in _TOME_OP_CACHE:
+            _TOME_OP_CACHE[key] = _make_tome_op(float(eps))
+        return _TOME_OP_CACHE[key](x, wqkv, bqkv, wo, bo, g, b, log_size)
+    return _composed_tome(x, wqkv, bqkv, wo, bo, g, b, log_size, eps=eps)
+
+
 # --- SPMD: batch-parallel; weights/params replicated per shard -------------
 
 def _b_spec(spec, ndim=3):

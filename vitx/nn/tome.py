@@ -29,6 +29,30 @@ from vitx.nn.layers import activation, layer_norm
 Params = dict
 
 
+def parse_tome_r(s):
+    """argparse type for ``--tome-r``: a constant (``13``) or a per-block
+    schedule (``23,23,22`` — shorter than depth pads with zeros, i.e. no
+    merging in the remaining blocks)."""
+    if isinstance(s, int):
+        return s
+    parts = [p.strip() for p in str(s).split(",") if p.strip()]
+    if len(parts) == 1:
+        return int(parts[0])
+    return tuple(int(p) for p in parts)
+
+
+def _use_fused_tome_attn(cfg: ViTConfig) -> bool:
+    """Mirror of ``vitx.nn.vit._use_fused_mha`` for the ToMe block: the ToMe
+    kernel variant handles QKV bias in-kernel, so (unlike the plain fused
+    block) bqkv does not force the composed path."""
+    if cfg.parity == "bug_exact" or cfg.fuse_mha == "off":
+        return False
+    if cfg.fuse_mha == "on":
+        return True
+    return (cfg.attn_impl in ("auto", "flash")
+            and jax.default_backend() == "tpu")
+
+
 def _attention_with_sizes(h, bp, cfg: ViTConfig, log_size):
     """Standard MHA over h (B, T, E) with ToMe's proportional-attention key
     bias ``log_size`` (B, T); returns (out, k_mean) where k_mean (B, T, Dh)
@@ -157,9 +181,11 @@ def merge_tokens(x, sizes, metric, r: int, n_prefix: int, n_reg: int,
 
 def encode_tome(params: Params, images, cfg: ViTConfig,
                 return_sources: bool = False):
-    """ToMe encoder: unrolled blocks, ``cfg.tome_r`` patch tokens merged per
-    block. Inference-only (deterministic). Returns final tokens (B, T', E)
-    with the [prefix | merged patches | registers] layout preserved.
+    """ToMe encoder: unrolled blocks, ``cfg.tome_schedule[l]`` patch tokens
+    merged after block ``l``'s attention (a constant ``tome_r`` or an
+    explicit per-block schedule). Inference-only (deterministic). Returns
+    final tokens (B, T', E) with the [prefix | merged patches | registers]
+    layout preserved.
 
     With ``return_sources`` also returns a (B, T', T0) 0/1 partition map of
     which original tokens each final token contains (the paper's source
@@ -177,22 +203,48 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
     from vitx.nn.vit import _use_fused_mlp
 
     use_fused_mlp = _use_fused_mlp(cfg)
+    use_fused_attn = _use_fused_tome_attn(cfg)
     sizes = jnp.ones((B, x.shape[1]), jnp.float32)
     sources = (jnp.broadcast_to(jnp.eye(x.shape[1], dtype=jnp.float32),
                                 (B, x.shape[1], x.shape[1]))
                if return_sources else None)
     blocks = params["blocks"]
-    r, n_pre, n_reg = cfg.tome_r, cfg.num_prefix_tokens, cfg.num_registers
+    sched = cfg.tome_schedule
+    n_pre, n_reg = cfg.num_prefix_tokens, cfg.num_registers
 
     for l in range(cfg.depth):
+        r = sched[l]
         bp = jax.tree.map(lambda a: a[l], blocks)
         if cfg.lora_rank:
             from vitx.nn.lora import merge_block
 
             bp = merge_block(bp, cfg)
-        h = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"],
-                       eps=cfg.layer_norm_eps)
-        attn_out, k_mean = _attention_with_sizes(h, bp, cfg, jnp.log(sizes))
+        if use_fused_attn:
+            # one Pallas call for LN -> QKV(+bias) -> proportional attention
+            # -> out-proj, emitting the head-mean merge metric in-kernel
+            # (the composed path below was bench_6's 3082-vs-3879 gap,
+            # ROADMAP round 3); per-block static T keeps one kernel variant
+            # per block of the unrolled loop
+            from vitx.kernels.mha_block import fused_mha_block_tome
+
+            bq = (bp["bqkv"].astype(jnp.float32)
+                  if bp.get("bqkv") is not None
+                  else jnp.zeros((3, cfg.num_heads, cfg.head_dim),
+                                 jnp.float32))
+            bo = (bp["bo"].astype(jnp.float32)
+                  if bp.get("bo") is not None
+                  else jnp.zeros((cfg.embed_dim,), jnp.float32))
+            attn_out, k_mean = fused_mha_block_tome(
+                x, bp["wqkv"].astype(x.dtype), bq,
+                bp["wo"].astype(x.dtype), bo,
+                bp["ln1_scale"].astype(jnp.float32),
+                bp["ln1_bias"].astype(jnp.float32),
+                jnp.log(sizes), eps=cfg.layer_norm_eps)
+        else:
+            h = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"],
+                           eps=cfg.layer_norm_eps)
+            attn_out, k_mean = _attention_with_sizes(h, bp, cfg,
+                                                     jnp.log(sizes))
         x = x + attn_out
         if r and sources is not None:
             x, sizes, sources = merge_tokens(x, sizes, k_mean, r, n_pre,

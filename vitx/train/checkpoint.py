@@ -398,7 +398,7 @@ def load_reference_pt(path, cfg):
 # ---------------------------------------------------------------------------
 
 def resolve_artifact_config(checkpoint, config_json=None, preset="tiny",
-                            tome_r: int = 0):
+                            tome_r=0):
     """THE config-discovery rule, shared by eval/serve/probe: an explicit
     ``--config-json`` wins; otherwise self-describing artifact meta (a
     checkpoint dir, a direct ``{epoch}.ckpt``/orbax path, or a
