@@ -71,6 +71,12 @@ def test_tome_keeps_trained_predictions():
     assert merged.shape == full.shape
     np.testing.assert_array_equal(np.argmax(np.asarray(merged), -1),
                                   np.argmax(np.asarray(full), -1))
+    # the aligned-schedule variant (merge early, then constant tokens)
+    # must also keep the predictions
+    sched = forward(state.params, batch["image"],
+                    CFG.replace(tome_r=(8, 4)))
+    np.testing.assert_array_equal(np.argmax(np.asarray(sched), -1),
+                                  np.argmax(np.asarray(full), -1))
 
 
 def test_tome_with_registers_and_distill():

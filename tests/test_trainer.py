@@ -659,24 +659,27 @@ def test_llrd_scales_updates_geometrically_per_layer():
     scaled = one_update(make_optimizer(lr=1e-3, llrd=decay, llrd_depth=depth))
 
     # blocks: leading axis l scaled by decay^(depth - l)
+    # rtol 1e-5: exact on CPU; the chip's fp32 rounds the adamw update
+    # chain slightly differently between the two optimizer instances
+    # (measured ~4e-6 rel, full-suite chip run round 3)
     for key, u in scaled["blocks"].items():
         f = (decay ** (depth - np.arange(depth))).reshape(
             (depth,) + (1,) * (u.ndim - 1))
         np.testing.assert_allclose(np.asarray(u),
                                    np.asarray(plain["blocks"][key]) * f,
-                                   rtol=1e-6)
+                                   rtol=1e-5)
     # heads: unscaled
     for key in scaled["head"]:
         np.testing.assert_allclose(np.asarray(scaled["head"][key]),
-                                   np.asarray(plain["head"][key]), rtol=1e-6)
+                                   np.asarray(plain["head"][key]), rtol=1e-5)
     # embeddings: decay^(depth + 1)
     f0 = decay ** (depth + 1)
     for key in ("cls_token", "pos_embed"):
         np.testing.assert_allclose(np.asarray(scaled[key]),
-                                   np.asarray(plain[key]) * f0, rtol=1e-6)
+                                   np.asarray(plain[key]) * f0, rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(scaled["patch_embed"]["kernel"]),
-        np.asarray(plain["patch_embed"]["kernel"]) * f0, rtol=1e-6)
+        np.asarray(plain["patch_embed"]["kernel"]) * f0, rtol=1e-5)
 
 
 def test_cli_llrd_trains_and_checkpoint_restores(tmp_path, capsys):
@@ -811,7 +814,9 @@ def test_class_weighted_loss_torch_parity_and_cli(tmp_path, capsys):
         want = float(torch.nn.CrossEntropyLoss(
             weight=torch.tensor(weights), label_smoothing=s)(
             torch.tensor(logits), torch.tensor(labels)))
-        np.testing.assert_allclose(ours, want, rtol=1e-6, atol=1e-7)
+        # rtol 1e-5: exact-ish on CPU; chip fp32 log-softmax rounds
+        # ~4e-6 rel away from torch (full-suite chip run round 3)
+        np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-7)
 
     # masked rows drop out of both numerator and weighted denominator
     mask = np.ones(16, np.float32)
@@ -821,7 +826,7 @@ def test_class_weighted_loss_torch_parity_and_cli(tmp_path, capsys):
         class_weights=weights))
     want_m = float(torch.nn.CrossEntropyLoss(weight=torch.tensor(weights))(
         torch.tensor(logits[:10]), torch.tensor(labels[:10])))
-    np.testing.assert_allclose(ours_m, want_m, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(ours_m, want_m, rtol=1e-5, atol=1e-7)
 
     from vitx.cli.train import main as train_main
 

@@ -208,23 +208,35 @@ def bench_5():
 
 
 def bench_6():
-    """ViT-B/16 @224 batch-256 inference with ToMe token merging at r=13
-    (Bolya 2023 runs ViT-B at r=13-16; 196 patches, depth 12 -> r <= 15).
-    Block l runs on 197 - 13l tokens — the last block sees 41 — cutting
-    encoder FLOPs ~45% vs config 3. The comparison target is bench_3's
-    full-token number. Compile note: the unrolled per-block shapes make the
-    FIRST compile minutes through the remote-compile tunnel; cached after."""
-    cfg = get_config("base16", tome_r=13)
-    params = init_params(jax.random.PRNGKey(0), cfg)
+    """ViT-B/16 @224 batch-256 inference with ToMe token merging, two
+    operating points vs bench_3's full-token number:
+
+    - r=13 constant (Bolya 2023 runs ViT-B at r=13-16): block l runs on
+      197 - 13l tokens (last block 41), ~45% fewer encoder FLOPs.
+    - schedule (35, 34): merge to exactly 128 tokens by block 2, then ten
+      full blocks at 128 — every T x T attention tile lane-exact, and it
+      RETAINS 128 final tokens vs r=13's 41 (gentler on accuracy).
+
+    Round-3 chip history: composed ToMe was a net LOSS (2656 -> 3082 with
+    the fused-MLP/einsum fixes, vs 3879 full-token). The fused ToMe
+    attention kernel (per-key log-size bias + merge metric in-kernel,
+    vitx/kernels/mha_block.py::_kernel_tome) turned it into a win: r=13
+    4871 img/s, sched(35,34) 5509 img/s. Compile note: the unrolled
+    per-block shapes make the FIRST compile minutes through the
+    remote-compile tunnel; cached after."""
     x = _images(jax.random.PRNGKey(1), 256, 224)
+    out = {"config": "6:vit-b16-infer-256-tome"}
+    for tag, r in (("r13", 13), ("sched_35_34", (35, 34))):
+        cfg = get_config("base16", tome_r=r)
+        params = init_params(jax.random.PRNGKey(0), cfg)
 
-    def body(acc, params, x):
-        return acc + jnp.mean(forward(params, x * _scl(acc), cfg))
+        def body(acc, params, x, cfg=cfg):
+            return acc + jnp.mean(forward(params, x * _scl(acc), cfg))
 
-    dt = _fwd_loop_seconds(body, 20, params, x)
-    return {"config": "6:vit-b16-infer-256-tome13",
-            "step_ms": round(dt * 1e3, 2),
-            "images_per_sec": round(256 / dt, 1)}
+        dt = _fwd_loop_seconds(body, 20, params, x)
+        out[f"{tag}_step_ms"] = round(dt * 1e3, 2)
+        out[f"{tag}_images_per_sec"] = round(256 / dt, 1)
+    return out
 
 
 def bench_7():

@@ -501,7 +501,7 @@ def _kernel_tome(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, g_ref, b_ref,
                    preferred_element_type=jnp.float32,
                    precision=dot_precision(h, wqkv_ref))
            + bqkv_ref[...]).astype(s.dtype)             # (T, 3E)
-    ls = ls_ref[...].astype(jnp.float32)                # (1, T) key bias
+    ls = ls_ref[0].astype(jnp.float32)                  # (1, T) key bias
     outs = []
     k_sum = None
     for head in range(num_heads):
@@ -551,7 +551,10 @@ def _tome_fwd(x, wqkv, bqkv, wo, bo, g, b, log_size, *, eps: float):
             pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((E,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # (B, 1, T) with a full (1, 1, T) block: a plain (1, T) block
+            # of a (B, T) array violates the TPU (8, 128) trailing-tile rule
+            pl.BlockSpec((1, 1, T), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((B, T, E), x.dtype),
                    jax.ShapeDtypeStruct((B, T, D), x.dtype)],
@@ -565,7 +568,7 @@ def _tome_fwd(x, wqkv, bqkv, wo, bo, g, b, log_size, *, eps: float):
             bytes_accessed=2 * B * T * E * 2 + 8 * E * E,
             transcendentals=B * H * T * T,
         ),
-    )(x, wqkv, bqkv, wo, bo, g, b, log_size)
+    )(x, wqkv, bqkv, wo, bo, g, b, log_size.reshape(B, 1, T))
     return tuple(outs)
 
 
@@ -808,8 +811,11 @@ def supports_fused_mha(x_shape, num_heads: int, dtype) -> bool:
     D = E // num_heads
     if D % 32 or T > 2048:
         return False
-    if T < 128 or E < 256:
-        # tiny shapes are dispatch-bound — XLA wins (see mlp_block guard)
+    if T < 32 or E < 256:
+        # tiny MODELS (small E) lose to XLA's fusions (see mlp_block guard).
+        # Small T with large E — ToMe's late blocks — WINS in-kernel: the
+        # floor was 128 until round 3 measured ViT-B tome_r=13 at 4871
+        # img/s with T>=32 fused vs 4181 with its T<128 blocks composed.
         return False
     itemsize = jnp.dtype(dtype).itemsize
     need = (4 * E * E * itemsize            # wqkv (E,3E) + wo (E,E) resident

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from vitx.core.config import ViTConfig
-from vitx.nn.layers import activation, layer_norm
+from vitx.nn.layers import layer_norm
 
 Params = dict
 
@@ -51,41 +51,6 @@ def _use_fused_tome_attn(cfg: ViTConfig) -> bool:
         return True
     return (cfg.attn_impl in ("auto", "flash")
             and jax.default_backend() == "tpu")
-
-
-def _attention_with_sizes(h, bp, cfg: ViTConfig, log_size):
-    """Standard MHA over h (B, T, E) with ToMe's proportional-attention key
-    bias ``log_size`` (B, T); returns (out, k_mean) where k_mean (B, T, Dh)
-    is the head-mean key — ToMe's merge metric (paper §3, "use the keys")."""
-    B, T, E = h.shape
-    H, D = cfg.num_heads, cfg.head_dim
-    wqkv = bp["wqkv"].astype(h.dtype)                     # (E, 3, H, D)
-    # three per-projection einsums, not one stacked "bte,eshd->sbhtd": the
-    # stacked form writes an exotic (3,B,H,T,D) layout that XLA repairs
-    # with slice+relayout copies (measured on the ViT-L composed path:
-    # 39 ms/call of copies removed by splitting, ROADMAP.md round 2)
-    q, k, v = (jnp.einsum("bte,ehd->bhtd", h, wqkv[:, i],
-                          preferred_element_type=jnp.float32).astype(h.dtype)
-               for i in range(3))                         # (B, H, T, D)
-    if bp.get("bqkv") is not None:
-        bqkv = bp["bqkv"].astype(h.dtype)                 # (3, H, D)
-        q = q + bqkv[0][None, :, None, :]
-        k = k + bqkv[1][None, :, None, :]
-        v = v + bqkv[2][None, :, None, :]
-    scale = 1.0 / (D ** 0.5)
-    logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    # proportional attention: a token standing for s originals counts s×
-    logits = logits + log_size[:, None, None, :]
-    probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
-    out = jnp.einsum("bhts,bhsd->bthd", probs, v,
-                     preferred_element_type=jnp.float32).astype(h.dtype)
-    out = out.reshape(B, T, E)
-    out = jnp.einsum("bte,ef->btf", out, bp["wo"].astype(h.dtype),
-                     preferred_element_type=jnp.float32).astype(h.dtype)
-    if bp.get("bo") is not None:
-        out = out + bp["bo"].astype(h.dtype)
-    return out, k.mean(axis=1)                            # (B, T, Dh)
 
 
 def merge_tokens(x, sizes, metric, r: int, n_prefix: int, n_reg: int,
@@ -219,32 +184,27 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
             from vitx.nn.lora import merge_block
 
             bp = merge_block(bp, cfg)
-        if use_fused_attn:
-            # one Pallas call for LN -> QKV(+bias) -> proportional attention
-            # -> out-proj, emitting the head-mean merge metric in-kernel
-            # (the composed path below was bench_6's 3082-vs-3879 gap,
-            # ROADMAP round 3); per-block static T keeps one kernel variant
-            # per block of the unrolled loop
-            from vitx.kernels.mha_block import fused_mha_block_tome
+        # one Pallas call for LN -> QKV(+bias) -> proportional attention ->
+        # out-proj, emitting the head-mean merge metric in-kernel (the
+        # composed path was bench_6's 3082-vs-3879 gap, ROADMAP round 3);
+        # per-block static T keeps one kernel variant per block of the
+        # unrolled loop. Composed = the same math via _composed_tome (also
+        # the kernel's shape fallback and VJP reference).
+        from vitx.kernels.mha_block import (_composed_tome,
+                                            fused_mha_block_tome)
 
-            bq = (bp["bqkv"].astype(jnp.float32)
-                  if bp.get("bqkv") is not None
-                  else jnp.zeros((3, cfg.num_heads, cfg.head_dim),
-                                 jnp.float32))
-            bo = (bp["bo"].astype(jnp.float32)
-                  if bp.get("bo") is not None
-                  else jnp.zeros((cfg.embed_dim,), jnp.float32))
-            attn_out, k_mean = fused_mha_block_tome(
-                x, bp["wqkv"].astype(x.dtype), bq,
-                bp["wo"].astype(x.dtype), bo,
-                bp["ln1_scale"].astype(jnp.float32),
-                bp["ln1_bias"].astype(jnp.float32),
-                jnp.log(sizes), eps=cfg.layer_norm_eps)
-        else:
-            h = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"],
-                           eps=cfg.layer_norm_eps)
-            attn_out, k_mean = _attention_with_sizes(h, bp, cfg,
-                                                     jnp.log(sizes))
+        bq = (bp["bqkv"].astype(jnp.float32)
+              if bp.get("bqkv") is not None
+              else jnp.zeros((3, cfg.num_heads, cfg.head_dim), jnp.float32))
+        bo = (bp["bo"].astype(jnp.float32)
+              if bp.get("bo") is not None
+              else jnp.zeros((cfg.embed_dim,), jnp.float32))
+        attn_fn = fused_mha_block_tome if use_fused_attn else _composed_tome
+        attn_out, k_mean = attn_fn(
+            x, bp["wqkv"].astype(x.dtype), bq, bp["wo"].astype(x.dtype), bo,
+            bp["ln1_scale"].astype(jnp.float32),
+            bp["ln1_bias"].astype(jnp.float32),
+            jnp.log(sizes), eps=cfg.layer_norm_eps)
         x = x + attn_out
         if r and sources is not None:
             x, sizes, sources = merge_tokens(x, sizes, k_mean, r, n_pre,
