@@ -349,3 +349,33 @@ def test_fused_tome_attn_dp_mesh_matches_single_device():
         state_p.params, shard_batch(batch, mesh))
     np.testing.assert_array_equal(np.asarray(cm_ref), np.asarray(cm_par))
     np.testing.assert_allclose(float(loss_ref), float(loss_par), rtol=1e-5)
+
+
+def test_chunked_tome_kernel_matches_composed(monkeypatch):
+    """The head-chunked ToMe kernel (ViT-L-class fallback) must accumulate
+    the out-projection and the head-mean key correctly across chunks.
+    Interpret-mode: force hc=1 so every head is its own chunk (the
+    revisited-scratch accumulation is the part worth pinning)."""
+    import vitx.kernels.mha_block as mb
+
+    monkeypatch.setattr(mb, "_chunk_plan",
+                        lambda *a, **k: (1, 0))   # hc=1 -> nh=H chunks
+    B, T, E, H = 2, 16, 64, 4
+    D = E // H
+    ks = jax.random.split(jax.random.PRNGKey(1), 9)
+    x = jax.random.normal(ks[0], (B, T, E), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (E, 3, H, D), jnp.float32) * 0.1
+    bqkv = jax.random.normal(ks[2], (3, H, D), jnp.float32) * 0.1
+    wo = jax.random.normal(ks[3], (E, E), jnp.float32) * 0.1
+    bo = jax.random.normal(ks[4], (E,), jnp.float32) * 0.1
+    g = 1.0 + 0.1 * jax.random.normal(ks[5], (E,), jnp.float32)
+    b = 0.1 * jax.random.normal(ks[6], (E,), jnp.float32)
+    ls = jnp.log(1.0 + 5 * jax.random.uniform(ks[7], (B, T), jnp.float32))
+
+    args = (x, wqkv, bqkv, wo, bo, g, b, ls)
+    out_f, km_f = mb._chunked_tome_fwd(*args, eps=1e-5)
+    out_c, km_c = mb._composed_tome(*args, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(km_f), np.asarray(km_c),
+                               rtol=1e-5, atol=1e-5)

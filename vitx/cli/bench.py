@@ -6,7 +6,9 @@ Runs the five BASELINE.json benchmark configurations:
   3 ViT-Base/16 @224 batched inference, batch 256 (fused kernels)
   4 ViT-Base/16 @224 full fine-tune step, data-parallel over all devices
   5 ViT-Large/16 @384 inference with attention-rollout extraction
-  6 ViT-Base/16 @224 batch-256 inference with ToMe token merging (r=13)
+  6 ViT-Base/16 @224 batch-256 inference with ToMe (r=13 + aligned schedule)
+  7 ViT-Base/16 @224 serving latency b1/4/8, float vs int8 runtime
+  8 ViT-Large/16 @384 batch-32 inference with ToMe (r=23 + aligned schedule)
 
 Each prints a JSON line; the repo-root ``bench.py`` is the driver's
 single-line headline entry point.
@@ -274,14 +276,41 @@ def bench_7():
     return out
 
 
+def bench_8():
+    """ViT-L/16 @384 batch-32 inference with ToMe — the ToMe paper's
+    flagship scale (Bolya 2023 Table 1 uses ViT-L). Two operating points vs
+    the 374.6 img/s full-token forward (chip, round 3):
+
+    - r=23 constant (the paper's ViT-L rate; depth 24 -> final 25 tokens):
+      chunked ToMe kernel (32M scoped vmem) at T=577..416, full kernel
+      below; 604.9 img/s (the composed path measured 307.7 — a LOSS).
+    - schedule (65, 64 x6): merge to exactly 128 tokens by block 7, then
+      seventeen lane-exact blocks; retains 128 final tokens; 1017.5 img/s.
+    """
+    x = _images(jax.random.PRNGKey(1), 32, 384)
+    out = {"config": "8:vit-l16-384-infer-32-tome"}
+    for tag, r in (("r23", 23),
+                   ("sched_to128", (65, 64, 64, 64, 64, 64, 64))):
+        cfg = get_config("large16_384", tome_r=r)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+
+        def body(acc, params, x, cfg=cfg):
+            return acc + jnp.mean(forward(params, x * _scl(acc), cfg))
+
+        dt = _fwd_loop_seconds(body, 10, params, x)
+        out[f"{tag}_step_ms"] = round(dt * 1e3, 2)
+        out[f"{tag}_images_per_sec"] = round(32 / dt, 1)
+    return out
+
+
 BENCHES = {1: bench_1, 2: bench_2, 3: bench_3, 4: bench_4, 5: bench_5,
-           6: bench_6, 7: bench_7}
+           6: bench_6, 7: bench_7, 8: bench_8}
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="vitx.bench")
     p.add_argument("--config", default="all",
-                   help="benchmark number 1-7 or 'all'")
+                   help="benchmark number 1-8 or 'all'")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="also capture a jax.profiler trace of each bench "
                         "into DIR (open with xprof/tensorboard-profile)")

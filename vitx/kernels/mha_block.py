@@ -238,7 +238,8 @@ def _kernel_hchunk(x_ref, wqkv_ref, wo_ref, bo_ref, g_ref, b_ref, o_ref,
         o_ref[0] = acc_scr[...].astype(o_ref.dtype)
 
 
-def _chunk_plan(x_shape, num_heads: int, dtype, mean_probs: bool = False):
+def _chunk_plan(x_shape, num_heads: int, dtype, mean_probs: bool = False,
+                mean_metric: bool = False):
     """-> (hc, est_bytes) for the largest head chunk fitting VMEM."""
     B, T, E = x_shape
     D = E // num_heads
@@ -253,6 +254,12 @@ def _chunk_plan(x_shape, num_heads: int, dtype, mean_probs: bool = False):
                 + 2 * hc * T * D * itemsize)   # head slices / o_chunk
         if mean_probs:
             need += 2 * T * T * 4              # probs out block + p_sum
+        if mean_metric:
+            # ToMe variant: fp32 k_mean scratch + its output block (the
+            # kernel itself carries a 32M scoped-vmem limit — the default
+            # 16M tripped at T=416/hc=4 in whole-program context, chip
+            # round 3)
+            need += T * D * 4 + T * D * itemsize
         if need <= 13 * 1024 * 1024:
             return hc, need
     return 0, 0
@@ -362,14 +369,16 @@ _CHUNKED_OP_CACHE: dict = {}
 
 
 def supports_chunked_mha(x_shape, num_heads: int, dtype,
-                         mean_probs: bool = False) -> bool:
+                         mean_probs: bool = False,
+                         mean_metric: bool = False) -> bool:
     if _use_interpret():
         return False          # the full kernel already covers interpret mode
     B, T, E = x_shape
     D = E // num_heads
     if D % 32 or T > _MAX_CHUNK_T or T < 128 or E < 256:
         return False
-    hc, _ = _chunk_plan(x_shape, num_heads, dtype, mean_probs=mean_probs)
+    hc, _ = _chunk_plan(x_shape, num_heads, dtype, mean_probs=mean_probs,
+                        mean_metric=mean_metric)
     return hc > 0
 
 
@@ -659,19 +668,206 @@ def _make_tome_op(eps: float):
     return op
 
 
+# -- head-chunked ToMe variant: ViT-L-class blocks whose weights + fp32 qkv
+# blow the single-step VMEM budget. Same structure as _kernel_hchunk (LN
+# cached across head chunks, out-projection accumulated in fp32 scratch)
+# plus the per-key score bias and the head-mean key accumulated in a second
+# fp32 scratch, written on the last chunk. ----------------------------------
+
+def _kernel_hchunk_tome(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, g_ref,
+                        b_ref, ls_ref, o_ref, km_ref, h_scr, acc_scr, km_scr,
+                        *, hc: int, nh: int, head_dim: int, eps: float,
+                        scale: float, num_heads: int):
+    j = pl.program_id(1)
+    D = head_dim
+
+    @pl.when(j == 0)
+    def _():
+        s32 = x_ref[0].astype(jnp.float32)
+        mean = jnp.mean(s32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(s32 - mean), axis=-1, keepdims=True)
+        h_scr[...] = ((s32 - mean) * jax.lax.rsqrt(var + eps)
+                      * g_ref[...] + b_ref[...]).astype(h_scr.dtype)
+
+    h = h_scr[...]                                       # (T, E)
+    qkv = (jnp.dot(h, wqkv_ref[...],
+                   preferred_element_type=jnp.float32,
+                   precision=dot_precision(h, wqkv_ref))
+           + bqkv_ref[...])                              # (T, 3*hc*D) fp32
+    qkv_c = qkv.astype(h.dtype)
+    ls = ls_ref[0].astype(jnp.float32)                   # (1, T)
+    outs = []
+    k_sum = None
+    for i in range(hc):
+        base = i * 3 * D
+        q0 = qkv_c[:, base:base + D]
+        k = qkv_c[:, base + D:base + 2 * D]
+        v = qkv_c[:, base + 2 * D:base + 3 * D]
+        k_sum = (k.astype(jnp.float32) if k_sum is None
+                 else k_sum + k.astype(jnp.float32))
+        q = (q0.astype(jnp.float32) * scale).astype(h.dtype)
+        sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=dot_precision(q, k))
+        sc = sc + ls                                     # proportional attn
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(h.dtype), v,
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision(v)) / l
+        outs.append(o.astype(h.dtype))
+    o_chunk = jnp.concatenate(outs, axis=1)              # (T, hc*D)
+    partial = jnp.dot(o_chunk, wo_ref[...],
+                      preferred_element_type=jnp.float32,
+                      precision=dot_precision(o_chunk, wo_ref))
+    k_part = k_sum / num_heads
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[...] = partial + bo_ref[...]
+        km_scr[...] = k_part
+
+    @pl.when(j > 0)
+    def _():
+        acc_scr[...] += partial
+        km_scr[...] += k_part
+
+    @pl.when(j == nh - 1)
+    def _():
+        o_ref[0] = acc_scr[...].astype(o_ref.dtype)
+        km_ref[0] = km_scr[...].astype(km_ref.dtype)
+
+
+def _chunked_tome_fwd(x, wqkv, bqkv, wo, bo, g, b, log_size, *, eps: float):
+    B, T, E = x.shape
+    H = wqkv.shape[2]
+    D = E // H
+    hc, _ = _chunk_plan(x.shape, H, x.dtype, mean_metric=True)
+    nh = H // hc
+    # per-chunk contiguous (q,k,v) columns, bias in the same layout
+    w = wqkv.transpose(0, 2, 1, 3).reshape(E, H * 3 * D)
+    bq = bqkv.transpose(1, 0, 2).reshape(1, H * 3 * D).astype(jnp.float32)
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel_hchunk_tome, hc=hc, nh=nh, head_dim=D,
+                          eps=eps, scale=1.0 / D ** 0.5, num_heads=H),
+        grid=(B, nh),
+        in_specs=[
+            pl.BlockSpec((1, T, E), lambda b_, j: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E, 3 * hc * D), lambda b_, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hc * D), lambda b_, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc * D, E), lambda b_, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda b_, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda b_, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda b_, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b_, j: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, T, E), x.dtype),
+                   jax.ShapeDtypeStruct((B, T, D), x.dtype)],
+        out_specs=[pl.BlockSpec((1, T, E), lambda b_, j: (b_, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, T, D), lambda b_, j: (b_, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((T, E), x.dtype),
+                        pltpu.VMEM((T, E), jnp.float32),
+                        pltpu.VMEM((T, D), jnp.float32)],
+        interpret=_use_interpret(),
+        # 32M scoped-vmem limit: at mid-ladder shapes (e.g. T=416, hc=4)
+        # the kernel compiles standalone but the default 16M limit trips
+        # in whole-program context (compiler stack temps; chip, round 3) —
+        # the real footprint is ~16.6M
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * E * 4 * E + 4 * B * H * T * T * D,
+            bytes_accessed=2 * B * T * E * 2 + 8 * E * E,
+            transcendentals=B * H * T * T,
+        ),
+    )(x, w, bq, wo, bo, g, b, log_size.reshape(B, 1, T))
+    return tuple(outs)
+
+
+def _make_chunked_tome_sharded(eps: float):
+    def _positional(x, wqkv, bqkv, wo, bo, g, b, log_size):
+        return _chunked_tome_fwd(x, wqkv, bqkv, wo, bo, g, b, log_size,
+                                 eps=eps)
+
+    f = custom_partitioning(_positional)
+
+    def _outs(mesh, x_spec):
+        b_axis = _b_spec(x_spec)[0]
+        return (NamedSharding(mesh, _P(b_axis, None, None)),
+                NamedSharding(mesh, _P(b_axis, None, None)))
+
+    def infer(mesh, arg_infos, result_infos):
+        return _outs(mesh, arg_infos[0].sharding.spec)
+
+    def part(mesh, arg_infos, result_infos):
+        b_axis = _b_spec(arg_infos[0].sharding.spec)[0]
+        sh = NamedSharding(mesh, _P(b_axis, None, None))
+        ls_sh = NamedSharding(mesh, _P(b_axis, None))
+        rep = NamedSharding(mesh, _P())
+        return (mesh, _positional,
+                _outs(mesh, arg_infos[0].sharding.spec),
+                (sh, rep, rep, rep, rep, rep, rep, ls_sh))
+
+    f.def_partition(
+        part, infer_sharding_from_operands=infer,
+        sharding_rule=("b t e, e s h d, i j k, f g, o, p, q, b u "
+                       "-> b t e, b t d"),
+        need_replication_factors=("t", "e", "s", "h", "d", "i", "j", "k",
+                                  "f", "g", "o", "p", "q", "u"))
+    return f
+
+
+_CHUNKED_TOME_SHARDED_CACHE: dict = {}
+_CHUNKED_TOME_OP_CACHE: dict = {}
+
+
+def _make_chunked_tome_op(eps: float):
+    @jax.custom_vjp
+    def op(x, wqkv, bqkv, wo, bo, g, b, log_size):
+        key = float(eps)
+        if key not in _CHUNKED_TOME_SHARDED_CACHE:
+            _CHUNKED_TOME_SHARDED_CACHE[key] = _make_chunked_tome_sharded(eps)
+        return _CHUNKED_TOME_SHARDED_CACHE[key](x, wqkv, bqkv, wo, bo, g, b,
+                                                log_size)
+
+    def fwd(*args):
+        return op(*args), args
+
+    def bwd(res, cts):
+        _, vjp = jax.vjp(lambda *a: _composed_tome(*a, eps=eps), *res)
+        return vjp(tuple(cts))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def fused_mha_block_tome(x, wqkv, bqkv, wo, bo, g, b, log_size, *,
                          eps: float = 1e-5):
     """ToMe attention half, fused: LN -> QKV(+bias) -> proportional
     attention (per-key ``log_size`` score bias) -> out-proj; also returns
     the head-mean key (B, T, D) — the merge metric. ``bqkv`` is (3, H, D)
-    (zeros when the model has no QKV bias). Falls back to the composed
-    path for shapes outside the fused kernel's envelope."""
+    (zeros when the model has no QKV bias). Large models route through the
+    head-chunked variant; shapes outside both envelopes run composed."""
     H = wqkv.shape[2]
+    key = float(eps)
     if supports_fused_mha(x.shape, H, x.dtype):
-        key = float(eps)
         if key not in _TOME_OP_CACHE:
-            _TOME_OP_CACHE[key] = _make_tome_op(float(eps))
+            _TOME_OP_CACHE[key] = _make_tome_op(key)
         return _TOME_OP_CACHE[key](x, wqkv, bqkv, wo, bo, g, b, log_size)
+    if supports_chunked_mha(x.shape, H, x.dtype, mean_metric=True):
+        if key not in _CHUNKED_TOME_OP_CACHE:
+            _CHUNKED_TOME_OP_CACHE[key] = _make_chunked_tome_op(key)
+        return _CHUNKED_TOME_OP_CACHE[key](x, wqkv, bqkv, wo, bo, g, b,
+                                           log_size)
     return _composed_tome(x, wqkv, bqkv, wo, bo, g, b, log_size, eps=eps)
 
 
