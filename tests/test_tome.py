@@ -379,3 +379,90 @@ def test_chunked_tome_kernel_matches_composed(monkeypatch):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(km_f), np.asarray(km_c),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled-kernel parity needs the real chip "
+                           "(tiny CPU shapes fall back to the composed "
+                           "path; interpret parity is covered above)")
+def test_fused_tome_kernel_compiled_parity_vit_b_shapes():
+    """On hardware, pin the COMPILED ToMe kernels against the composed math
+    at real ViT-B/ViT-L block shapes (bf16 — the serving dtype): the full
+    kernel at T=197, the relaxed small-T path at T=41, and the chunked
+    variant at T=577/E=1024."""
+    from vitx.kernels.mha_block import (_composed_tome, fused_mha_block_tome,
+                                        supports_chunked_mha,
+                                        supports_fused_mha)
+
+    for (T, E, H) in ((197, 768, 12), (41, 768, 12), (577, 1024, 16)):
+        B, D = 2, E // H
+        if E == 1024:
+            assert supports_chunked_mha((B, T, E), H, jnp.bfloat16,
+                                        mean_metric=True)
+        else:
+            assert supports_fused_mha((B, T, E), H, jnp.bfloat16)
+        ks = jax.random.split(jax.random.PRNGKey(T), 9)
+        x = jax.random.normal(ks[0], (B, T, E), jnp.bfloat16)
+        wqkv = (0.03 * jax.random.normal(ks[1], (E, 3, H, D))
+                ).astype(jnp.bfloat16)
+        bqkv = 0.03 * jax.random.normal(ks[2], (3, H, D))
+        wo = (0.03 * jax.random.normal(ks[3], (E, E))).astype(jnp.bfloat16)
+        bo = 0.03 * jax.random.normal(ks[4], (E,))
+        g = 1.0 + 0.1 * jax.random.normal(ks[5], (E,))
+        b = 0.1 * jax.random.normal(ks[6], (E,))
+        ls = jnp.log(1.0 + 5 * jax.random.uniform(ks[7], (B, T)))
+        args = (x, wqkv, bqkv, wo, bo, g, b, ls)
+        out_f, km_f = jax.jit(
+            lambda *a: fused_mha_block_tome(*a, eps=1e-5))(*args)
+        out_c, km_c = jax.jit(
+            lambda *a: _composed_tome(*a, eps=1e-5))(*args)
+        of = np.asarray(out_f, np.float32)
+        oc = np.asarray(out_c, np.float32)
+        kf = np.asarray(km_f, np.float32)
+        kc = np.asarray(km_c, np.float32)
+        assert np.abs(of - oc).max() < 0.02 * np.abs(oc).max() + 1e-2, T
+        assert np.abs(kf - kc).max() < 0.02 * np.abs(kc).max() + 1e-2, T
+
+
+def test_aligned_schedule_and_toN_cli(tmp_path, capsys):
+    """aligned_schedule merges to the target as fast as feasibility allows
+    (the chip-measured to128 schedules), and --tome-r toN resolves against
+    the model geometry on both the eval and serve config paths."""
+    from vitx.core.config import get_config
+    from vitx.nn.tome import aligned_schedule, parse_tome_r
+
+    # ViT-B to128 reproduces the chip-measured (35, 34); ViT-L spreads the
+    # 449 merges evenly under the 1/3-of-patches-per-block gentleness cap
+    assert aligned_schedule(get_config("base16"), 128) == (35, 34)
+    L = aligned_schedule(get_config("large16_384"), 128)
+    assert sum(L) == 449 and max(L) == 57 and len(L) == 8
+    with pytest.raises(ValueError):
+        aligned_schedule(get_config("base16"), 512)   # >= total tokens
+    with pytest.raises(ValueError):
+        aligned_schedule(get_config("base16"), 1)     # <= protected tokens
+    with pytest.raises(ValueError):                   # cap unreachable
+        aligned_schedule(get_config("tiny"), 9)
+
+    assert parse_tome_r("to128") == "to128"
+    from vitx.train.checkpoint import resolve_artifact_config
+    cfg = resolve_artifact_config(None, preset="base16", tome_r="to128")
+    assert cfg.tome_r[:2] == (35, 34) and sum(cfg.tome_schedule) == 69
+
+    # eval CLI end-to-end with toN on a tiny trained checkpoint
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--lr", "3e-3",
+        "--checkpoint-dir", str(tmp_path / "c"),
+        "--compute-dtype", "float32",
+    ])
+    capsys.readouterr()
+    rc = eval_main(["--data", "synthetic", "--checkpoint",
+                    str(tmp_path / "c"), "--batch-size", "32",
+                    "--tome-r", "to33"])   # tiny: 64 patches + CLS = 65
+    assert rc == 0
+    import json
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["num_examples"] == 512 and 0.0 <= out["accuracy"] <= 1.0

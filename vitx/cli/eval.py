@@ -58,9 +58,9 @@ def main(argv=None):
     p.add_argument("--tome-r", type=parse_tome_r, default=0,
                    help="ToMe token merging: merge this many patch-token "
                         "pairs per block at inference (vitx/nn/tome.py), "
-                        "or a comma-separated per-block schedule "
-                        "('23,23,22' = merge to 128 tokens on ViT-B/16, "
-                        "lane-exact attention tiles after block 3); "
+                        "a comma-separated per-block schedule, or 'toN' "
+                        "(e.g. to128: merge to N total tokens — lane-exact "
+                        "attention tiles when N is a multiple of 128); "
                         "works on any checkpoint, trades a small accuracy "
                         "delta for throughput")
     args = p.parse_args(argv)
@@ -84,7 +84,12 @@ def main(argv=None):
     if n_classes != cfg.num_classes:
         cfg = cfg.replace(num_classes=n_classes)
     if args.tome_r:
-        cfg = cfg.replace(tome_r=args.tome_r)
+        tr = args.tome_r
+        if isinstance(tr, str):          # "toN" -> lane-aligned schedule
+            from vitx.nn.tome import aligned_schedule
+
+            tr = aligned_schedule(cfg, target_tokens=int(tr[2:]))
+        cfg = cfg.replace(tome_r=tr)
 
     try:
         # shared loading rule: vitx dirs/files (EMA shadow restored for

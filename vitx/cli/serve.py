@@ -158,9 +158,10 @@ def main(argv=None):
     from vitx.nn.tome import parse_tome_r
     p.add_argument("--tome-r", type=parse_tome_r, default=0,
                    help="ToMe token merging: merge this many patch-token "
-                        "pairs per block (vitx/nn/tome.py), or a comma-"
-                        "separated per-block schedule ('23,23,22') — "
-                        "higher throughput for a small accuracy delta")
+                        "pairs per block (vitx/nn/tome.py), a comma-"
+                        "separated per-block schedule, or 'toN' (e.g. "
+                        "to128) — higher throughput for a small accuracy "
+                        "delta")
     args = p.parse_args(argv)
 
     from vitx.serve import load_server

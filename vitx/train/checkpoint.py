@@ -425,6 +425,11 @@ def resolve_artifact_config(checkpoint, config_json=None, preset="tiny",
             saved = peek_meta(p)
         if saved and "config" in saved:
             cfg = ViTConfig.from_json(json.dumps(saved["config"]))
+    if isinstance(tome_r, str):
+        # "toN" (e.g. --tome-r to128): resolve against the final geometry
+        from vitx.nn.tome import aligned_schedule
+
+        tome_r = aligned_schedule(cfg, target_tokens=int(tome_r[2:]))
     return cfg.replace(tome_r=tome_r) if tome_r else cfg
 
 
