@@ -44,6 +44,11 @@ def main(argv=None):
                    help="fit temperature scaling on this eval set and "
                         "report ECE/NLL before and after "
                         "(vitx/metrics/calibration.py, Guo 2017)")
+    p.add_argument("--soup", nargs="+", default=None, metavar="CKPT",
+                   help="uniform model soup (Wortsman 2022): average the "
+                        "--checkpoint params with these same-geometry "
+                        "artifacts before evaluating; exports capture the "
+                        "souped weights")
     p.add_argument("--export-quantized", default=None, metavar="OUT.quant.npz",
                    help="also write the restored (EMA-aware) params as a "
                         "weight-only int8 artifact (vitx/quant.py; ~4x "
@@ -100,6 +105,11 @@ def main(argv=None):
         print(f"error: no checkpoint under {args.checkpoint}",
               file=sys.stderr)
         return 1
+    if args.soup:
+        from vitx.train.checkpoint import soup_params
+
+        params = soup_params(params, cfg, args.soup)
+        print(f"souped {1 + len(args.soup)} models", file=sys.stderr)
     if args.export_quantized:
         from vitx.quant import save_quantized
 

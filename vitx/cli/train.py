@@ -94,6 +94,14 @@ def build_argparser():
                         "the two alternate 50/50 per batch (DeiT recipe)")
     p.add_argument("--drop-path", type=float, default=0.0,
                    help="max stochastic-depth rate (linear over depth)")
+    p.add_argument("--patch-drop", type=float, default=0.0,
+                   help="fraction of patch tokens randomly dropped per "
+                        "sample during training (FLIP/PatchDropout; cuts "
+                        "encoder FLOPs, inference unaffected)")
+    p.add_argument("--qk-norm", action="store_true",
+                   help="per-head LayerNorm on queries/keys before the "
+                        "logits (ViT-22B): bounds attention logits, "
+                        "stabilizes large-model training")
     p.add_argument("--sam-rho", type=float, default=None,
                    help="sharpness-aware minimization radius (Foret 2021; "
                         "~0.05): update with the gradient at params + "
@@ -231,6 +239,10 @@ def main(argv=None):
 
     if args.drop_path:
         cfg = cfg.replace(drop_path=args.drop_path)
+    if args.patch_drop:
+        cfg = cfg.replace(patch_drop=args.patch_drop)
+    if args.qk_norm:
+        cfg = cfg.replace(qk_norm=True)
     if args.distill_token:
         cfg = cfg.replace(distill_token=True)
     if args.num_registers:

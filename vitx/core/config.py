@@ -52,10 +52,27 @@ class ViTConfig:
     # an output-projection bias (transformer.py:38).
     qkv_bias: bool = False
     proj_bias: bool = True
+    # QK-Norm (ViT-22B, Dehghani et al. 2023): LayerNorm (learned scale, no
+    # bias) applied per-head to the query and key projections before the
+    # logit dot product — bounds attention logits and removes the loss
+    # divergences seen when scaling ViTs (their §3.2, "uncontrolled growth
+    # of attention logits"). Normalized q/k still feed the flash kernel;
+    # the fused MHA block kernel (which computes QKV in-kernel) falls back
+    # to the composed path.
+    qk_norm: bool = False
     dropout: float = 0.0
     # Stochastic depth (DeiT recipe): max residual-branch drop rate, scaled
     # linearly from 0 at the first block to this value at the last.
     drop_path: float = 0.0
+    # Patch dropout (Liu et al. 2022 "PatchDropout"; FLIP, Li et al. 2023):
+    # during TRAINING, each sample keeps only a random subset of its patch
+    # tokens — the encoder runs on num_patches - floor(num_patches *
+    # patch_drop) patches (a STATIC count, so shapes stay compile-time
+    # fixed), cutting encoder matmul FLOPs ~linearly and attention FLOPs
+    # quadratically. Prefix (CLS/distill) and register tokens are always
+    # kept; inference always runs the full token set. 0 = off; FLIP found
+    # 0.5 loses little accuracy at scale.
+    patch_drop: float = 0.0
 
     # --- stem ---
     # "patch": space-to-depth + matmul patchify (the reference's Conv2d
@@ -205,6 +222,18 @@ class ViTConfig:
                 "num_registers is a beyond-reference extension; bug_exact "
                 "parity reproduces the reference model, which has no "
                 "register tokens")
+        if self.qk_norm and self.parity == "bug_exact":
+            raise ValueError(
+                "qk_norm is a beyond-reference extension; bug_exact parity "
+                "reproduces the reference model, which has no QK-Norm")
+        if not 0.0 <= self.patch_drop < 1.0:
+            raise ValueError(
+                f"patch_drop must be in [0, 1), got {self.patch_drop}")
+        if self.patch_drop and self.parity == "bug_exact":
+            raise ValueError(
+                "patch_drop is a beyond-reference extension; bug_exact "
+                "parity reproduces the reference model, which has no "
+                "patch dropout")
         if self.lora_rank < 0:
             raise ValueError(f"lora_rank must be >= 0, got {self.lora_rank}")
         if self.lora_targets not in ("attn", "all"):
@@ -235,6 +264,12 @@ class ViTConfig:
             if self.parity == "bug_exact":
                 raise ValueError("tome_r is a beyond-reference extension; "
                                  "bug_exact parity has no token merging")
+            if self.qk_norm:
+                raise ValueError(
+                    "tome_r + qk_norm is unsupported: the ToMe encoder "
+                    "(incl. its fused kernel) computes attention without "
+                    "the per-head q/k LayerNorm and would silently change "
+                    "the model")
             # every merging block needs >= 2*r patch tokens left to split
             # its A/B sets (for constant r this is the paper's
             # r <= N // (depth + 1) bound)
@@ -276,6 +311,12 @@ class ViTConfig:
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads
+
+    @property
+    def patch_keep_count(self) -> int:
+        """Patch tokens kept per sample under patch_drop (static; the full
+        num_patches when patch_drop is 0)."""
+        return self.num_patches - int(self.num_patches * self.patch_drop)
 
     @property
     def tome_schedule(self) -> tuple:

@@ -34,6 +34,8 @@ def write_model_bin(path, params, cfg: ViTConfig):
         raise ValueError("vitc's attention always adds a projection bias")
     if cfg.num_registers:
         raise ValueError("vitc has no register tokens")
+    if cfg.qk_norm:
+        raise ValueError("vitc has no QK-Norm")
 
     def f32(x):
         return np.ascontiguousarray(np.asarray(x), dtype="<f4")

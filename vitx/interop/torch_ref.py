@@ -127,6 +127,9 @@ def export_reference_state_dict(params: dict, cfg: ViTConfig,
     if "reg_tokens" in params:
         raise ValueError("export requires num_registers=0 params (the "
                          "reference has no register tokens)")
+    if "lnq_scale" in params["blocks"]:
+        raise ValueError("the reference layout has no QK-Norm scales; "
+                         "export requires qk_norm=False")
 
     kernel = np.asarray(params["patch_embed"]["kernel"], np.float32)
     conv_w = kernel.reshape(P, P, C, E).transpose(3, 2, 0, 1)   # (E, C, P, P)

@@ -42,6 +42,17 @@ def reference_attention(q, k, v, *, return_probs=False, scale=None):
     return (out, probs) if return_probs else (out, None)
 
 
+def _qk_layer_norm(t, scale, eps):
+    """Per-head LayerNorm over head_dim with a learned scale, no bias
+    (ViT-22B QK-Norm). t: (B, H, T, D); scale: (H, D). fp32 statistics."""
+    tf = t.astype(jnp.float32)
+    mu = jnp.mean(tf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(tf - mu), axis=-1, keepdims=True)
+    normed = (tf - mu) * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32)[None, :, None, :]).astype(
+        t.dtype)
+
+
 def multi_head_attention(
     x,
     wqkv,
@@ -54,6 +65,8 @@ def multi_head_attention(
     return_probs: bool = False,
     probs_mode: str = "full",
     scale: float | None = None,
+    qk_scales=None,
+    qk_eps: float = 1e-5,
 ):
     """Fused multi-head self-attention over tokens.
 
@@ -68,6 +81,10 @@ def multi_head_attention(
         flash variant or the reference path).
       probs_mode: "full" -> (B, H, T, T); "mean" -> head-mean (B, T, T),
         H-fold less HBM traffic — all the rollout consumer needs.
+      qk_scales: optional (scale_q, scale_k) pair of (H, D) LayerNorm
+        scales — enables QK-Norm (ViT-22B): per-head LN (no bias) on q and
+        k before the logits. Composes with the flash kernel (normalization
+        happens before the kernel call).
 
     Returns:
       (out, probs) — out is (B, T, E); probs is (B, H, T, T) fp32 or None.
@@ -104,6 +121,9 @@ def multi_head_attention(
         return r if bias is None else r + bias
 
     q, k, v = proj(0, bq), proj(1, bk), proj(2, bv)
+    if qk_scales is not None:
+        q = _qk_layer_norm(q, qk_scales[0], qk_eps)
+        k = _qk_layer_norm(k, qk_scales[1], qk_eps)
 
     if use_flash and return_probs and probs_mode == "mean":
         from vitx.kernels.flash_attention import (

@@ -47,6 +47,11 @@ def quantize_for_runtime(params: Params, cfg: ViTConfig) -> Params:
         raise ValueError("int8 runtime has no ToMe merging step — use "
                          "tome_r OR int8_runtime, not both (the combination "
                          "would silently drop the merging)")
+    if cfg.qk_norm:
+        raise ValueError("the int8 runtime block loop does not implement "
+                         "QK-Norm — serve qk_norm checkpoints on the float "
+                         "path (int8 ARTIFACTS are fine: they dequantize "
+                         "into the normal forward)")
     if cfg.lora_rank:
         # the int8 block loop reads dense names only — fold the adapters
         # first so the quantized weights ARE the adapted weights

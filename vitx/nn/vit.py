@@ -68,6 +68,10 @@ def init_blocks(rng, cfg: ViTConfig) -> Params:
     }
     if cfg.qkv_bias:
         blocks["bqkv"] = jnp.zeros((L, 3, H, D), pdt)
+    if cfg.qk_norm:
+        # ViT-22B QK-Norm: per-head LN scales for q and k (no biases)
+        blocks["lnq_scale"] = jnp.ones((L, H, D), pdt)
+        blocks["lnk_scale"] = jnp.ones((L, H, D), pdt)
     if cfg.proj_bias:
         # reference attention has an output-projection bias (transformer.py:38)
         blocks["bo"] = jnp.zeros((L, E), pdt)
@@ -228,6 +232,8 @@ def _use_fused_mha(cfg: ViTConfig, bp, return_probs: bool) -> bool:
         return False     # kernels implement the corrected 1/sqrt(d) scale
     if return_probs or bp.get("bqkv") is not None or cfg.fuse_mha == "off":
         return False
+    if cfg.qk_norm:
+        return False     # the kernel computes QKV in-kernel, unnormalized
     if cfg.fuse_mha == "on":
         return True
     # "flash" is a strict subset of the fused block's math (it IS the
@@ -317,6 +323,9 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
             # (reference transformer.py:24)
             scale=(float(cfg.head_dim) ** 0.5
                    if cfg.parity == "bug_exact" else None),
+            qk_scales=((bp["lnq_scale"], bp["lnk_scale"])
+                       if cfg.qk_norm else None),
+            qk_eps=cfg.layer_norm_eps,
         )
     attn_out = dropout(attn_out, cfg.dropout, r_attn, deterministic=deterministic)
     if cfg.drop_path:
@@ -444,6 +453,28 @@ def _append_registers(params: Params, x, cfg: ViTConfig, B: int):
     return jnp.concatenate([x, reg], axis=1)
 
 
+def _patch_drop(x, cfg: ViTConfig, rng):
+    """Keep a random per-sample subset of the PATCH tokens (training only).
+
+    Patch dropout (Liu et al. 2022; FLIP, Li et al. 2023): each row keeps
+    cfg.patch_keep_count of its num_patches patch tokens — a STATIC count,
+    so the encoder compiles once at the reduced length. Selection is a
+    per-row argsort of uniform noise (the MAE shuffle trick, static-shape
+    on TPU); kept indices are re-sorted ascending so token order — and the
+    already-added positional information — stays monotone. Prefix tokens
+    (CLS/distill, before the patches) and register tokens (after) pass
+    through untouched.
+    """
+    p, n = cfg.num_prefix_tokens, cfg.num_patches
+    keep = cfg.patch_keep_count
+    B = x.shape[0]
+    noise = jax.random.uniform(rng, (B, n))
+    idx = jnp.argsort(noise, axis=1)[:, :keep]          # random keep-set
+    idx = jnp.sort(idx, axis=1)                          # restore order
+    kept = jnp.take_along_axis(x[:, p:p + n, :], idx[:, :, None], axis=1)
+    return jnp.concatenate([x[:, :p], kept, x[:, p + n:]], axis=1)
+
+
 def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
            deterministic: bool = True, return_probs: bool = False,
            probs_mode: str = "full"):
@@ -460,6 +491,9 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
     x = x + params["pos_embed"].astype(cdt)
     x = _append_registers(params, x, cfg, B)
     if rng is not None:
+        if cfg.patch_drop and not deterministic:
+            rng, r = jax.random.split(rng)
+            x = _patch_drop(x, cfg, r)
         rng, r = jax.random.split(rng)
         x = dropout(x, cfg.dropout, r, deterministic=deterministic)
 

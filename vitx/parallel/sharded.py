@@ -53,6 +53,10 @@ def _block_specs(cfg: ViTConfig, tp: bool) -> dict:
     }
     if cfg.qkv_bias:
         specs["bqkv"] = P(None, None, m, None)
+    if cfg.qk_norm:
+        # (L, H, D) per-head LN scales: shard H to match the q/k heads
+        specs["lnq_scale"] = P(None, m, None)
+        specs["lnk_scale"] = P(None, m, None)
     if cfg.proj_bias:
         specs["bo"] = P()
     if cfg.lora_rank:

@@ -475,6 +475,41 @@ def load_artifact_params(checkpoint, cfg):
     return params, meta
 
 
+def soup_params(params, cfg, extra_checkpoints):
+    """Uniform model soup (Wortsman et al. 2022): average ``params`` with
+    the parameters of ``extra_checkpoints`` — any eval-able artifacts
+    (checkpoint dirs, ``.ckpt`` files, int8 ``.quant.npz``, reference
+    ``.pt``) of the SAME geometry. Accumulates in fp32, preserves each
+    leaf's dtype. Souping fine-tunes from one init improves accuracy for
+    free at inference; the averaged tree is an ordinary params pytree, so
+    every downstream path (eval, exports, serving) works unchanged.
+    """
+    trees = [params]
+    base = {tuple(str(k) for k in kp): leaf.shape
+            for kp, leaf in jax.tree_util.tree_leaves_with_path(params)}
+    for c in extra_checkpoints:
+        extra, _ = load_artifact_params(c, cfg)
+        other = {tuple(str(k) for k in kp): leaf.shape
+                 for kp, leaf in jax.tree_util.tree_leaves_with_path(extra)}
+        if other != base:
+            only_b = sorted(set(base) - set(other))[:3]
+            only_o = sorted(set(other) - set(base))[:3]
+            shapes = sorted(k for k in base
+                            if k in other and base[k] != other[k])[:3]
+            raise ValueError(
+                f"soup ingredient {c} has a different parameter tree "
+                f"(missing: {only_b}, extra: {only_o}, shape mismatches: "
+                f"{shapes}) — soup models must share one geometry")
+        trees.append(extra)
+    n = float(len(trees))
+
+    def avg(*xs):
+        acc = sum(np.asarray(x, dtype=np.float32) for x in xs) / n
+        return acc.astype(np.asarray(xs[0]).dtype)
+
+    return jax.tree_util.tree_map(avg, *trees)
+
+
 def transfer_params(checkpoint, cfg, rng):
     """Initialize a ``cfg``-shaped params pytree from ANY artifact, for
     TRANSFER fine-tuning (new class head, new resolution, new dataset).
