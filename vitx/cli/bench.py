@@ -303,14 +303,47 @@ def bench_8():
     return out
 
 
+def bench_9():
+    """ViT-B/16 @224 batch-128 TRAIN with patch dropout (FLIP / PatchDropout,
+    ``--patch-drop``) vs bench_4's full-token step. Each sample keeps a
+    random static-count subset of its 196 patch tokens (T: 197 -> 148 at
+    p=0.25 / 99 at p=0.5), cutting encoder train FLOPs ~linearly and
+    attention quadratically — the training-side counterpart of bench_6/8's
+    inference-side ToMe. Same mesh/sharding-pinning methodology as bench_4;
+    rng is live (the subset changes per step like real training)."""
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    from vitx.parallel.sharded import state_sharding
+
+    n = len(jax.devices())
+    mesh = make_mesh(dp=n, tp=1)
+    opt = make_optimizer(lr=1e-4)
+    B = 128 * n
+    batch = shard_batch(
+        {"image": _images(jax.random.PRNGKey(1), B, 224),
+         "label": jnp.zeros((B,), jnp.int32)}, mesh)
+    out = {"config": f"9:vit-b16-train-128-patchdrop-dp{n}"}
+    for tag, pdrop in (("p25", 0.25), ("p50", 0.5)):
+        cfg = get_config("base16", patch_drop=pdrop)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+        shardings = state_sharding(state, cfg, mesh)
+        state = place_state(state, cfg, mesh)
+        dt = _train_scan_seconds(
+            cfg, opt, state, batch, rng=jax.random.PRNGKey(7),
+            out_shardings=(shardings, NamedSharding(mesh, _P())))
+        out[f"{tag}_step_ms"] = round(dt * 1e3, 2)
+        out[f"{tag}_images_per_sec"] = round(B / dt, 1)
+    return out
+
+
 BENCHES = {1: bench_1, 2: bench_2, 3: bench_3, 4: bench_4, 5: bench_5,
-           6: bench_6, 7: bench_7, 8: bench_8}
+           6: bench_6, 7: bench_7, 8: bench_8, 9: bench_9}
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="vitx.bench")
     p.add_argument("--config", default="all",
-                   help="benchmark number 1-8 or 'all'")
+                   help="benchmark number 1-9 or 'all'")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="also capture a jax.profiler trace of each bench "
                         "into DIR (open with xprof/tensorboard-profile)")
