@@ -102,6 +102,14 @@ def build_argparser():
                    help="per-head LayerNorm on queries/keys before the "
                         "logits (ViT-22B): bounds attention logits, "
                         "stabilizes large-model training")
+    p.add_argument("--head-type", default=None,
+                   choices=["reference", "standard", "map"],
+                   help="classifier head: the reference's Linear-GELU-LN-"
+                        "Linear, the vanilla LN-Linear, or MAP attention "
+                        "pooling (Zhai 2022)")
+    p.add_argument("--global-pool", default=None, choices=["cls", "gap"],
+                   help="head input: the CLS token (reference semantics) "
+                        "or the patch-token mean (MAE fine-tune pooling)")
     p.add_argument("--sam-rho", type=float, default=None,
                    help="sharpness-aware minimization radius (Foret 2021; "
                         "~0.05): update with the gradient at params + "
@@ -243,6 +251,10 @@ def main(argv=None):
         cfg = cfg.replace(patch_drop=args.patch_drop)
     if args.qk_norm:
         cfg = cfg.replace(qk_norm=True)
+    if args.head_type:
+        cfg = cfg.replace(head_type=args.head_type)
+    if args.global_pool:
+        cfg = cfg.replace(global_pool=args.global_pool)
     if args.distill_token:
         cfg = cfg.replace(distill_token=True)
     if args.num_registers:

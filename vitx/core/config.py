@@ -87,7 +87,18 @@ class ViTConfig:
     # "reference": Linear(E,4E) -> GELU -> LayerNorm(4E) -> Linear(4E,classes)
     #   (the reference's unusual head, vit.py:69-74).
     # "standard": LayerNorm(E) -> Linear(E, classes) (vanilla ViT).
+    # "map": multihead attention pooling (Zhai et al. 2022 "Scaling Vision
+    #   Transformers" / ViT-22B): a learned probe token cross-attends to
+    #   the encoder output (registers excluded), a pre-LN MLP residual
+    #   refines it, then LN -> Linear classifies — the big-ViT head that
+    #   replaces the CLS token's role (the CLS token may still exist; MAP
+    #   simply pools over it like any other token).
     head_type: str = "reference"
+    # Which vector feeds the reference/standard head: "cls" (token 0 — the
+    # reference semantics) or "gap" (mean over the patch tokens, the
+    # MAE-fine-tune pooling; prefix/register tokens excluded). Ignored by
+    # head_type="map" (it pools by attention).
+    global_pool: str = "cls"
     # Vanilla ViT has a final encoder LayerNorm; the reference omits it
     # (vit.py:77-80). Parity presets keep False.
     final_norm: bool = False
@@ -192,8 +203,16 @@ class ViTConfig:
             )
         if self.mlp_act not in ("gelu", "gelu_tanh", "relu"):
             raise ValueError(f"unknown mlp_act {self.mlp_act!r}")
-        if self.head_type not in ("reference", "standard"):
+        if self.head_type not in ("reference", "standard", "map"):
             raise ValueError(f"unknown head_type {self.head_type!r}")
+        if self.global_pool not in ("cls", "gap"):
+            raise ValueError(f"unknown global_pool {self.global_pool!r}")
+        if self.parity == "bug_exact" and (self.head_type == "map"
+                                           or self.global_pool != "cls"):
+            raise ValueError(
+                "bug_exact parity reproduces the reference model: its head "
+                "reads token 0 (vit.py:80) — head_type='map' and "
+                "global_pool='gap' are beyond-reference extensions")
         if self.stem not in ("patch", "conv"):
             raise ValueError(f"unknown stem {self.stem!r}")
         if self.stem == "conv" and (

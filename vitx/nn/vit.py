@@ -156,6 +156,32 @@ def init_params(rng, cfg: ViTConfig) -> Params:
             "w2": _trunc_normal(next(k), (4 * E, cfg.num_classes), std, pdt),
             "b2": jnp.zeros((cfg.num_classes,), pdt),
         }
+    elif cfg.head_type == "map":
+        # MAP head (Zhai et al. 2022): probe cross-attention + MLP residual
+        # + LN->Linear. fold_in (not a wider key split): widening the
+        # 16-way split would shift every pinned init (golden/parity tests)
+        M = cfg.mlp_dim
+        mk = iter(jax.random.split(jax.random.fold_in(rng, 0x3A9), 8))
+        params["head"] = {
+            "in_ln_scale": jnp.ones((E,), pdt),
+            "in_ln_bias": jnp.zeros((E,), pdt),
+            "probe": _trunc_normal(next(mk), (1, 1, E), std, pdt),
+            "wq": _trunc_normal(next(mk), (E, E), std, pdt),
+            "wk": _trunc_normal(next(mk), (E, E), std, pdt),
+            "wv": _trunc_normal(next(mk), (E, E), std, pdt),
+            "wo_p": _trunc_normal(next(mk), (E, E), std, pdt),
+            "bo_p": jnp.zeros((E,), pdt),
+            "mlp_ln_scale": jnp.ones((E,), pdt),
+            "mlp_ln_bias": jnp.zeros((E,), pdt),
+            "mw1": _trunc_normal(next(mk), (E, M), std, pdt),
+            "mb1": jnp.zeros((M,), pdt),
+            "mw2": _trunc_normal(next(mk), (M, E), std, pdt),
+            "mb2": jnp.zeros((E,), pdt),
+            "ln_scale": jnp.ones((E,), pdt),
+            "ln_bias": jnp.zeros((E,), pdt),
+            "w": jnp.zeros((E, cfg.num_classes), pdt),
+            "b": jnp.zeros((cfg.num_classes,), pdt),
+        }
     else:
         params["head"] = {
             "ln_scale": jnp.ones((E,), pdt),
@@ -507,11 +533,74 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
     return (x, probs) if return_probs else (x, None)
 
 
+def _map_pool(hp: Params, x, cfg: ViTConfig):
+    """MAP head pooling (Zhai et al. 2022): a learned probe cross-attends
+    to the encoder tokens (register tokens excluded — they are never read
+    by a head), then a pre-LN MLP residual. x (B, T, E) -> (B, E).
+
+    The probe's query is batch-independent, so the per-head query is a
+    single (H, D) tensor and the whole pooling is three (B*T, E)-class
+    matmuls + one (B, H, T) softmax — negligible next to the encoder.
+
+    The tokens pass a learned input LayerNorm first: big_vision's MAP head
+    always sits behind the encoder's final norm, but parity-bearing vitx
+    configs keep final_norm=False (reference vit.py:77-80 has none), and
+    pooling raw residual-stream magnitudes saturates the bf16 path
+    (chip-measured: overfit loss plateaus at 0.56 without it, 1e-3 with).
+    """
+    H, D, E = cfg.num_heads, cfg.head_dim, cfg.embed_dim
+    if cfg.num_registers:
+        x = x[:, :x.shape[1] - cfg.num_registers]
+    x = layer_norm(x, hp["in_ln_scale"], hp["in_ln_bias"],
+                   eps=cfg.layer_norm_eps)
+    q = jnp.dot(hp["probe"][0, 0].astype(x.dtype),
+                hp["wq"].astype(x.dtype)).reshape(H, D)
+    k = jnp.einsum("bte,ehd->bhtd", x,
+                   hp["wk"].astype(x.dtype).reshape(E, H, D),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.einsum("bte,ehd->bhtd", x,
+                   hp["wv"].astype(x.dtype).reshape(E, H, D),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    logits = jnp.einsum("hd,bhtd->bht", q.astype(x.dtype), k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * (1.0 / D ** 0.5), axis=-1)
+    pooled = jnp.einsum("bht,bhtd->bhd", probs.astype(x.dtype), v,
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+    a = jnp.einsum("bhd,hde->be", pooled,
+                   hp["wo_p"].astype(x.dtype).reshape(H, D, E),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    a = a + hp["bo_p"].astype(x.dtype)
+    h = layer_norm(a, hp["mlp_ln_scale"], hp["mlp_ln_bias"],
+                   eps=cfg.layer_norm_eps)
+    return a + mlp(h, hp["mw1"], hp["mb1"], hp["mw2"], hp["mb2"], act="gelu")
+
+
+def _head_input(params: Params, x, cfg: ViTConfig):
+    """The (B, E) vector the classifier head reads: the MAP pooling, the
+    patch-token mean (global_pool="gap"; works on ToMe-merged token sets —
+    patches are whatever sits between the prefix and register tokens), or
+    token 0 (the CLS / reference semantics)."""
+    if cfg.head_type == "map":
+        return _map_pool(params["head"], x, cfg)
+    if cfg.global_pool == "gap":
+        s = cfg.num_prefix_tokens
+        return jnp.mean(x[:, s:x.shape[1] - cfg.num_registers, :], axis=1)
+    return x[:, 0, :]
+
+
 def classify(params: Params, x, cfg: ViTConfig):
-    """Encoder tokens (B, T, E) -> logits (B, classes), reading the CLS token
-    (token 0 — reference vit.py:80)."""
-    cls = x[:, 0, :]
+    """Encoder tokens (B, T, E) -> logits (B, classes). Reads the CLS token
+    (token 0 — reference vit.py:80) by default; cfg.global_pool="gap" mean-
+    pools the patch tokens, cfg.head_type="map" attention-pools (see
+    ``_head_input``)."""
+    cls = _head_input(params, x, cfg)
     hp = params["head"]
+    if cfg.head_type == "map":
+        h = layer_norm(cls, hp["ln_scale"], hp["ln_bias"],
+                       eps=cfg.layer_norm_eps)
+        logits = jnp.dot(h, hp["w"].astype(h.dtype),
+                         preferred_element_type=jnp.float32)
+        return (logits + hp["b"].astype(jnp.float32)).astype(jnp.float32)
     if cfg.head_type == "reference":
         h = jnp.dot(cls, hp["w1"].astype(cls.dtype),
                     preferred_element_type=jnp.float32).astype(cls.dtype)

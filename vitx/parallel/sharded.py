@@ -106,6 +106,13 @@ def param_pspecs(cfg: ViTConfig, tp: bool = False) -> dict:
     if cfg.head_type == "reference":
         specs["head"] = {"w1": P(), "b1": P(), "ln_scale": P(),
                          "ln_bias": P(), "w2": P(), "b2": P()}
+    elif cfg.head_type == "map":
+        # MAP head (Zhai 2022): tiny vs the encoder — fully replicated
+        specs["head"] = {k: P() for k in (
+            "in_ln_scale", "in_ln_bias",
+            "probe", "wq", "wk", "wv", "wo_p", "bo_p",
+            "mlp_ln_scale", "mlp_ln_bias", "mw1", "mb1", "mw2", "mb2",
+            "ln_scale", "ln_bias", "w", "b")}
     else:
         specs["head"] = {"ln_scale": P(), "ln_bias": P(), "w": P(), "b": P()}
     return specs
