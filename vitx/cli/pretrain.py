@@ -1,9 +1,15 @@
-"""MAE pretraining CLI: ``python -m vitx.cli.pretrain --preset tiny ...``.
+"""Self-supervised pretraining CLI: ``python -m vitx.cli.pretrain ...``.
 
-Self-supervised masked-autoencoder pretraining (He et al. 2022) — a
-beyond-reference training family (the reference's ``src/train.py`` is
-supervised only). Mask a large fraction of patches, reconstruct their
-pixels, checkpoint the encoder, and optionally export a fine-tune-ready
+Two pretraining families, both beyond-reference (the reference's
+``src/train.py`` is supervised only):
+
+- ``--method mae`` (default): masked-autoencoder pretraining (He et al.
+  2022) — mask a large fraction of patches, reconstruct their pixels.
+- ``--method dino``: self-distillation (Caron et al. 2021) — a student
+  matches the centered/sharpened targets of an EMA teacher across 2 global
+  + N local crops. See ``vitx/nn/dino.py``.
+
+Either way: checkpoint the run, and optionally export a fine-tune-ready
 classifier pytree for ``vitx.cli.train``:
 
     python -m vitx.cli.pretrain --preset tiny --data synthetic \
@@ -47,12 +53,37 @@ def build_argparser():
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=1.5e-4)
     p.add_argument("--weight-decay", type=float, default=0.05)
+    p.add_argument("--grad-clip", type=float, default=None,
+                   help="global-norm gradient clip (default: none for MAE, "
+                        "3.0 for DINO — Caron 2021 §4)")
+    p.add_argument("--method", default="mae", choices=["mae", "dino"],
+                   help="pretraining family: masked autoencoding (He 2022) "
+                        "or DINO self-distillation (Caron 2021)")
     p.add_argument("--mask-ratio", type=float, default=0.75)
     p.add_argument("--decoder-dim", type=int, default=512)
     p.add_argument("--decoder-depth", type=int, default=8)
     p.add_argument("--decoder-heads", type=int, default=16)
     p.add_argument("--no-norm-pix", action="store_true",
                    help="raw-pixel targets instead of per-patch normalized")
+    d = p.add_argument_group("dino (--method dino)")
+    d.add_argument("--local-size", type=int, default=None,
+                   help="local-crop resolution (default: image_size // 2, "
+                        "rounded down to a patch multiple)")
+    d.add_argument("--n-local", type=int, default=6,
+                   help="local crops per image (2 global crops are fixed)")
+    d.add_argument("--dino-dim", type=int, default=4096,
+                   help="prototype count K (paper: 65536 at ImageNet scale)")
+    d.add_argument("--dino-hidden", type=int, default=2048)
+    d.add_argument("--dino-bottleneck", type=int, default=256)
+    d.add_argument("--teacher-temp", type=float, default=0.04)
+    d.add_argument("--student-temp", type=float, default=0.1)
+    d.add_argument("--teacher-momentum", type=float, default=0.996,
+                   help="EMA base; follows a cosine to 1.0 over the run")
+    d.add_argument("--center-momentum", type=float, default=0.9)
+    d.add_argument("--freeze-last-epochs", type=int, default=1,
+                   help="freeze the prototype layer for the first N epochs")
+    d.add_argument("--no-norm-last", action="store_true",
+                   help="disable weight-norm on the prototype layer")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--log-every", type=int, default=50)
@@ -81,26 +112,62 @@ def main(argv=None):
     if args.compute_dtype:
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
 
-    mcfg = MAEConfig(encoder=cfg, decoder_dim=args.decoder_dim,
-                     decoder_depth=args.decoder_depth,
-                     decoder_heads=args.decoder_heads,
-                     mask_ratio=args.mask_ratio,
-                     norm_pix_loss=not args.no_norm_pix)
-
     train_ds, _ = make_datasets(args.data, cfg, args.seed)
-    # drop_last: MAE has no per-sample valid mask, so a zero-padded final
-    # batch would pollute the reconstruction loss.
+    # drop_last: neither family has a per-sample valid mask, so a
+    # zero-padded final batch would pollute the loss.
     loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
                          seed=args.seed, drop_last=True)
-    pre = make_preprocess(out_size=cfg.image_size)
+    steps_per_epoch = len(loader)
 
-    opt = make_optimizer(lr=args.lr, weight_decay=args.weight_decay)
-    state = create_mae_train_state(jax.random.PRNGKey(args.seed), mcfg, opt)
+    grad_clip = args.grad_clip
+    if grad_clip is None and args.method == "dino":
+        grad_clip = 3.0
+    opt = make_optimizer(lr=args.lr, weight_decay=args.weight_decay,
+                         grad_clip=grad_clip)
+    if args.method == "dino":
+        from vitx.nn.dino import (DINOConfig, create_dino_train_state,
+                                  make_dino_train_step)
+
+        local = args.local_size
+        if local is None:
+            local = max(cfg.image_size // 2 // cfg.patch_size, 1) \
+                * cfg.patch_size
+        dcfg = DINOConfig(
+            encoder=cfg, local_size=local, n_local=args.n_local,
+            out_dim=args.dino_dim, head_hidden=args.dino_hidden,
+            head_bottleneck=args.dino_bottleneck,
+            student_temp=args.student_temp, teacher_temp=args.teacher_temp,
+            center_momentum=args.center_momentum,
+            momentum=args.teacher_momentum,
+            norm_last_layer=not args.no_norm_last)
+        # DINO does its own crops/jitter/blur on device; the host pipeline
+        # only scales to [0,1] (mean=None keeps raw intensities — the view
+        # builder normalizes AFTER solarize, which needs [0,1]).
+        pre = make_preprocess(out_size=None, mean=None, random_flip=False)
+        state = create_dino_train_state(jax.random.PRNGKey(args.seed),
+                                        dcfg, opt)
+        step_fn = make_dino_train_step(
+            dcfg, opt, total_steps=args.epochs * steps_per_epoch,
+            freeze_last_steps=args.freeze_last_epochs * steps_per_epoch)
+        pre_train_flag = False
+    else:
+        mcfg = MAEConfig(encoder=cfg, decoder_dim=args.decoder_dim,
+                         decoder_depth=args.decoder_depth,
+                         decoder_heads=args.decoder_heads,
+                         mask_ratio=args.mask_ratio,
+                         norm_pix_loss=not args.no_norm_pix)
+        pre = make_preprocess(out_size=cfg.image_size)
+        state = create_mae_train_state(jax.random.PRNGKey(args.seed),
+                                       mcfg, opt)
+        step_fn = make_mae_train_step(mcfg, opt)
+        pre_train_flag = True
+
     start_epoch = 0
     if args.checkpoint_dir and find_latest(args.checkpoint_dir) is not None:
         state, meta = restore_latest(args.checkpoint_dir, state)
         start_epoch = int(meta.get("epoch", -1)) + 1
-        print(f"resumed MAE pretraining at epoch {start_epoch}")
+        print(f"resumed {args.method.upper()} pretraining at "
+              f"epoch {start_epoch}")
 
     mesh = None
     if args.dp is not None:
@@ -116,7 +183,6 @@ def main(argv=None):
             raise SystemExit(f"--batch-size {args.batch_size} must be "
                              f"divisible by --dp {args.dp}")
 
-    step_fn = make_mae_train_step(mcfg, opt)
     rng = jax.random.PRNGKey(args.seed + 1)
     writer = ScalarWriter(args.log_dir) if args.log_dir else None
     last = {}
@@ -124,17 +190,19 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
-        losses, pending = [], []
+        losses, pending, ents = [], [], []
         n_steps = 0
         for batch in device_prefetch(iter(loader)):
             images = pre(batch["image"], jax.random.fold_in(rng, n_steps),
-                         train=True)
+                         train=pre_train_flag)
             if mesh is not None:
                 from vitx.parallel import shard_batch
 
                 images = shard_batch({"image": images}, mesh)["image"]
             state, metrics = step_fn(state, {"image": images}, rng)
             pending.append(metrics["loss"])
+            if "teacher_entropy" in metrics:
+                ents.append(metrics["teacher_entropy"])
             n_steps += 1
             if len(pending) >= args.log_every:
                 losses.extend(float(x) for x in jax.device_get(pending))
@@ -148,19 +216,34 @@ def main(argv=None):
         imgs_per_sec = n_steps * args.batch_size / dt if dt else 0.0
         last = {"epoch": epoch, "loss": mean_loss,
                 "images_per_sec": round(imgs_per_sec, 1)}
-        print(f"epoch {epoch}: mae_loss {mean_loss:.4f} "
+        extra = ""
+        if ents:
+            ent = float(jax.device_get(ents[-1]))
+            last["teacher_entropy"] = round(ent, 4)
+            extra = f" teacher_H {ent:.3f}"
+            if writer:
+                writer.add_scalar("DINO/teacher_entropy", ent, epoch)
+        print(f"epoch {epoch}: {args.method}_loss {mean_loss:.4f}{extra} "
               f"({imgs_per_sec:.0f} img/s)")
         if writer:
             writer.add_scalar("Loss/pretrain_epoch", mean_loss, epoch)
         if args.checkpoint_dir:
             save_checkpoint(args.checkpoint_dir, state, epoch,
                             meta={"epoch": epoch, "loss": mean_loss,
-                                  "kind": "mae"})
+                                  "kind": args.method})
 
     if args.export_vit:
         ft_cfg = cfg.replace(final_norm=True)
-        vit_params = mae_to_vit_params(state.params, ft_cfg,
-                                       jax.random.PRNGKey(args.seed + 2))
+        if args.method == "dino":
+            from vitx.nn.dino import dino_to_vit_params
+
+            # export the TEACHER — the convention (Caron 2021 §4: the EMA
+            # teacher outperforms the student)
+            vit_params = dino_to_vit_params(state.teacher, ft_cfg,
+                                            jax.random.PRNGKey(args.seed + 2))
+        else:
+            vit_params = mae_to_vit_params(state.params, ft_cfg,
+                                           jax.random.PRNGKey(args.seed + 2))
         flat = {"/".join(path): np.asarray(leaf) for path, leaf in
                 _flatten_strs(vit_params)}
         np.savez(args.export_vit, **flat)
