@@ -1,0 +1,177 @@
+"""Pipeline parallelism (vitx/parallel/pipeline.py) on the virtual 8-device
+CPU mesh: GPipe-style stage pipelining must reproduce single-device training
+EXACTLY — same loss/accuracy trajectory, same final params, same confusion
+matrix — across (data x stage) layouts and microbatch counts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from vitx import ViTConfig
+from vitx.parallel import (
+    make_pp_eval_step,
+    make_pp_mesh,
+    make_pp_train_step,
+    place_pp_state,
+    pp_state_sharding,
+    shard_batch,
+)
+from vitx.train import create_train_state, make_eval_step, make_train_step
+from vitx.train.step import make_optimizer
+
+CFG = ViTConfig(image_size=16, patch_size=4, num_classes=4, embed_dim=32,
+                depth=4, num_heads=4, compute_dtype="float32")
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _batch(seed, n=16):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    return {"image": jax.random.normal(k1, (n, 16, 16, 3)),
+            "label": jax.random.randint(k2, (n,), 0, 4)}
+
+
+def _single_device(n_steps=3):
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    step = make_train_step(CFG, opt)
+    losses, accs = [], []
+    for i in range(n_steps):
+        state, m = step(state, _batch(i), None)
+        losses.append(float(m["loss"]))
+        accs.append(float(m["accuracy"]))
+    return losses, accs, state
+
+
+@pytest.mark.parametrize("dp,pp,n_micro", [(2, 4, 2), (4, 2, 4), (2, 4, 8),
+                                           (8, 1, 1)])
+def test_pp_matches_single_device(dp, pp, n_micro):
+    ref_losses, ref_accs, ref_state = _single_device()
+
+    mesh = make_pp_mesh(dp=dp, pp=pp)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state = place_pp_state(state, CFG, mesh)
+    shardings = pp_state_sharding(state, CFG, mesh)
+    step = make_pp_train_step(CFG, opt, mesh, n_micro=n_micro,
+                              state_shardings=shardings)
+    losses, accs = [], []
+    for i in range(3):
+        state, m = step(state, shard_batch(_batch(i), mesh), None)
+        losses.append(float(m["loss"]))
+        accs.append(float(m["accuracy"]))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+    np.testing.assert_allclose(accs, ref_accs, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(ref_state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pp_blocks_actually_stage_sharded():
+    mesh = make_pp_mesh(dp=2, pp=4)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state = place_pp_state(state, CFG, mesh)
+    wqkv = state.params["blocks"]["wqkv"]
+    assert wqkv.sharding.spec == P("stage")
+    L = CFG.depth
+    shard_shapes = {s.data.shape for s in wqkv.addressable_shards}
+    assert shard_shapes == {(L // 4,) + wqkv.shape[1:]}
+    # adam moments follow the stage sharding
+    mu_wqkv = state.opt_state[0][0].mu["blocks"]["wqkv"]
+    assert mu_wqkv.sharding.spec == P("stage")
+
+
+def test_pp_zero1_moments_data_sharded():
+    mesh = make_pp_mesh(dp=2, pp=4)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state = place_pp_state(state, CFG, mesh, zero1=True)
+    mu_wqkv = state.opt_state[0][0].mu["blocks"]["wqkv"]
+    # stage on the layer dim plus a data split of the largest free dim
+    assert "data" in jax.tree_util.tree_leaves(
+        [mu_wqkv.sharding.spec])[0] or "data" in str(mu_wqkv.sharding.spec)
+
+    shardings = pp_state_sharding(state, CFG, mesh, zero1=True)
+    step = make_pp_train_step(CFG, opt, mesh, n_micro=2,
+                              state_shardings=shardings)
+    state, m = step(state, shard_batch(_batch(0), mesh), None)
+    ref_losses, _, _ = _single_device(1)
+    np.testing.assert_allclose(float(m["loss"]), ref_losses[0], rtol=1e-4)
+
+
+def test_pp_eval_matches_single_device():
+    mesh = make_pp_mesh(dp=2, pp=4)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+
+    eval_single = make_eval_step(CFG)
+    batch = _batch(42, n=32)
+    cm_ref, loss_ref = eval_single(state.params, batch)
+
+    state_p = place_pp_state(state, CFG, mesh)
+    eval_pp = make_pp_eval_step(CFG, mesh, n_micro=4)
+    cm_pp, loss_pp = eval_pp(state_p.params, shard_batch(batch, mesh))
+    np.testing.assert_array_equal(np.asarray(cm_ref), np.asarray(cm_pp))
+    np.testing.assert_allclose(float(loss_ref), float(loss_pp), rtol=1e-5)
+
+
+def test_pp_eval_ragged_mask():
+    """Padded rows (mask=0) must not bias the psum-reduced confusion matrix
+    or the loss — the eval_step ragged-batch contract under pp."""
+    mesh = make_pp_mesh(dp=2, pp=4)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+
+    full = _batch(7, n=16)
+    ragged = {
+        "image": full["image"].at[12:].set(0.0),
+        "label": full["label"].at[12:].set(0),
+        "mask": jnp.array([1.0] * 12 + [0.0] * 4),
+    }
+    small = {k: v[:12] for k, v in full.items()}
+
+    eval_single = make_eval_step(CFG)
+    cm_ref, loss_ref = eval_single(state.params, small)
+
+    state_p = place_pp_state(state, CFG, mesh)
+    eval_pp = make_pp_eval_step(CFG, mesh, n_micro=2)
+    cm_pp, loss_pp = eval_pp(state_p.params, shard_batch(ragged, mesh))
+    np.testing.assert_array_equal(np.asarray(cm_ref), np.asarray(cm_pp))
+    np.testing.assert_allclose(float(loss_ref), float(loss_pp), rtol=1e-5)
+
+
+def test_pp_label_smoothing_matches():
+    opt = make_optimizer(lr=1e-3)
+    state0 = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    step0 = make_train_step(CFG, opt, label_smoothing=0.1)
+    state0, m0 = step0(state0, _batch(3), None)
+
+    mesh = make_pp_mesh(dp=2, pp=4)
+    state1 = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state1 = place_pp_state(state1, CFG, mesh)
+    shardings = pp_state_sharding(state1, CFG, mesh)
+    step1 = make_pp_train_step(CFG, opt, mesh, n_micro=2,
+                               state_shardings=shardings,
+                               label_smoothing=0.1)
+    state1, m1 = step1(state1, shard_batch(_batch(3), mesh), None)
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               rtol=1e-5)
+
+
+def test_pp_guards():
+    mesh = make_pp_mesh(dp=2, pp=4)
+    opt = make_optimizer(lr=1e-3)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_pp_train_step(CFG.replace(depth=3), opt, mesh)
+    with pytest.raises(ValueError, match="deterministic"):
+        make_pp_train_step(CFG.replace(dropout=0.1), opt, mesh)
+    with pytest.raises(ValueError, match="distill_token"):
+        make_pp_train_step(CFG.replace(distill_token=True), opt, mesh)
+    with pytest.raises(ValueError):
+        make_pp_mesh(dp=16, pp=4)

@@ -501,6 +501,19 @@ def _patch_drop(x, cfg: ViTConfig, rng):
     return jnp.concatenate([x[:, :p], kept, x[:, p + n:]], axis=1)
 
 
+def embed_tokens(params: Params, images, cfg: ViTConfig):
+    """Images -> the pre-block token sequence: patch embedding + CLS join +
+    positional embedding + register tokens, NO dropout. The stage-0 input
+    of the pipeline-parallel forward (vitx/parallel/pipeline.py) and the
+    first half of ``encode``."""
+    cdt = cfg.cdtype()
+    tokens = patch_embed(params, images, cfg)
+    B = tokens.shape[0]
+    x = _join_cls(params, tokens, cfg, B)
+    x = x + params["pos_embed"].astype(cdt)
+    return _append_registers(params, x, cfg, B)
+
+
 def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
            deterministic: bool = True, return_probs: bool = False,
            probs_mode: str = "full"):
@@ -509,13 +522,7 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
     The encoder is a single lax.scan over the stacked block params (see
     ``run_blocks``).
     """
-    cdt = cfg.cdtype()
-    tokens = patch_embed(params, images, cfg)
-    B = tokens.shape[0]
-
-    x = _join_cls(params, tokens, cfg, B)
-    x = x + params["pos_embed"].astype(cdt)
-    x = _append_registers(params, x, cfg, B)
+    x = embed_tokens(params, images, cfg)
     if rng is not None:
         if cfg.patch_drop and not deterministic:
             rng, r = jax.random.split(rng)

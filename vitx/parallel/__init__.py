@@ -1,4 +1,11 @@
 from vitx.parallel.mesh import make_mesh
+from vitx.parallel.pipeline import (
+    make_pp_eval_step,
+    make_pp_mesh,
+    make_pp_train_step,
+    place_pp_state,
+    pp_state_sharding,
+)
 from vitx.parallel.sharded import (
     batch_sharding,
     grad_sharding,
@@ -20,4 +27,9 @@ __all__ = [
     "shard_host_batch",
     "make_parallel_train_step",
     "make_parallel_eval_step",
+    "make_pp_mesh",
+    "pp_state_sharding",
+    "place_pp_state",
+    "make_pp_train_step",
+    "make_pp_eval_step",
 ]

@@ -158,7 +158,7 @@ def grad_sharding(params, cfg: ViTConfig, mesh: Mesh, tp: bool = False):
 
 def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
                    tp: bool = False, zero1: bool = False,
-                   zero3: bool = False):
+                   zero3: bool = False, pshard=None):
     """Sharding for the full TrainState.
 
     Params follow param_sharding; optimizer moments follow their parameter —
@@ -175,7 +175,8 @@ def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
     collectives, just these PartitionSpecs.
     """
     zero1 = zero1 or zero3
-    pshard = param_sharding(cfg, mesh, tp)
+    if pshard is None:
+        pshard = param_sharding(cfg, mesh, tp)
     if zero3:
         dp_size = mesh.shape[DATA_AXIS]
         pshard = jax.tree.map(
