@@ -175,3 +175,24 @@ def test_pp_guards():
         make_pp_train_step(CFG.replace(distill_token=True), opt, mesh)
     with pytest.raises(ValueError):
         make_pp_mesh(dp=16, pp=4)
+
+
+def test_pp_cli_end_to_end(tmp_path):
+    """`--pp 2 --dp 2` through the real train CLI on the virtual mesh."""
+    from vitx.cli.train import main
+
+    rc = main(["--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+               "--batch-size", "16", "--pp", "2", "--dp", "2",
+               "--pp-microbatches", "2",
+               "--checkpoint-dir", str(tmp_path / "ckpt")])
+    assert rc == 0 or rc is None
+
+
+def test_pp_trainer_rejects_unsupported_recipe():
+    from vitx.train.loop import Trainer, TrainerConfig
+
+    mesh = make_pp_mesh(dp=2, pp=4)
+    with pytest.raises(ValueError, match="label_smoothing only"):
+        Trainer(CFG, TrainerConfig(lr=1e-3, mixup_alpha=0.2), mesh=mesh)
+    with pytest.raises(ValueError, match="composes with dp"):
+        Trainer(CFG, TrainerConfig(lr=1e-3), mesh=mesh, zero3=True)

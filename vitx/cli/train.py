@@ -167,6 +167,13 @@ def build_argparser():
     p.add_argument("--zero", type=int, default=0, choices=[0, 1, 2, 3],
                    help="ZeRO stage: 1 = moments, 2 = moments + "
                         "reduce-scattered grads, 3 = params+moments (FSDP)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages (encoder blocks split "
+                        "across devices, GPipe microbatching; composes "
+                        "with --dp and --zero 1)")
+    p.add_argument("--pp-microbatches", type=int, default=4,
+                   help="microbatches per data shard for --pp (per-shard "
+                        "batch must be divisible by this)")
     return p
 
 
@@ -418,9 +425,20 @@ def main(argv=None):
         early_stop_patience=args.early_stop,
         early_stop_min_delta=args.early_stop_delta,
         steps_per_dispatch=args.steps_per_dispatch,
-        accum_steps=args.accum_steps)
+        accum_steps=args.accum_steps,
+        pp_microbatches=args.pp_microbatches)
     mesh = None
-    if args.dp is not None:
+    if args.pp > 1:
+        from vitx.parallel import make_pp_mesh
+
+        dp = args.dp if args.dp is not None else 1
+        per_shard = args.batch_size // dp
+        if args.batch_size % dp or per_shard % args.pp_microbatches:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by "
+                f"--dp {dp} x --pp-microbatches {args.pp_microbatches}")
+        mesh = make_pp_mesh(dp=dp, pp=args.pp)
+    elif args.dp is not None:
         from vitx.parallel import make_mesh
 
         mesh = make_mesh(dp=args.dp, tp=args.tp)

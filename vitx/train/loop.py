@@ -94,6 +94,10 @@ class TrainerConfig:
     # without k× activation memory. Composes with dp meshes (per-device
     # micro-batches) and remat for batch sizes past HBM.
     accum_steps: int = 1
+    # Microbatches per data shard for pipeline-parallel meshes (a mesh with
+    # a "stage" axis, vitx/parallel/pipeline.py). Bubble fraction is
+    # (stages-1)/(pp_microbatches+stages-1); per-shard batch must divide.
+    pp_microbatches: int = 4
     # Abort on a non-finite train loss at the next scalar flush (checked
     # host-side per log_every chunk — no extra device syncs). A diverged
     # run otherwise burns the rest of its epochs producing NaNs; the last
@@ -153,7 +157,40 @@ class Trainer:
         self._opt_has_schedule = any(
             _sched_leaf(n) for n in jax.tree_util.tree_leaves(
                 self.state.opt_state, is_leaf=_sched_leaf))
-        if mesh is not None:
+        if (mesh is not None and "stage" in mesh.axis_names
+                and mesh.shape["stage"] > 1):
+            # pipeline-parallel mesh (vitx/parallel/pipeline.py)
+            from vitx.parallel.pipeline import (
+                make_pp_eval_step,
+                make_pp_train_step,
+                place_pp_state,
+                pp_state_sharding,
+            )
+
+            if tp or zero2 or zero3:
+                raise ValueError("pipeline parallelism composes with dp and "
+                                 "zero1 only (tp/zero2/zero3 use the pjit "
+                                 "paths in vitx/parallel/sharded.py)")
+            unsupported = [name for name, v in (
+                ("mixup_alpha", tcfg.mixup_alpha),
+                ("cutmix_alpha", tcfg.cutmix_alpha),
+                ("sam_rho", tcfg.sam_rho),
+                ("class_weights", tcfg.class_weights),
+                ("train_filter", tcfg.train_filter)) if v]
+            if unsupported:
+                raise ValueError(
+                    f"pipeline-parallel training supports label_smoothing "
+                    f"only; unset {unsupported}")
+            self.state = place_pp_state(self.state, cfg, mesh, zero1=zero1)
+            shardings = pp_state_sharding(self.state, cfg, mesh,
+                                          zero1=zero1)
+            self.train_step = train_step or make_pp_train_step(
+                cfg, self.optimizer, mesh, n_micro=tcfg.pp_microbatches,
+                state_shardings=shardings,
+                label_smoothing=tcfg.label_smoothing)
+            self.eval_step = eval_step or make_pp_eval_step(
+                cfg, mesh, n_micro=tcfg.pp_microbatches)
+        elif mesh is not None:
             from vitx.parallel.sharded import (
                 grad_sharding,
                 make_parallel_eval_step,
