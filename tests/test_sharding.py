@@ -473,3 +473,46 @@ def test_distill_token_params_place_and_step():
     batch = shard_batch(_batch(0, n=16), mesh)
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sp_requires_tp():
+    """sp is a tp-axis feature: requesting it without a model axis is a
+    config error (vitx/parallel/sharded.py::sp_cfg)."""
+    from vitx.parallel.sharded import sp_cfg
+
+    with pytest.raises(ValueError, match="sp=True requires tp"):
+        sp_cfg(CFG, tp=False, sp=True)
+    assert sp_cfg(CFG, tp=False, sp=False) is CFG
+    assert sp_cfg(CFG, tp=True, sp=True).sp is True
+
+
+def test_sp_matches_single_device():
+    """Megatron sequence parallelism (cfg.sp): the inter-block residual
+    carriers are token-sharded over the model axis via
+    with_sharding_constraint (vitx/nn/vit.py::run_blocks). Pure layout
+    annotation — the tp+sp training trajectory must equal single-device
+    exactly, and eval must produce the identical confusion matrix."""
+    ref_losses, ref_state = _single_device_losses()
+
+    mesh = make_mesh(dp=4, tp=2)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state = place_state(state, CFG, mesh, tp=True)
+    step = make_parallel_train_step(CFG, opt, mesh, tp=True, sp=True)
+    losses = []
+    for i in range(3):
+        state, m = step(state, shard_batch(_batch(i), mesh), None)
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(ref_state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    eval_single = make_eval_step(CFG)
+    batch = _batch(42, n=32)
+    cm_ref, loss_ref = eval_single(ref_state.params, batch)
+    eval_sp = make_parallel_eval_step(CFG, mesh, tp=True, sp=True)
+    cm_sp, loss_sp = eval_sp(state.params, shard_batch(batch, mesh))
+    np.testing.assert_array_equal(np.asarray(cm_ref), np.asarray(cm_sp))
+    np.testing.assert_allclose(float(loss_ref), float(loss_sp), rtol=1e-4)

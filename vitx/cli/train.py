@@ -167,6 +167,10 @@ def build_argparser():
     p.add_argument("--zero", type=int, default=0, choices=[0, 1, 2, 3],
                    help="ZeRO stage: 1 = moments, 2 = moments + "
                         "reduce-scattered grads, 3 = params+moments (FSDP)")
+    p.add_argument("--sp", action="store_true",
+                   help="sequence parallelism (Megatron SP): residual "
+                        "stream token-sharded over the model axis between "
+                        "blocks; requires --tp > 1")
     p.add_argument("--pp", type=int, default=1,
                    help="pipeline-parallel stages (encoder blocks split "
                         "across devices, GPipe microbatching; composes "
@@ -428,6 +432,9 @@ def main(argv=None):
         accum_steps=args.accum_steps,
         pp_microbatches=args.pp_microbatches)
     mesh = None
+    if args.sp and args.tp <= 1:
+        raise SystemExit("--sp requires --tp > 1 (sequence parallelism "
+                         "shards the residual stream over the model axis)")
     if args.pp > 1:
         from vitx.parallel import make_pp_mesh
 
@@ -438,13 +445,13 @@ def main(argv=None):
                 f"--batch-size {args.batch_size} must be divisible by "
                 f"--dp {dp} x --pp-microbatches {args.pp_microbatches}")
         mesh = make_pp_mesh(dp=dp, pp=args.pp)
-    elif args.dp is not None:
+    elif args.dp is not None or args.tp > 1:
         from vitx.parallel import make_mesh
 
         mesh = make_mesh(dp=args.dp, tp=args.tp)
     trainer = Trainer(cfg, tcfg, preprocess=pre, mesh=mesh,
                       tp=args.tp > 1, zero1=args.zero == 1,
-                      zero2=args.zero == 2,
+                      zero2=args.zero == 2, sp=args.sp,
                       zero3=args.zero == 3, init_state=init_state,
                       optimizer=optimizer, train_step=train_step)
     from vitx.train.loop import NonFiniteLossError

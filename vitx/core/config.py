@@ -144,6 +144,18 @@ class ViTConfig:
 
     layer_norm_eps: float = 1e-5  # torch nn.LayerNorm default, for parity
 
+    # Sequence parallelism (Megatron-LM SP, Korthikanti et al. 2022): under
+    # a tensor-parallel mesh, keep the residual stream SHARDED over the
+    # token dim on the model axis between blocks — the LN/residual segments
+    # that tp otherwise replicates run (and store activations) at 1/tp, and
+    # XLA turns the out-projection all-reduce into reduce-scatter +
+    # all-gather pairs at the matmul boundaries. Pure sharding annotation
+    # (with_sharding_constraint on the block carriers, vit.py::run_blocks);
+    # numerics are unchanged. Set via make_parallel_*_step(sp=True) /
+    # --sp; requires a (data, model) mesh context — not a single-device
+    # flag.
+    sp: bool = False
+
     # --- reference-semantics mode ---
     # "corrected": CLS prepended, attention scaled by 1/sqrt(head_dim) (the
     #   notebook/C semantics; what every preset uses).

@@ -413,6 +413,23 @@ def run_blocks(blocks: Params, x, cfg: ViTConfig, *, rng=None,
             )
             return (y, pend), (probs if return_probs else None)
         xs = blocks
+    if cfg.sp:
+        # Sequence parallelism (config.py::sp): pin the inter-block residual
+        # carriers token-sharded over the model axis. XLA reduce-scatters
+        # each block's out-projection into the carrier and all-gathers at
+        # the next full-T consumer (attention), so LN/residual memory and
+        # math run at 1/tp between blocks.
+        from jax.sharding import PartitionSpec as _P
+
+        _spec = _P("data", "model", None)
+        _inner = block_fn
+
+        def block_fn(carry, xs_):
+            (y2, pend2), out2 = _inner(carry, xs_)
+            y2 = jax.lax.with_sharding_constraint(y2, _spec)
+            pend2 = jax.lax.with_sharding_constraint(pend2, _spec)
+            return (y2, pend2), out2
+
     # Rematerialize each block in the backward pass: HBM, not FLOPs, is the
     # training-memory bottleneck (SURVEY §7 / scaling-book recipe).
     if cfg.remat == "block":

@@ -260,6 +260,18 @@ def place_state(state: TrainState, cfg: ViTConfig, mesh: Mesh,
     return jax.tree.map(jax.device_put, state, shardings)
 
 
+def sp_cfg(cfg: ViTConfig, tp: bool, sp: bool) -> ViTConfig:
+    """Enable Megatron-style sequence parallelism (config.py::sp): the
+    residual stream between blocks stays token-sharded over ``model``.
+    Only meaningful under tp>1 (the model axis must exist and be busy)."""
+    if not sp:
+        return cfg
+    if not tp:
+        raise ValueError("sp=True requires tp (sequence parallelism shards "
+                         "the residual stream over the model axis)")
+    return cfg.replace(sp=True)
+
+
 def tp_safe_cfg(cfg: ViTConfig, tp: bool) -> ViTConfig:
     """Mesh-aware kernel-fusion gating (VERDICT r2 item 4): the fused
     MHA/MLP kernels' custom_partitioning rules replicate weights on the
@@ -285,7 +297,8 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                              cutmix_alpha: float | None = None,
                              sam_rho: float | None = None,
                              class_weights=None, grad_shardings=None,
-                             train_filter: str | None = None):
+                             train_filter: str | None = None,
+                             sp: bool = False):
     """Jitted SPMD train step. State donated; grads psum over ``data``.
 
     Shardings are inferred from the placed inputs (pjit committed-input
@@ -297,7 +310,7 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
     update runs sharded. Redundant under zero3 (sharded params already
     yield sharded grads).
     """
-    cfg = tp_safe_cfg(cfg, tp)
+    cfg = sp_cfg(tp_safe_cfg(cfg, tp), tp, sp)
     step_fn = partial(train_step, cfg=cfg, optimizer=optimizer,
                       label_smoothing=label_smoothing,
                       mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha,
@@ -314,12 +327,31 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
         metric_shardings = {"loss": rep, "accuracy": rep, "grad_norm": rep}
         kw["out_shardings"] = (state_shardings, metric_shardings)
     del zero1, zero3  # encoded in the shardings; call-site clarity
-    return jax.jit(wrapped, donate_argnums=(0,), **kw)
+    jitted = jax.jit(wrapped, donate_argnums=(0,), **kw)
+    if not sp:
+        return jitted
+
+    def with_mesh(state, batch, rng=None):
+        # sp's with_sharding_constraint uses bare PartitionSpecs, which
+        # need a mesh context at trace time
+        with jax.set_mesh(mesh):
+            return jitted(state, batch, rng)
+
+    return with_mesh
 
 
-def make_parallel_eval_step(cfg: ViTConfig, mesh: Mesh, tp: bool = False):
+def make_parallel_eval_step(cfg: ViTConfig, mesh: Mesh, tp: bool = False,
+                            sp: bool = False):
     """Jitted SPMD eval step; confusion matrix psum-reduced to replicated."""
-    cfg = tp_safe_cfg(cfg, tp)
+    cfg = sp_cfg(tp_safe_cfg(cfg, tp), tp, sp)
     rep = NamedSharding(mesh, P())
-    return jax.jit(partial(eval_step, cfg=cfg),
-                   out_shardings=(rep, rep))
+    jitted = jax.jit(partial(eval_step, cfg=cfg),
+                     out_shardings=(rep, rep))
+    if not sp:
+        return jitted
+
+    def with_mesh(params, batch):
+        with jax.set_mesh(mesh):
+            return jitted(params, batch)
+
+    return with_mesh

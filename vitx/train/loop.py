@@ -129,7 +129,8 @@ class Trainer:
                  preprocess: Callable | None = None,
                  train_step=None, eval_step=None, init_state=None,
                  mesh=None, tp: bool = False, zero1: bool = False,
-                 zero2: bool = False, zero3: bool = False, optimizer=None):
+                 zero2: bool = False, zero3: bool = False,
+                 sp: bool = False, optimizer=None):
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
@@ -212,15 +213,15 @@ class Trainer:
                       if zero2 and not zero3 else None)
             self.train_step = train_step or make_parallel_train_step(
                 cfg, self.optimizer, mesh, tp=tp, zero1=zero1, zero3=zero3,
-                state_shardings=shardings, grad_shardings=gshard,
+                sp=sp, state_shardings=shardings, grad_shardings=gshard,
                 label_smoothing=tcfg.label_smoothing,
                 mixup_alpha=tcfg.mixup_alpha,
                 cutmix_alpha=tcfg.cutmix_alpha,
                 sam_rho=tcfg.sam_rho,
                 class_weights=tcfg.class_weights,
                 train_filter=tcfg.train_filter)
-            self.eval_step = eval_step or make_parallel_eval_step(cfg, mesh,
-                                                                  tp=tp)
+            self.eval_step = eval_step or make_parallel_eval_step(
+                cfg, mesh, tp=tp, sp=sp)
         else:
             self.train_step = (train_step
                                or make_train_step(
