@@ -167,6 +167,19 @@ def build_argparser():
     p.add_argument("--zero", type=int, default=0, choices=[0, 1, 2, 3],
                    help="ZeRO stage: 1 = moments, 2 = moments + "
                         "reduce-scattered grads, 3 = params+moments (FSDP)")
+    p.add_argument("--moe-experts", type=int, default=0, metavar="N",
+                   help="Soft-MoE (Puigcerver 2023): replace the dense MLP "
+                        "of the trailing blocks with N soft-routed expert "
+                        "MLPs (static shapes, no token dropping)")
+    p.add_argument("--moe-blocks", type=int, default=0,
+                   help="how many FINAL blocks are MoE blocks "
+                        "(0 = depth // 2)")
+    p.add_argument("--moe-slots", type=int, default=0,
+                   help="slots per expert (0 = seq_len // experts)")
+    p.add_argument("--ep", type=int, default=1,
+                   help="expert-parallel mesh axis size: MoE expert "
+                        "weights/slots shard over it (requires "
+                        "--moe-experts divisible by it)")
     p.add_argument("--sp", action="store_true",
                    help="sequence parallelism (Megatron SP): residual "
                         "stream token-sharded over the model axis between "
@@ -270,6 +283,10 @@ def main(argv=None):
         cfg = cfg.replace(distill_token=True)
     if args.num_registers:
         cfg = cfg.replace(num_registers=args.num_registers)
+    if args.moe_experts:
+        cfg = cfg.replace(moe_experts=args.moe_experts,
+                          moe_blocks=args.moe_blocks,
+                          moe_slots=args.moe_slots)
     if args.lora_rank:
         cfg = cfg.replace(lora_rank=args.lora_rank,
                           lora_alpha=args.lora_alpha,
@@ -435,6 +452,12 @@ def main(argv=None):
     if args.sp and args.tp <= 1:
         raise SystemExit("--sp requires --tp > 1 (sequence parallelism "
                          "shards the residual stream over the model axis)")
+    if args.ep > 1 and not args.moe_experts:
+        raise SystemExit("--ep > 1 requires --moe-experts (expert "
+                         "parallelism shards MoE expert weights)")
+    if args.ep > 1 and args.pp > 1:
+        raise SystemExit("--ep does not compose with --pp (MoE models use "
+                         "dp/tp/ep meshes)")
     if args.pp > 1:
         from vitx.parallel import make_pp_mesh
 
@@ -445,13 +468,13 @@ def main(argv=None):
                 f"--batch-size {args.batch_size} must be divisible by "
                 f"--dp {dp} x --pp-microbatches {args.pp_microbatches}")
         mesh = make_pp_mesh(dp=dp, pp=args.pp)
-    elif args.dp is not None or args.tp > 1:
+    elif args.dp is not None or args.tp > 1 or args.ep > 1:
         from vitx.parallel import make_mesh
 
-        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        mesh = make_mesh(dp=args.dp, tp=args.tp, ep=args.ep)
     trainer = Trainer(cfg, tcfg, preprocess=pre, mesh=mesh,
                       tp=args.tp > 1, zero1=args.zero == 1,
-                      zero2=args.zero == 2, sp=args.sp,
+                      zero2=args.zero == 2, sp=args.sp, ep=args.ep > 1,
                       zero3=args.zero == 3, init_state=init_state,
                       optimizer=optimizer, train_step=train_step)
     from vitx.train.loop import NonFiniteLossError

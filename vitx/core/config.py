@@ -142,6 +142,32 @@ class ViTConfig:
     lora_alpha: float = 0.0      # 0.0 -> defaults to lora_rank (scale 1)
     lora_targets: str = "attn"
 
+    # Soft Mixture-of-Experts MLPs (Soft-MoE, Puigcerver et al. 2023): the
+    # LAST ``moe_block_count`` blocks replace their dense MLP with a soft
+    # mixture of ``moe_experts`` expert MLPs. Each expert processes
+    # ``moe_slot_count`` slots; every slot is a learned SOFT (convex)
+    # combination of all tokens, and every token's output is a soft
+    # combination of all slot outputs — fully differentiable, no token
+    # dropping, no load-balancing loss, and (critically for TPU) every
+    # shape is static: the whole layer is five einsums + two softmaxes,
+    # so XLA tiles it straight onto the MXU. Parameter count scales with
+    # moe_experts while per-token FLOPs stay roughly constant (set by the
+    # total slot count). 0 = off (dense MLPs everywhere).
+    moe_experts: int = 0
+    # How many FINAL blocks are MoE blocks (the paper's "last half"
+    # placement). 0 with moe_experts > 0 -> depth // 2.
+    moe_blocks: int = 0
+    # Slots per expert. 0 -> max(1, seq_len // moe_experts) (total slots ~=
+    # sequence length, the paper's FLOP-matched default).
+    moe_slots: int = 0
+    # Expert parallelism (sharding annotation, like ``sp``): shard the
+    # expert dimension of the MoE weights and slot activations over the
+    # mesh's ``expert`` axis (vitx/parallel/mesh.py::make_mesh(ep=...)).
+    # The batch is sharded over data x expert outside the MoE layers; XLA
+    # inserts the dp<->ep all-to-alls at the slot einsums. Set via
+    # make_parallel_*_step(ep=True) / --ep; requires an expert mesh axis.
+    ep: bool = False
+
     layer_norm_eps: float = 1e-5  # torch nn.LayerNorm default, for parity
 
     # Sequence parallelism (Megatron-LM SP, Korthikanti et al. 2022): under
@@ -275,6 +301,27 @@ class ViTConfig:
                 "lora_rank is a beyond-reference extension; bug_exact "
                 "parity reproduces the reference model, which has no "
                 "LoRA adapters")
+        if self.moe_experts < 0 or self.moe_blocks < 0 or self.moe_slots < 0:
+            raise ValueError("moe_experts/moe_blocks/moe_slots must be >= 0")
+        if self.moe_blocks and not self.moe_experts:
+            raise ValueError("moe_blocks > 0 needs moe_experts > 0")
+        if self.moe_experts:
+            if self.parity == "bug_exact":
+                raise ValueError(
+                    "moe_experts is a beyond-reference extension; bug_exact "
+                    "parity reproduces the reference model, which has no "
+                    "MoE blocks")
+            if self.lora_rank:
+                raise ValueError("moe_experts + lora_rank is unsupported: "
+                                 "LoRA adapters target the dense block "
+                                 "weights only")
+            if self.moe_blocks > self.depth:
+                raise ValueError(
+                    f"moe_blocks {self.moe_blocks} exceeds depth {self.depth}")
+        if self.tome_r and self.moe_experts:
+            raise ValueError(
+                "tome_r + moe_experts is unsupported: the ToMe encoder "
+                "runs the dense per-block path and has no soft-MoE MLP")
         if isinstance(self.tome_r, (list, tuple)):
             # normalize: JSON round-trips tuples as lists; an all-zero
             # schedule is just "off" (and must not be truthy at call sites)
@@ -356,6 +403,27 @@ class ViTConfig:
         if isinstance(self.tome_r, tuple):
             return self.tome_r
         return (self.tome_r,) * self.depth
+
+    @property
+    def moe_block_count(self) -> int:
+        """MoE blocks at the END of the encoder (0 when MoE is off)."""
+        if not self.moe_experts:
+            return 0
+        return self.moe_blocks if self.moe_blocks else self.depth // 2
+
+    @property
+    def dense_block_count(self) -> int:
+        """Leading dense blocks (== depth when MoE is off)."""
+        return self.depth - self.moe_block_count
+
+    @property
+    def moe_slot_count(self) -> int:
+        """Slots per expert (paper default: total slots ~= seq_len)."""
+        if not self.moe_experts:
+            return 0
+        if self.moe_slots:
+            return self.moe_slots
+        return max(1, self.seq_len // self.moe_experts)
 
     @property
     def lora_scale(self) -> float:

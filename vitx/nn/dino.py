@@ -98,6 +98,10 @@ class DINOConfig:
             raise ValueError("DINO pretraining requires the corrected token "
                              "layout (parity='fixed'); bug_exact exists only "
                              "to reproduce reference-trained checkpoints")
+        if e.moe_experts:
+            raise ValueError("DINO pretraining of Soft-MoE encoders is "
+                             "unsupported; pretrain dense and add MoE "
+                             "blocks on the fine-tune config")
         if e.num_registers:
             raise ValueError("DINO pretraining does not thread register "
                              "tokens; pretrain with num_registers=0 and add "

@@ -52,6 +52,10 @@ def quantize_for_runtime(params: Params, cfg: ViTConfig) -> Params:
                          "QK-Norm — serve qk_norm checkpoints on the float "
                          "path (int8 ARTIFACTS are fine: they dequantize "
                          "into the normal forward)")
+    if cfg.moe_experts:
+        raise ValueError("the int8 runtime block loop does not implement "
+                         "Soft-MoE blocks — serve MoE checkpoints on the "
+                         "float path")
     if cfg.lora_rank:
         # the int8 block loop reads dense names only — fold the adapters
         # first so the quantized weights ARE the adapted weights

@@ -58,6 +58,10 @@ class MAEConfig:
             raise ValueError("MAE pretraining has no distillation target; "
                              "use distill_token=False for the encoder and "
                              "enable it on the fine-tune config instead")
+        if self.encoder.moe_experts:
+            raise ValueError("MAE pretraining of Soft-MoE encoders is "
+                             "unsupported; pretrain dense and add MoE "
+                             "blocks on the fine-tune config")
 
     @property
     def num_patches(self) -> int:

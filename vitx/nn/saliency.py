@@ -40,9 +40,16 @@ def _embed(params, images, cfg: ViTConfig):
     return _append_registers(params, x, cfg, B)
 
 
+def _last_block_params(params, cfg: ViTConfig):
+    """The last encoder block's (unstacked) params — the trailing MoE block
+    for MoE models (vitx/nn/moe.py), else the last dense block."""
+    stack = (params["moe_blocks"] if cfg.moe_experts else params["blocks"])
+    return jax.tree_util.tree_map(lambda a: a[-1], stack)
+
+
 def _logits_from_last_block_input(params, f, cfg: ViTConfig):
     """Tokens entering the last block -> fused classifier logits."""
-    last_bp = jax.tree_util.tree_map(lambda a: a[-1], params["blocks"])
+    last_bp = _last_block_params(params, cfg)
     x, mlp_out, _ = _encoder_block(f, jnp.zeros_like(f), last_bp, cfg,
                                    rng=None, deterministic=True,
                                    return_probs=False)
@@ -70,8 +77,18 @@ def grad_cam(params, images, cfg: ViTConfig, *, class_idx=None):
     B = x0.shape[0]
     # blocks 0..L-2 (a length-(L-1) scan; empty and fine at depth == 1),
     # resolving the pending residual so f IS the last block's input
-    head_blocks = jax.tree_util.tree_map(lambda a: a[:-1], params["blocks"])
-    f, _ = run_blocks(head_blocks, x0, cfg)
+    if cfg.moe_experts:
+        km = cfg.moe_block_count
+        f, _ = run_blocks(params["blocks"], x0, cfg,
+                          depth=cfg.dense_block_count)
+        if km > 1:
+            moe_head = jax.tree_util.tree_map(lambda a: a[:-1],
+                                              params["moe_blocks"])
+            f, _ = run_blocks(moe_head, f, cfg, depth=km - 1)
+    else:
+        head_blocks = jax.tree_util.tree_map(lambda a: a[:-1],
+                                             params["blocks"])
+        f, _ = run_blocks(head_blocks, x0, cfg)
 
     logits = _logits_from_last_block_input(params, f, cfg)
     if class_idx is None:

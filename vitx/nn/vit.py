@@ -41,13 +41,14 @@ def _trunc_normal(rng, shape, std, dtype):
         .astype(dtype)
 
 
-def init_blocks(rng, cfg: ViTConfig) -> Params:
+def init_blocks(rng, cfg: ViTConfig, depth: int | None = None) -> Params:
     """Initialize the stacked block params for ``cfg``'s geometry — the
     pytree ``run_blocks`` scans over. Also used standalone by the MAE
-    decoder (vitx/nn/mae.py)."""
+    decoder (vitx/nn/mae.py). ``depth`` overrides ``cfg.depth`` (the MoE
+    split inits the leading dense segment separately)."""
     pdt = cfg.pdtype()
-    E, H, D, L, M = (cfg.embed_dim, cfg.num_heads, cfg.head_dim, cfg.depth,
-                     cfg.mlp_dim)
+    E, H, D, M = cfg.embed_dim, cfg.num_heads, cfg.head_dim, cfg.mlp_dim
+    L = cfg.depth if depth is None else depth
     std = cfg.init_std
     keys = jax.random.split(rng, 4)
 
@@ -137,7 +138,18 @@ def init_params(rng, cfg: ViTConfig) -> Params:
             "w": jnp.zeros((E, cfg.num_classes), pdt),
             "b": jnp.zeros((cfg.num_classes,), pdt),
         }
-    params["blocks"] = init_blocks(next(k), cfg)
+    if cfg.moe_experts:
+        # leading dense blocks + trailing Soft-MoE blocks (vitx/nn/moe.py).
+        # fold_in for the MoE subtree: a wider split would shift every
+        # pinned non-MoE init (golden/parity tests)
+        from vitx.nn.moe import init_moe_blocks
+
+        params["blocks"] = init_blocks(next(k), cfg,
+                                       depth=cfg.dense_block_count)
+        params["moe_blocks"] = init_moe_blocks(
+            jax.random.fold_in(rng, 0x30E), cfg)
+    else:
+        params["blocks"] = init_blocks(next(k), cfg)
 
     if cfg.final_norm:
         params["final_norm"] = {
@@ -358,7 +370,16 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
         attn_out = drop_path(attn_out, dp_rate, r_dp1,
                              deterministic=deterministic)
 
-    if _use_fused_mlp(cfg):
+    if "phi" in bp:
+        # Soft-MoE MLP block (vitx/nn/moe.py): the dense MLP (and its fused
+        # kernel) is replaced by the expert mixture; the attention half
+        # above is untouched
+        from vitx.nn.moe import soft_moe_mlp
+
+        x, h = add_layer_norm(x, attn_out, bp["ln2_scale"], bp["ln2_bias"],
+                              eps=cfg.layer_norm_eps)
+        mlp_out = soft_moe_mlp(h, bp, cfg)
+    elif _use_fused_mlp(cfg):
         from vitx.kernels.mlp_block import fused_mlp_block
 
         x = x + attn_out
@@ -382,7 +403,8 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
 
 def run_blocks(blocks: Params, x, cfg: ViTConfig, *, rng=None,
                deterministic: bool = True, return_probs: bool = False,
-               probs_mode: str = "full"):
+               probs_mode: str = "full", depth: int | None = None,
+               dp_rates=None):
     """Run the stacked pre-LN blocks over tokens x (B, T, E) as ONE lax.scan.
 
     The TPU-native replacement for the reference's nn.Sequential of Blocks
@@ -390,8 +412,11 @@ def run_blocks(blocks: Params, x, cfg: ViTConfig, *, rng=None,
     and the MAE encoder/decoder (vitx/nn/mae.py). ``cfg`` supplies the block
     geometry (embed_dim/num_heads/mlp), regularization, remat policy and
     kernel-fusion knobs — blocks of any dimensions run through the same
-    machinery.
+    machinery. ``depth``/``dp_rates`` override the segment length and
+    stochastic-depth schedule when ``blocks`` is one segment of a split
+    encoder (the MoE split, ``_run_encoder``).
     """
+    L = cfg.depth if depth is None else depth
     if rng is not None:
         def block_fn(carry, layer_in):
             bp, r, dp_rate = layer_in
@@ -402,9 +427,10 @@ def run_blocks(blocks: Params, x, cfg: ViTConfig, *, rng=None,
             )
             return (y, pend), (probs if return_probs else None)
         # stochastic-depth schedule: 0 at block 0 -> cfg.drop_path at the top
-        dp_rates = (jnp.linspace(0.0, cfg.drop_path, cfg.depth)
-                    if cfg.drop_path else jnp.zeros((cfg.depth,)))
-        xs = (blocks, jax.random.split(rng, cfg.depth), dp_rates)
+        if dp_rates is None:
+            dp_rates = (jnp.linspace(0.0, cfg.drop_path, L)
+                        if cfg.drop_path else jnp.zeros((L,)))
+        xs = (blocks, jax.random.split(rng, L), dp_rates)
     else:
         def block_fn(carry, bp):
             y, pend, probs = _encoder_block(
@@ -450,8 +476,45 @@ def run_blocks(blocks: Params, x, cfg: ViTConfig, *, rng=None,
     else:
         body = block_fn
     (x, pending), probs = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs,
-                                       unroll=cfg.scan_unroll)
+                                       unroll=max(1, min(cfg.scan_unroll, L)))
     return x + pending, probs
+
+
+def _run_encoder(params: Params, x, cfg: ViTConfig, *, rng=None,
+                 deterministic: bool = True, return_probs: bool = False,
+                 probs_mode: str = "full"):
+    """Run the full encoder stack: one ``run_blocks`` scan for dense models,
+    a dense segment + a Soft-MoE segment when ``cfg.moe_experts`` (two scans
+    — each segment is shape-homogeneous, so each compiles one block body).
+
+    Between segments the residual pair collapses to ``(x + pending, 0)``,
+    which is exact: the next block's first op is ``add_layer_norm(x,
+    pending, ...)``, which only ever reads the sum.
+    """
+    if not cfg.moe_experts:
+        return run_blocks(params["blocks"], x, cfg, rng=rng,
+                          deterministic=deterministic,
+                          return_probs=return_probs, probs_mode=probs_mode)
+    kd, km = cfg.dense_block_count, cfg.moe_block_count
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    rates = (jnp.linspace(0.0, cfg.drop_path, cfg.depth)
+             if cfg.drop_path else jnp.zeros((cfg.depth,)))
+    p1 = None
+    if kd:
+        x, p1 = run_blocks(params["blocks"], x, cfg, rng=r1,
+                           deterministic=deterministic,
+                           return_probs=return_probs, probs_mode=probs_mode,
+                           depth=kd, dp_rates=rates[:kd])
+    x, p2 = run_blocks(params["moe_blocks"], x, cfg, rng=r2,
+                       deterministic=deterministic,
+                       return_probs=return_probs, probs_mode=probs_mode,
+                       depth=km, dp_rates=rates[kd:])
+    probs = None
+    if return_probs:
+        probs = p2 if p1 is None else jnp.concatenate([p1, p2], axis=0)
+    return x, probs
 
 
 def _join_cls(params: Params, tokens, cfg: ViTConfig, B: int):
@@ -547,9 +610,9 @@ def encode(params: Params, images, cfg: ViTConfig, *, rng=None,
         rng, r = jax.random.split(rng)
         x = dropout(x, cfg.dropout, r, deterministic=deterministic)
 
-    x, probs = run_blocks(params["blocks"], x, cfg, rng=rng,
-                          deterministic=deterministic,
-                          return_probs=return_probs, probs_mode=probs_mode)
+    x, probs = _run_encoder(params, x, cfg, rng=rng,
+                            deterministic=deterministic,
+                            return_probs=return_probs, probs_mode=probs_mode)
 
     if cfg.final_norm:
         fn = params["final_norm"]
@@ -774,9 +837,20 @@ def forward_with_rollout(params: Params, images, cfg: ViTConfig):
         return (y, pend, rollout), None
 
     r0 = jnp.broadcast_to(eye, (B, T, T))
-    (x, pending, rollout), _ = jax.lax.scan(
-        block_fn, (x, jnp.zeros_like(x), r0), params["blocks"],
-        unroll=cfg.scan_unroll)
+    carry = (x, jnp.zeros_like(x), r0)
+    if cfg.moe_experts:
+        # dense segment, then the Soft-MoE segment (see _run_encoder)
+        if cfg.dense_block_count:
+            carry, _ = jax.lax.scan(
+                block_fn, carry, params["blocks"],
+                unroll=max(1, min(cfg.scan_unroll, cfg.dense_block_count)))
+        carry, _ = jax.lax.scan(
+            block_fn, carry, params["moe_blocks"],
+            unroll=max(1, min(cfg.scan_unroll, cfg.moe_block_count)))
+    else:
+        carry, _ = jax.lax.scan(block_fn, carry, params["blocks"],
+                                unroll=cfg.scan_unroll)
+    x, pending, rollout = carry
     x = x + pending
 
     if cfg.final_norm:

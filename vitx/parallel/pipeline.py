@@ -80,6 +80,11 @@ def pp_param_pspecs(cfg: ViTConfig) -> dict:
     """PartitionSpecs for pipeline parallelism: every stacked (L, ...) block
     leaf is sharded over ``stage`` on its layer dim; everything else
     (embed/cls/pos/head — tiny vs the blocks) is replicated."""
+    if cfg.moe_experts:
+        raise ValueError(
+            "pipeline parallelism over Soft-MoE models is unsupported: pp "
+            "splits the homogeneous dense block stack across stages; use "
+            "dp/tp/ep for MoE configs (vitx/parallel/sharded.py)")
     specs = param_pspecs(cfg, tp=False)
     specs["blocks"] = jax.tree.map(
         lambda s: P(STAGE_AXIS), specs["blocks"],

@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vitx.core.config import ViTConfig
-from vitx.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from vitx.parallel.mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 from vitx.train.step import TrainState, eval_step, train_step
 
 
@@ -79,7 +79,26 @@ def _block_specs(cfg: ViTConfig, tp: bool) -> dict:
     return specs
 
 
-def param_pspecs(cfg: ViTConfig, tp: bool = False) -> dict:
+def _moe_block_specs(cfg: ViTConfig, tp: bool, ep: bool) -> dict:
+    """PartitionSpecs for the stacked trailing MoE blocks (vitx/nn/moe.py):
+    the standard attention specs plus router/expert-weight specs — the
+    expert dim shards over ``expert`` (ep), the MLP hidden dim over
+    ``model`` (tp); both compose."""
+    specs = _block_specs(cfg, tp)
+    for name in ("w1", "b1", "w2", "b2"):
+        specs.pop(name)
+    e = EXPERT_AXIS if ep else None
+    m = MODEL_AXIS if tp else None
+    specs["phi"] = P()                        # (k, E, n, s): tiny; replicate
+    specs["router_scale"] = P()
+    specs["ew1"] = P(None, e, None, m)        # (k, n, E, M)
+    specs["eb1"] = P(None, e, m)              # (k, n, M)
+    specs["ew2"] = P(None, e, m, None)        # (k, n, M, E)
+    specs["eb2"] = P(None, e, None)           # (k, n, E)
+    return specs
+
+
+def param_pspecs(cfg: ViTConfig, tp: bool = False, ep: bool = False) -> dict:
     """PartitionSpec pytree matching init_params' structure."""
     if cfg.stem == "conv":
         # conv-stem params (vitx/nn/vit.py::init_params): one dict per conv
@@ -95,6 +114,8 @@ def param_pspecs(cfg: ViTConfig, tp: bool = False) -> dict:
         "pos_embed": P(),
         "blocks": _block_specs(cfg, tp),
     }
+    if cfg.moe_experts:
+        specs["moe_blocks"] = _moe_block_specs(cfg, tp, ep)
     if cfg.distill_token:
         specs["dist_token"] = P()
         specs["dist_head"] = {"ln_scale": P(), "ln_bias": P(),
@@ -118,9 +139,10 @@ def param_pspecs(cfg: ViTConfig, tp: bool = False) -> dict:
     return specs
 
 
-def param_sharding(cfg: ViTConfig, mesh: Mesh, tp: bool = False):
+def param_sharding(cfg: ViTConfig, mesh: Mesh, tp: bool = False,
+                   ep: bool = False):
     return jax.tree.map(lambda s: NamedSharding(mesh, s),
-                        param_pspecs(cfg, tp),
+                        param_pspecs(cfg, tp, ep),
                         is_leaf=lambda x: isinstance(x, P))
 
 
@@ -136,7 +158,8 @@ def _data_shard(shard, shape, dp, mesh):
     return shard
 
 
-def grad_sharding(params, cfg: ViTConfig, mesh: Mesh, tp: bool = False):
+def grad_sharding(params, cfg: ViTConfig, mesh: Mesh, tp: bool = False,
+                  ep: bool = False):
     """Data-axis shardings for the GRADIENTS (ZeRO-2).
 
     Each gradient leaf gets its parameter's sharding plus a ``data``-axis
@@ -149,7 +172,7 @@ def grad_sharding(params, cfg: ViTConfig, mesh: Mesh, tp: bool = False):
     (and its fp32 moment reads/writes) runs at 1/dp cost per rank.
     """
     dp_size = mesh.shape[DATA_AXIS]
-    pshard = param_sharding(cfg, mesh, tp)
+    pshard = param_sharding(cfg, mesh, tp, ep)
     return jax.tree.map(
         lambda shard, p: (_data_shard(shard, np.shape(p), dp_size, mesh)
                           if np.size(p) >= 1024 else shard),
@@ -158,7 +181,7 @@ def grad_sharding(params, cfg: ViTConfig, mesh: Mesh, tp: bool = False):
 
 def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
                    tp: bool = False, zero1: bool = False,
-                   zero3: bool = False, pshard=None):
+                   zero3: bool = False, pshard=None, ep: bool = False):
     """Sharding for the full TrainState.
 
     Params follow param_sharding; optimizer moments follow their parameter —
@@ -176,7 +199,7 @@ def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
     """
     zero1 = zero1 or zero3
     if pshard is None:
-        pshard = param_sharding(cfg, mesh, tp)
+        pshard = param_sharding(cfg, mesh, tp, ep)
     if zero3:
         dp_size = mesh.shape[DATA_AXIS]
         pshard = jax.tree.map(
@@ -217,16 +240,25 @@ def state_sharding(state: TrainState, cfg: ViTConfig, mesh: Mesh,
     )
 
 
+def _batch_axes(mesh: Mesh):
+    """The batch shards over ``data`` — and over data x expert on an
+    expert mesh (outside the MoE layers the expert ranks are extra data
+    parallelism; the MoE layer's slot constraints insert the dp<->ep
+    all-to-alls, vitx/nn/moe.py)."""
+    if EXPERT_AXIS in mesh.axis_names:
+        return (DATA_AXIS, EXPERT_AXIS)
+    return DATA_AXIS
+
+
 def batch_sharding(mesh: Mesh):
-    return {
-        "image": NamedSharding(mesh, P(DATA_AXIS)),
-        "label": NamedSharding(mesh, P(DATA_AXIS)),
-    }
+    spec = NamedSharding(mesh, P(_batch_axes(mesh)))
+    return {"image": spec, "label": spec}
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch onto the mesh, batch axis over ``data``."""
-    spec = NamedSharding(mesh, P(DATA_AXIS))
+    """Place a host batch onto the mesh, batch axis over ``data`` (x
+    ``expert`` when the mesh has an expert axis)."""
+    spec = NamedSharding(mesh, P(_batch_axes(mesh)))
     return {k: jax.device_put(v, spec) for k, v in batch.items()}
 
 
@@ -243,7 +275,7 @@ def shard_host_batch(batch, mesh: Mesh):
     """
     if jax.process_count() == 1:
         return shard_batch(batch, mesh)
-    spec = NamedSharding(mesh, P(DATA_AXIS))
+    spec = NamedSharding(mesh, P(_batch_axes(mesh)))
     return {k: jax.make_array_from_process_local_data(spec, v)
             for k, v in batch.items()}
 
@@ -254,9 +286,9 @@ def shard_host_batch(batch, mesh: Mesh):
 
 def place_state(state: TrainState, cfg: ViTConfig, mesh: Mesh,
                 tp: bool = False, zero1: bool = False,
-                zero3: bool = False) -> TrainState:
+                zero3: bool = False, ep: bool = False) -> TrainState:
     """Place an (unsharded, host or single-device) state onto the mesh."""
-    shardings = state_sharding(state, cfg, mesh, tp, zero1, zero3)
+    shardings = state_sharding(state, cfg, mesh, tp, zero1, zero3, ep=ep)
     return jax.tree.map(jax.device_put, state, shardings)
 
 
@@ -270,6 +302,23 @@ def sp_cfg(cfg: ViTConfig, tp: bool, sp: bool) -> ViTConfig:
         raise ValueError("sp=True requires tp (sequence parallelism shards "
                          "the residual stream over the model axis)")
     return cfg.replace(sp=True)
+
+
+def ep_cfg(cfg: ViTConfig, mesh: Mesh, ep: bool) -> ViTConfig:
+    """Enable expert parallelism (config.py::ep): MoE expert weights and
+    slot activations shard over the mesh's ``expert`` axis."""
+    if not ep:
+        return cfg
+    if not cfg.moe_experts:
+        raise ValueError("ep=True requires a MoE config (moe_experts > 0)")
+    if EXPERT_AXIS not in mesh.axis_names:
+        raise ValueError("ep=True requires an expert mesh axis "
+                         "(make_mesh(ep=...))")
+    if cfg.moe_experts % mesh.shape[EXPERT_AXIS]:
+        raise ValueError(
+            f"moe_experts {cfg.moe_experts} not divisible by the expert "
+            f"axis size {mesh.shape[EXPERT_AXIS]}")
+    return cfg.replace(ep=True)
 
 
 def tp_safe_cfg(cfg: ViTConfig, tp: bool) -> ViTConfig:
@@ -298,7 +347,7 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                              sam_rho: float | None = None,
                              class_weights=None, grad_shardings=None,
                              train_filter: str | None = None,
-                             sp: bool = False):
+                             sp: bool = False, ep: bool = False):
     """Jitted SPMD train step. State donated; grads psum over ``data``.
 
     Shardings are inferred from the placed inputs (pjit committed-input
@@ -310,7 +359,7 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
     update runs sharded. Redundant under zero3 (sharded params already
     yield sharded grads).
     """
-    cfg = sp_cfg(tp_safe_cfg(cfg, tp), tp, sp)
+    cfg = ep_cfg(sp_cfg(tp_safe_cfg(cfg, tp), tp, sp), mesh, ep)
     step_fn = partial(train_step, cfg=cfg, optimizer=optimizer,
                       label_smoothing=label_smoothing,
                       mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha,
@@ -328,12 +377,12 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
         kw["out_shardings"] = (state_shardings, metric_shardings)
     del zero1, zero3  # encoded in the shardings; call-site clarity
     jitted = jax.jit(wrapped, donate_argnums=(0,), **kw)
-    if not sp:
+    if not (sp or ep):
         return jitted
 
     def with_mesh(state, batch, rng=None):
-        # sp's with_sharding_constraint uses bare PartitionSpecs, which
-        # need a mesh context at trace time
+        # sp's / ep's with_sharding_constraint uses bare PartitionSpecs,
+        # which need a mesh context at trace time
         with jax.set_mesh(mesh):
             return jitted(state, batch, rng)
 
@@ -341,13 +390,13 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
 
 
 def make_parallel_eval_step(cfg: ViTConfig, mesh: Mesh, tp: bool = False,
-                            sp: bool = False):
+                            sp: bool = False, ep: bool = False):
     """Jitted SPMD eval step; confusion matrix psum-reduced to replicated."""
-    cfg = sp_cfg(tp_safe_cfg(cfg, tp), tp, sp)
+    cfg = ep_cfg(sp_cfg(tp_safe_cfg(cfg, tp), tp, sp), mesh, ep)
     rep = NamedSharding(mesh, P())
     jitted = jax.jit(partial(eval_step, cfg=cfg),
                      out_shardings=(rep, rep))
-    if not sp:
+    if not (sp or ep):
         return jitted
 
     def with_mesh(params, batch):

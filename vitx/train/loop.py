@@ -130,7 +130,7 @@ class Trainer:
                  train_step=None, eval_step=None, init_state=None,
                  mesh=None, tp: bool = False, zero1: bool = False,
                  zero2: bool = False, zero3: bool = False,
-                 sp: bool = False, optimizer=None):
+                 sp: bool = False, ep: bool = False, optimizer=None):
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
@@ -203,17 +203,18 @@ class Trainer:
             # zero2 = zero1 moment layout + reduce-scattered grads
             zero1 = zero1 or zero2
             self.state = place_state(self.state, cfg, mesh, tp=tp,
-                                     zero1=zero1, zero3=zero3)
+                                     zero1=zero1, zero3=zero3, ep=ep)
             # ALWAYS pin the output state to its input shardings: left to
             # infer, the partitioner relayouts the whole state per dispatch
             # (measured 131 -> 111 ms/step at ViT-B b128 dp1, round 3)
             shardings = state_sharding(self.state, cfg, mesh, tp, zero1,
-                                       zero3)
-            gshard = (grad_sharding(self.state.params, cfg, mesh, tp)
+                                       zero3, ep=ep)
+            gshard = (grad_sharding(self.state.params, cfg, mesh, tp, ep)
                       if zero2 and not zero3 else None)
             self.train_step = train_step or make_parallel_train_step(
                 cfg, self.optimizer, mesh, tp=tp, zero1=zero1, zero3=zero3,
-                sp=sp, state_shardings=shardings, grad_shardings=gshard,
+                sp=sp, ep=ep, state_shardings=shardings,
+                grad_shardings=gshard,
                 label_smoothing=tcfg.label_smoothing,
                 mixup_alpha=tcfg.mixup_alpha,
                 cutmix_alpha=tcfg.cutmix_alpha,
@@ -221,7 +222,7 @@ class Trainer:
                 class_weights=tcfg.class_weights,
                 train_filter=tcfg.train_filter)
             self.eval_step = eval_step or make_parallel_eval_step(
-                cfg, mesh, tp=tp, sp=sp)
+                cfg, mesh, tp=tp, sp=sp, ep=ep)
         else:
             self.train_step = (train_step
                                or make_train_step(
