@@ -516,3 +516,42 @@ def test_sp_matches_single_device():
     cm_sp, loss_sp = eval_sp(state.params, shard_batch(batch, mesh))
     np.testing.assert_array_equal(np.asarray(cm_ref), np.asarray(cm_sp))
     np.testing.assert_allclose(float(loss_ref), float(loss_sp), rtol=1e-4)
+
+
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_sharded_checkpoint_resume_trajectory(tmp_path, backend):
+    """Checkpoint/resume UNDER A MESH: a ZeRO-3-sharded TrainState saved at
+    step 2 and restored onto a fresh mesh placement must continue the exact
+    single-device trajectory (save gathers via device_get; restore re-shards
+    via place_state — the single-process form of the multi-host recipe)."""
+    pytest.importorskip("orbax.checkpoint") if backend == "orbax" else None
+    from vitx.train.checkpoint import restore_latest, save_checkpoint
+
+    ref_losses, _ = _single_device_losses(n_steps=4)
+
+    mesh = make_mesh(dp=8, tp=1)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state = place_state(state, CFG, mesh, zero3=True)
+    from vitx.parallel.sharded import state_sharding
+
+    shardings = state_sharding(state, CFG, mesh, zero3=True)
+    step = make_parallel_train_step(CFG, opt, mesh, zero3=True,
+                                    state_shardings=shardings)
+    losses = []
+    for i in range(2):
+        state, m = step(state, shard_batch(_batch(i), mesh), None)
+        losses.append(float(m["loss"]))
+    save_checkpoint(tmp_path, state, epoch=0, backend=backend)
+
+    # fresh process simulation: template from init, restore, re-place
+    template = create_train_state(jax.random.PRNGKey(7), CFG, opt)
+    restored, meta = restore_latest(tmp_path, template)
+    assert meta["epoch"] == 0
+    restored = place_state(restored, CFG, mesh, zero3=True)
+    step2 = make_parallel_train_step(CFG, opt, mesh, zero3=True,
+                                     state_shardings=shardings)
+    for i in range(2, 4):
+        restored, m = step2(restored, shard_batch(_batch(i), mesh), None)
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
