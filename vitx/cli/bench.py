@@ -336,8 +336,52 @@ def bench_9():
     return out
 
 
+def bench_10():
+    """Soft-MoE ViT-B (vitx/nn/moe.py, Puigcerver 2023): 8 experts over the
+    last 6 blocks — ~3.3x the dense encoder's parameters at near-constant
+    per-token FLOPs (total slots ~= seq_len). Inference b256 on bench_3's
+    methodology + train b128 on bench_4's; the headline property is
+    throughput CLOSE TO DENSE at Nx params (the MoE layer is five static
+    einsums — it stays matmul-bound on the MXU)."""
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    from vitx.nn.vit import param_count
+    from vitx.parallel.sharded import state_sharding
+
+    cfg = get_config("base16", moe_experts=8, moe_blocks=6)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = _images(jax.random.PRNGKey(1), 256, 224)
+
+    def body(acc, params, x):
+        return acc + jnp.mean(forward(params, x * _scl(acc), cfg))
+
+    dt_f = _fwd_loop_seconds(body, 20, params, x)
+    out = {"config": "10:vit-b16-softmoe-e8x6",
+           "params_millions": round(param_count(params) / 1e6, 1),
+           "infer_step_ms": round(dt_f * 1e3, 2),
+           "infer_images_per_sec": round(256 / dt_f, 1)}
+    del params
+
+    n = len(jax.devices())
+    mesh = make_mesh(dp=n, tp=1)
+    opt = make_optimizer(lr=1e-4)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    shardings = state_sharding(state, cfg, mesh)
+    state = place_state(state, cfg, mesh)
+    B = 128 * n
+    batch = shard_batch(
+        {"image": _images(jax.random.PRNGKey(1), B, 224),
+         "label": jnp.zeros((B,), jnp.int32)}, mesh)
+    dt_t = _train_scan_seconds(
+        cfg, opt, state, batch,
+        out_shardings=(shardings, NamedSharding(mesh, _P())))
+    out["train_step_ms"] = round(dt_t * 1e3, 2)
+    out["train_images_per_sec"] = round(B / dt_t, 1)
+    return out
+
+
 BENCHES = {1: bench_1, 2: bench_2, 3: bench_3, 4: bench_4, 5: bench_5,
-           6: bench_6, 7: bench_7, 8: bench_8, 9: bench_9}
+           6: bench_6, 7: bench_7, 8: bench_8, 9: bench_9, 10: bench_10}
 
 
 def main(argv=None):
