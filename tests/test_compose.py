@@ -29,6 +29,9 @@ VARIANTS = {
     "registers+distill+final_norm": {"num_registers": 2,
                                      "distill_token": True,
                                      "final_norm": True},
+    "moe": {"moe_experts": 2, "moe_blocks": 1},
+    "moe+registers+final_norm": {"moe_experts": 2, "moe_blocks": 1,
+                                 "num_registers": 2, "final_norm": True},
 }
 
 
