@@ -62,3 +62,69 @@ def test_cli_optimizer_roundtrip_with_ema(tmp_path, capsys):
     # eval restores the EMA shadow and must reproduce the trainer's own
     # val_accuracy exactly (the template-alignment pin, as for adamw)
     assert out["accuracy"] == pytest.approx(train_out["val_accuracy"])
+
+
+def test_adafactor_overfits():
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(2),
+                                        (8, 32, 32, 3)),
+             "label": jax.random.randint(jax.random.PRNGKey(3), (8,), 0, 4)}
+    opt = make_optimizer(lr=3e-3, optimizer="adafactor")
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    step = make_train_step(CFG, opt)
+    for _ in range(80):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert float(m["loss"]) < 0.1
+
+
+def test_adafactor_memory_is_factored():
+    """The point of adafactor: second-moment statistics are ROW+COL factored
+    for big matrices (>=128 per dim), so optimizer memory is sublinear in
+    params — vs adamw's 2x fp32."""
+    cfg = CFG.replace(embed_dim=256, num_heads=4)   # mlp 256x1024: factored
+    opt = make_optimizer(lr=1e-3, optimizer="adafactor")
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    n_opt = sum(x.size for x in jax.tree.leaves(state.opt_state))
+    n_par = sum(x.size for x in jax.tree.leaves(state.params))
+    adamw_state = create_train_state(jax.random.PRNGKey(0), cfg,
+                                     make_optimizer(lr=1e-3))
+    n_adamw = sum(x.size for x in jax.tree.leaves(adamw_state.opt_state))
+    assert n_adamw >= 2 * n_par            # adamw: mu + nu
+    assert n_opt < 0.25 * n_adamw          # factored stats, no mu
+
+
+def test_mu_dtype_bf16_halves_first_moment():
+    opt = make_optimizer(lr=3e-3, mu_dtype="bfloat16")
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    bf16 = [x for x in jax.tree.leaves(state.opt_state)
+            if x.dtype == jnp.bfloat16]
+    n_par = len(jax.tree.leaves(state.params))
+    assert len(bf16) == n_par              # every mu leaf, nothing else
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(2),
+                                        (8, 32, 32, 3)),
+             "label": jax.random.randint(jax.random.PRNGKey(3), (8,), 0, 4)}
+    step = make_train_step(CFG, opt)
+    for _ in range(60):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert float(m["loss"]) < 0.1
+    with pytest.raises(ValueError, match="adamw moments only"):
+        make_optimizer(optimizer="lion", mu_dtype="bfloat16")
+
+
+def test_cli_adafactor_roundtrip(tmp_path, capsys):
+    """adafactor checkpoints restore through the meta-driven optimizer
+    template in eval (meta['optimizer'] = 'adafactor')."""
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--lr", "3e-3", "--optimizer", "adafactor",
+        "--checkpoint-dir", str(tmp_path / "c"),
+        "--compute-dtype", "float32",
+    ])
+    train_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = eval_main(["--data", "synthetic", "--checkpoint",
+                    str(tmp_path / "c"), "--batch-size", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["accuracy"] == pytest.approx(train_out["val_accuracy"])

@@ -39,10 +39,17 @@ def build_argparser():
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--optimizer", default="adamw",
-                   choices=["adamw", "sgd", "lion"],
+                   choices=["adamw", "sgd", "lion", "adafactor"],
                    help="adamw = reference semantics; sgd = momentum 0.9 + "
                         "decoupled wd; lion (Chen 2023) wants ~10x lower lr "
-                        "and 3-10x higher wd than adamw")
+                        "and 3-10x higher wd than adamw; adafactor (Shazeer "
+                        "2018) = factored second moments, sublinear "
+                        "optimizer memory")
+    p.add_argument("--mu-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype for the adamw FIRST moment: "
+                        "bfloat16 halves that buffer (25%% of adamw "
+                        "optimizer memory) with negligible drift")
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log-dir", default=None)
@@ -317,7 +324,8 @@ def main(argv=None):
             weight_decay=args.weight_decay, grad_clip=args.grad_clip,
             ema_decay=args.ema_decay, accum_steps=args.accum_steps,
             llrd=args.llrd, llrd_depth=cfg.depth,
-            optimizer=args.optimizer, trainable=train_filter)
+            optimizer=args.optimizer, trainable=train_filter,
+            mu_dtype=args.mu_dtype)
 
     init_state = None
     if args.init_from:
@@ -347,7 +355,8 @@ def main(argv=None):
                 grad_clip=args.grad_clip, ema_decay=args.ema_decay,
                 accum_steps=args.accum_steps,
                 llrd=args.llrd, llrd_depth=cfg.depth,
-                optimizer=args.optimizer, trainable=train_filter)
+                optimizer=args.optimizer, trainable=train_filter,
+            mu_dtype=args.mu_dtype)
         init_state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=optimizer.init(params))
 
@@ -403,7 +412,8 @@ def main(argv=None):
                 grad_clip=args.grad_clip, ema_decay=args.ema_decay,
                 accum_steps=args.accum_steps,
                 llrd=args.llrd, llrd_depth=cfg.depth,
-                optimizer=args.optimizer, trainable=train_filter)
+                optimizer=args.optimizer, trainable=train_filter,
+            mu_dtype=args.mu_dtype)
         dstep = make_distill_train_step(
             cfg, teacher_cfg, optimizer, alpha=args.distill_alpha,
             tau=args.distill_tau, hard=args.distill_hard,
@@ -442,7 +452,8 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
         eval_every=args.eval_every, log_every=args.log_every,
         ema_decay=args.ema_decay, llrd=args.llrd, seed=args.seed,
-        optimizer=args.optimizer, train_filter=train_filter,
+        optimizer=args.optimizer, mu_dtype=args.mu_dtype,
+        train_filter=train_filter,
         early_stop_patience=args.early_stop,
         early_stop_min_delta=args.early_stop_delta,
         steps_per_dispatch=args.steps_per_dispatch,

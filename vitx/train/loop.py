@@ -50,8 +50,12 @@ class TrainerConfig:
     # --class-weights balanced computes n/(C*count_c) from the train split.
     class_weights: tuple | None = None
     # "adamw" (reference semantics), "sgd" (momentum 0.9, decoupled wd),
-    # or "lion" (Chen 2023) — see make_optimizer.
+    # "lion" (Chen 2023), or "adafactor" (factored second moments,
+    # sublinear optimizer memory) — see make_optimizer.
     optimizer: str = "adamw"
+    # Storage dtype for adamw's first moment ("bfloat16" halves it); None
+    # keeps optax's default (the param dtype, fp32 here).
+    mu_dtype: str | None = None
     # Freeze policy (make_trainable_mask): None trains everything, except
     # that a ViTConfig with lora_rank > 0 defaults to "lora" (adapters +
     # heads train, backbone frozen — LoRA's defining semantics); "head"
@@ -148,7 +152,8 @@ class Trainer:
                            llrd=tcfg.llrd, llrd_depth=cfg.depth,
                            accum_steps=tcfg.accum_steps,
                            optimizer=tcfg.optimizer,
-                           trainable=tcfg.train_filter)
+                           trainable=tcfg.train_filter,
+                           mu_dtype=tcfg.mu_dtype)
         rng = jax.random.PRNGKey(tcfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.state = (init_state if init_state is not None

@@ -152,16 +152,24 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
                    ema_decay: float | None = None,
                    llrd: float | None = None, llrd_depth: int | None = None,
                    optimizer: str = "adamw",
-                   trainable: str | None = None):
+                   trainable: str | None = None,
+                   mu_dtype: str | None = None):
     """AdamW (train.py:66 semantics) with optional schedule / grad clipping /
     gradient accumulation (`accum_steps` micro-batches per update).
 
     ``optimizer``: "adamw" (the reference's choice and the default),
     "sgd" (momentum 0.9, decoupled weight decay — the classic CNN recipe),
-    or "lion" (Chen et al. 2023; sign-momentum — typical lr ~1e-5..1e-4
-    with 3-10x the AdamW weight decay). All compose identically with the
+    "lion" (Chen et al. 2023; sign-momentum — typical lr ~1e-5..1e-4
+    with 3-10x the AdamW weight decay), or "adafactor" (Shazeer & Stern
+    2018; FACTORED second moments — optimizer memory sublinear in params:
+    row+col statistics instead of a full fp32 moment per weight, the
+    standard big-model memory saver). All compose identically with the
     schedule/EMA/LLRD/accumulation chain; checkpoints record the chain so
     eval/serve restore works for every choice.
+
+    ``mu_dtype``: storage dtype for AdamW's FIRST moment (optax mu_dtype;
+    e.g. "bfloat16" halves that buffer — 25% of AdamW's optimizer memory —
+    with negligible trajectory drift; the variance stays fp32). adamw only.
 
     ``llrd``: layer-wise lr-decay factor (with ``llrd_depth`` = encoder
     depth) — see ``layerwise_lr_decay``. Stateless: checkpoints made with
@@ -175,9 +183,11 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
     HBM traffic dominates. Incompatible with accum_steps > 1 (MultiSteps'
     zero-update convention vs params-returning updates).
     """
-    if optimizer not in ("adamw", "sgd", "lion"):
+    if optimizer not in ("adamw", "sgd", "lion", "adafactor"):
         raise ValueError(f"unknown optimizer {optimizer!r}; "
-                         "have adamw, sgd, lion")
+                         "have adamw, sgd, lion, adafactor")
+    if mu_dtype is not None and optimizer != "adamw":
+        raise ValueError("mu_dtype applies to the adamw moments only")
     use_fused = (fused is True and accum_steps == 1 and ema_decay is None
                  and llrd is None and optimizer == "adamw"
                  and trainable in (None, "all"))
@@ -202,8 +212,16 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
             optax.scale_by_learning_rate(lr_or_sched))
     elif optimizer == "lion":
         base = optax.lion(lr_or_sched, weight_decay=weight_decay)
+    elif optimizer == "adafactor":
+        # relative-step-size machinery OFF (explicit lr like the others, so
+        # schedules/LLRD compose identically); factored stats stay on —
+        # that's the memory win
+        base = optax.adafactor(
+            lr_or_sched, multiply_by_parameter_scale=False,
+            clipping_threshold=None, weight_decay_rate=weight_decay or None)
     else:
-        base = optax.adamw(lr_or_sched, weight_decay=weight_decay)
+        base = optax.adamw(lr_or_sched, weight_decay=weight_decay,
+                           mu_dtype=mu_dtype)
     mask_fn = make_trainable_mask(trainable)
     if mask_fn is not None:
         # freeze policy (LoRA / head-only fine-tune): moments, weight decay
