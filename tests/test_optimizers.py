@@ -110,6 +110,17 @@ def test_mu_dtype_bf16_halves_first_moment():
         make_optimizer(optimizer="lion", mu_dtype="bfloat16")
 
 
+def test_mu_dtype_wins_over_fused_kernel():
+    """fused=True + mu_dtype falls back to the unfused chain (the Pallas
+    AdamW kernel keeps fp32 moments): the dtype request is honored, same
+    silent-fallback convention as fused+ema/llrd."""
+    opt = make_optimizer(lr=3e-3, fused=True, mu_dtype="bfloat16")
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    bf16 = [x for x in jax.tree.leaves(state.opt_state)
+            if x.dtype == jnp.bfloat16]
+    assert len(bf16) == len(jax.tree.leaves(state.params))
+
+
 def test_cli_adafactor_roundtrip(tmp_path, capsys):
     """adafactor checkpoints restore through the meta-driven optimizer
     template in eval (meta['optimizer'] = 'adafactor')."""

@@ -356,7 +356,7 @@ def main(argv=None):
                 accum_steps=args.accum_steps,
                 llrd=args.llrd, llrd_depth=cfg.depth,
                 optimizer=args.optimizer, trainable=train_filter,
-            mu_dtype=args.mu_dtype)
+                mu_dtype=args.mu_dtype)
         init_state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=optimizer.init(params))
 
@@ -413,7 +413,7 @@ def main(argv=None):
                 accum_steps=args.accum_steps,
                 llrd=args.llrd, llrd_depth=cfg.depth,
                 optimizer=args.optimizer, trainable=train_filter,
-            mu_dtype=args.mu_dtype)
+                mu_dtype=args.mu_dtype)
         dstep = make_distill_train_step(
             cfg, teacher_cfg, optimizer, alpha=args.distill_alpha,
             tau=args.distill_tau, hard=args.distill_hard,

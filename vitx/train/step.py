@@ -190,7 +190,7 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
         raise ValueError("mu_dtype applies to the adamw moments only")
     use_fused = (fused is True and accum_steps == 1 and ema_decay is None
                  and llrd is None and optimizer == "adamw"
-                 and trainable in (None, "all"))
+                 and trainable in (None, "all") and mu_dtype is None)
     tx = []
     if grad_clip is not None:
         tx.append(optax.clip_by_global_norm(grad_clip))
