@@ -1,6 +1,6 @@
 """Self-supervised pretraining CLI: ``python -m vitx.cli.pretrain ...``.
 
-Two pretraining families, both beyond-reference (the reference's
+Three pretraining families, all beyond-reference (the reference's
 ``src/train.py`` is supervised only):
 
 - ``--method mae`` (default): masked-autoencoder pretraining (He et al.
@@ -8,6 +8,10 @@ Two pretraining families, both beyond-reference (the reference's
 - ``--method dino``: self-distillation (Caron et al. 2021) — a student
   matches the centered/sharpened targets of an EMA teacher across 2 global
   + N local crops. See ``vitx/nn/dino.py``.
+- ``--method simclr``: contrastive learning (Chen et al. 2020) — two views
+  per image, NT-Xent over in-batch negatives; under ``--dp`` the negatives
+  span the GLOBAL batch (XLA gathers at the similarity matmul — no
+  hand-rolled all_gather). See ``vitx/nn/simclr.py``.
 
 Either way: checkpoint the run, and optionally export a fine-tune-ready
 classifier pytree for ``vitx.cli.train``:
@@ -56,9 +60,11 @@ def build_argparser():
     p.add_argument("--grad-clip", type=float, default=None,
                    help="global-norm gradient clip (default: none for MAE, "
                         "3.0 for DINO — Caron 2021 §4)")
-    p.add_argument("--method", default="mae", choices=["mae", "dino"],
-                   help="pretraining family: masked autoencoding (He 2022) "
-                        "or DINO self-distillation (Caron 2021)")
+    p.add_argument("--method", default="mae",
+                   choices=["mae", "dino", "simclr"],
+                   help="pretraining family: masked autoencoding (He 2022), "
+                        "DINO self-distillation (Caron 2021), or SimCLR "
+                        "contrastive learning (Chen 2020)")
     p.add_argument("--mask-ratio", type=float, default=0.75)
     p.add_argument("--decoder-dim", type=int, default=512)
     p.add_argument("--decoder-depth", type=int, default=8)
@@ -84,6 +90,12 @@ def build_argparser():
                    help="freeze the prototype layer for the first N epochs")
     d.add_argument("--no-norm-last", action="store_true",
                    help="disable weight-norm on the prototype layer")
+    s = p.add_argument_group("simclr (--method simclr)")
+    s.add_argument("--simclr-dim", type=int, default=128,
+                   help="projection output dimension (Chen 2020: 128)")
+    s.add_argument("--simclr-hidden", type=int, default=2048)
+    s.add_argument("--simclr-temp", type=float, default=0.1,
+                   help="NT-Xent temperature")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--log-every", type=int, default=50)
@@ -150,6 +162,20 @@ def main(argv=None):
             dcfg, opt, total_steps=args.epochs * steps_per_epoch,
             freeze_last_steps=args.freeze_last_epochs * steps_per_epoch)
         pre_train_flag = False
+    elif args.method == "simclr":
+        from vitx.nn.simclr import (SimCLRConfig, create_simclr_train_state,
+                                    make_simclr_train_step)
+
+        scfg = SimCLRConfig(encoder=cfg, proj_hidden=args.simclr_hidden,
+                            proj_dim=args.simclr_dim,
+                            temperature=args.simclr_temp)
+        # SimCLR builds its views (RRC/jitter/blur) on device from raw
+        # [0,1] intensities — same host contract as DINO.
+        pre = make_preprocess(out_size=None, mean=None, random_flip=False)
+        state = create_simclr_train_state(jax.random.PRNGKey(args.seed),
+                                          scfg, opt)
+        step_fn = make_simclr_train_step(scfg, opt)
+        pre_train_flag = False
     else:
         mcfg = MAEConfig(encoder=cfg, decoder_dim=args.decoder_dim,
                          decoder_depth=args.decoder_depth,
@@ -190,7 +216,7 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
-        losses, pending, ents = [], [], []
+        losses, pending, ents, accs = [], [], [], []
         n_steps = 0
         for batch in device_prefetch(iter(loader)):
             images = pre(batch["image"], jax.random.fold_in(rng, n_steps),
@@ -203,6 +229,8 @@ def main(argv=None):
             pending.append(metrics["loss"])
             if "teacher_entropy" in metrics:
                 ents.append(metrics["teacher_entropy"])
+            if "contrast_acc" in metrics:
+                accs.append(metrics["contrast_acc"])
             n_steps += 1
             if len(pending) >= args.log_every:
                 losses.extend(float(x) for x in jax.device_get(pending))
@@ -223,6 +251,12 @@ def main(argv=None):
             extra = f" teacher_H {ent:.3f}"
             if writer:
                 writer.add_scalar("DINO/teacher_entropy", ent, epoch)
+        if accs:
+            acc = float(jax.device_get(accs[-1]))
+            last["contrast_acc"] = round(acc, 4)
+            extra = f" contrast_acc {acc:.3f}"
+            if writer:
+                writer.add_scalar("SimCLR/contrast_acc", acc, epoch)
         print(f"epoch {epoch}: {args.method}_loss {mean_loss:.4f}{extra} "
               f"({imgs_per_sec:.0f} img/s)")
         if writer:
@@ -241,6 +275,11 @@ def main(argv=None):
             # teacher outperforms the student)
             vit_params = dino_to_vit_params(state.teacher, ft_cfg,
                                             jax.random.PRNGKey(args.seed + 2))
+        elif args.method == "simclr":
+            from vitx.nn.simclr import simclr_to_vit_params
+
+            vit_params = simclr_to_vit_params(
+                state.params, ft_cfg, jax.random.PRNGKey(args.seed + 2))
         else:
             vit_params = mae_to_vit_params(state.params, ft_cfg,
                                            jax.random.PRNGKey(args.seed + 2))
