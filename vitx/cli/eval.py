@@ -60,6 +60,11 @@ def main(argv=None):
                         "any StableHLO consumer with no model code "
                         "(vitx/export.py)")
     from vitx.nn.tome import parse_tome_r
+    p.add_argument("--patch-size", type=int, default=None, metavar="P",
+                   help="FlexiViT PI-resize (Beyer 2023): run the checkpoint "
+                        "at a different patch size — the patchify kernel is "
+                        "pseudo-inverse-resized and the input scales "
+                        "proportionally (token grid unchanged)")
     p.add_argument("--tome-r", type=parse_tome_r, default=0,
                    help="ToMe token merging: merge this many patch-token "
                         "pairs per block at inference (vitx/nn/tome.py), "
@@ -110,6 +115,17 @@ def main(argv=None):
 
         params = soup_params(params, cfg, args.soup)
         print(f"souped {1 + len(args.soup)} models", file=sys.stderr)
+    if args.patch_size and args.patch_size != cfg.patch_size:
+        from vitx.nn.flexivit import resize_patch_embed
+
+        params, cfg = resize_patch_embed(params, cfg,
+                                         patch_size=args.patch_size)
+        # the input resolution scaled proportionally — rebuild the eval
+        # split at the new image size (the device preprocess below resizes
+        # to cfg.image_size either way)
+        _, eval_ds = make_datasets(args.data, cfg, seed=0)
+        print(f"PI-resized patchify to patch {cfg.patch_size} "
+              f"(input {cfg.image_size}px)", file=sys.stderr)
     if args.export_quantized:
         from vitx.quant import save_quantized
 

@@ -105,6 +105,10 @@ def build_argparser():
                    help="fraction of patch tokens randomly dropped per "
                         "sample during training (FLIP/PatchDropout; cuts "
                         "encoder FLOPs, inference unaffected)")
+    p.add_argument("--layerscale", type=float, default=0.0, metavar="INIT",
+                   help="LayerScale (CaiT): init value for the learned "
+                        "per-channel residual-branch gains (1e-1 for depth "
+                        "<= 18, 1e-5/1e-6 for 24/36). 0 = off")
     p.add_argument("--qk-norm", action="store_true",
                    help="per-head LayerNorm on queries/keys before the "
                         "logits (ViT-22B): bounds attention logits, "
@@ -280,6 +284,8 @@ def main(argv=None):
         cfg = cfg.replace(drop_path=args.drop_path)
     if args.patch_drop:
         cfg = cfg.replace(patch_drop=args.patch_drop)
+    if args.layerscale:
+        cfg = cfg.replace(layerscale_init=args.layerscale)
     if args.qk_norm:
         cfg = cfg.replace(qk_norm=True)
     if args.head_type:

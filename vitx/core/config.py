@@ -64,6 +64,15 @@ class ViTConfig:
     # Stochastic depth (DeiT recipe): max residual-branch drop rate, scaled
     # linearly from 0 at the first block to this value at the last.
     drop_path: float = 0.0
+    # LayerScale (CaiT, Touvron et al. 2021 "Going deeper with image
+    # transformers"): a learned per-channel diagonal gain on each residual
+    # branch output — x + ls1*MHA(LN1 x); x + ls2*MLP(LN2 x) — initialized
+    # to a small constant so deep encoders start near-identity and train
+    # stably (the paper's fix for depth > 18). 0.0 = off (no ls leaves).
+    # Typical inits: 1e-1 (depth <= 18), 1e-5 (24), 1e-6 (36). Applied
+    # OUTSIDE the fused MHA/MLP kernels (one elementwise multiply that XLA
+    # fuses into the residual add), so every kernel path is unchanged.
+    layerscale_init: float = 0.0
     # Patch dropout (Liu et al. 2022 "PatchDropout"; FLIP, Li et al. 2023):
     # during TRAINING, each sample keeps only a random subset of its patch
     # tokens — the encoder runs on num_patches - floor(num_patches *
@@ -283,6 +292,14 @@ class ViTConfig:
             raise ValueError(
                 "qk_norm is a beyond-reference extension; bug_exact parity "
                 "reproduces the reference model, which has no QK-Norm")
+        if self.layerscale_init < 0.0:
+            raise ValueError(
+                f"layerscale_init must be >= 0, got {self.layerscale_init}")
+        if self.layerscale_init and self.parity == "bug_exact":
+            raise ValueError(
+                "layerscale_init is a beyond-reference extension; bug_exact "
+                "parity reproduces the reference model, which has no "
+                "LayerScale")
         if not 0.0 <= self.patch_drop < 1.0:
             raise ValueError(
                 f"patch_drop must be in [0, 1), got {self.patch_drop}")

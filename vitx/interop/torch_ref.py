@@ -133,6 +133,9 @@ def export_reference_state_dict(params: dict, cfg: ViTConfig,
     if "moe_blocks" in params:
         raise ValueError("the reference layout has no Soft-MoE blocks; "
                          "export requires moe_experts=0")
+    if "ls1" in params["blocks"]:
+        raise ValueError("the reference layout has no LayerScale gains; "
+                         "export requires layerscale_init=0")
 
     kernel = np.asarray(params["patch_embed"]["kernel"], np.float32)
     conv_w = kernel.reshape(P, P, C, E).transpose(3, 2, 0, 1)   # (E, C, P, P)

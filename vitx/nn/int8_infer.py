@@ -114,14 +114,19 @@ def encode_int8(rt: Params, images, cfg: ViTConfig):
         o = _qmm(o.reshape(B, T, H * D), bp["wo"], cdt)
         if bp.get("bo") is not None:
             o = o + bp["bo"].astype(cdt)
+        if bp.get("ls1") is not None:
+            o = o * bp["ls1"].astype(cdt)       # LayerScale branch gain
         x = x + o
 
         h = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"],
                        eps=cfg.layer_norm_eps)
         h = activation(_qmm(h, bp["w1"], jnp.float32)
                        + bp["b1"].astype(jnp.float32), cfg.mlp_act)
-        x = x + (_qmm(h.astype(cdt), bp["w2"], jnp.float32)
-                 + bp["b2"].astype(jnp.float32)).astype(cdt)
+        m = (_qmm(h.astype(cdt), bp["w2"], jnp.float32)
+             + bp["b2"].astype(jnp.float32)).astype(cdt)
+        if bp.get("ls2") is not None:
+            m = m * bp["ls2"].astype(cdt)
+        x = x + m
 
     if cfg.final_norm:
         fn = rt["final_norm"]

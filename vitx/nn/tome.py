@@ -243,6 +243,8 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
             bp["ln1_scale"].astype(jnp.float32),
             bp["ln1_bias"].astype(jnp.float32),
             jnp.log(sizes), eps=cfg.layer_norm_eps)
+        if "ls1" in bp:
+            attn_out = attn_out * bp["ls1"].astype(attn_out.dtype)
         x = x + attn_out
         if r and sources is not None:
             x, sizes, sources = merge_tokens(x, sizes, k_mean, r, n_pre,
@@ -255,7 +257,7 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
             # per-block shapes (chip-measured: bench_6 2656 -> see ROADMAP)
             from vitx.kernels.mlp_block import fused_mlp_block
 
-            x = x + fused_mlp_block(
+            mlp_out = fused_mlp_block(
                 x, bp["w1"].astype(x.dtype), bp["b1"].astype(jnp.float32),
                 bp["w2"].astype(x.dtype), bp["b2"].astype(jnp.float32),
                 bp["ln2_scale"].astype(jnp.float32),
@@ -264,8 +266,11 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
         else:
             h = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"],
                            eps=cfg.layer_norm_eps)
-            x = x + mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"],
-                        act=cfg.mlp_act)
+            mlp_out = mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"],
+                          act=cfg.mlp_act)
+        if "ls2" in bp:
+            mlp_out = mlp_out * bp["ls2"].astype(mlp_out.dtype)
+        x = x + mlp_out
 
     if cfg.final_norm:
         fn = params["final_norm"]

@@ -76,6 +76,11 @@ def init_blocks(rng, cfg: ViTConfig, depth: int | None = None) -> Params:
     if cfg.proj_bias:
         # reference attention has an output-projection bias (transformer.py:38)
         blocks["bo"] = jnp.zeros((L, E), pdt)
+    if cfg.layerscale_init:
+        # LayerScale (CaiT): per-channel residual-branch gains, constant
+        # init (consumes no rng keys — pinned inits stay unshifted)
+        blocks["ls1"] = jnp.full((L, E), cfg.layerscale_init, pdt)
+        blocks["ls2"] = jnp.full((L, E), cfg.layerscale_init, pdt)
     if cfg.lora_rank:
         from vitx.nn.lora import init_lora_leaves
 
@@ -365,6 +370,10 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
                        if cfg.qk_norm else None),
             qk_eps=cfg.layer_norm_eps,
         )
+    if "ls1" in bp:
+        # LayerScale (CaiT): diagonal branch gain; commutes with dropout/
+        # drop_path (all elementwise), applied before them as in the paper
+        attn_out = attn_out * bp["ls1"].astype(attn_out.dtype)
     attn_out = dropout(attn_out, cfg.dropout, r_attn, deterministic=deterministic)
     if cfg.drop_path:
         attn_out = drop_path(attn_out, dp_rate, r_dp1,
@@ -394,6 +403,8 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
                               eps=cfg.layer_norm_eps)
         mlp_out = mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"],
                       act=cfg.mlp_act)
+    if "ls2" in bp:
+        mlp_out = mlp_out * bp["ls2"].astype(mlp_out.dtype)
     mlp_out = dropout(mlp_out, cfg.dropout, r_mlp, deterministic=deterministic)
     if cfg.drop_path:
         mlp_out = drop_path(mlp_out, dp_rate, r_dp2,

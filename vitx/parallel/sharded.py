@@ -51,6 +51,10 @@ def _block_specs(cfg: ViTConfig, tp: bool) -> dict:
         "w2": P(None, m, None),
         "b2": P(),
     }
+    if cfg.layerscale_init:
+        # (L, E) per-channel residual gains: tiny; replicate
+        specs["ls1"] = P()
+        specs["ls2"] = P()
     if cfg.qkv_bias:
         specs["bqkv"] = P(None, None, m, None)
     if cfg.qk_norm:

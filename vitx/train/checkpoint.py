@@ -586,6 +586,23 @@ def transfer_params(checkpoint, cfg, rng):
                         f"{arr.shape[1]} to {cfg.pos_len} positions "
                         f"(grid {cfg.grid_size}x{cfg.grid_size})")
                     return jnp.asarray(resized, leaf.dtype)
+            if (key == "patch_embed/kernel"
+                    and src_cfg.stem == "patch" and cfg.stem == "patch"
+                    and src_cfg.num_channels == cfg.num_channels
+                    and arr.ndim == 2 and arr.shape[1] == leaf.shape[1]
+                    and arr.shape[0] == (src_cfg.patch_size ** 2
+                                         * src_cfg.num_channels)):
+                # FlexiViT PI-resize (vitx/nn/flexivit.py): transfer across
+                # patch sizes instead of dropping the patchify weights
+                from vitx.nn.flexivit import pi_resize_patch_kernel
+
+                warnings.warn(
+                    f"transfer from {p}: patchify kernel PI-resized from "
+                    f"patch {src_cfg.patch_size} to {cfg.patch_size}")
+                return jnp.asarray(
+                    pi_resize_patch_kernel(arr, src_cfg.patch_size,
+                                           cfg.patch_size,
+                                           cfg.num_channels), leaf.dtype)
         fresh.append(key)
         return leaf
 
