@@ -489,3 +489,61 @@ def test_transfer_params_guards(tmp_path):
              train_features=np.zeros((4, 8), np.float32))
     with pytest.raises(Exception):
         load_artifact_params(tmp_path / "feats.npz", CFG)
+
+
+def test_async_writer_matches_sync_save(tmp_path):
+    """AsyncCheckpointWriter writes through save_checkpoint: the drained
+    artifact loads identically to a synchronous save, back-to-back saves
+    serialize (one in flight), and keep-pruning applies."""
+    from vitx.train.checkpoint import AsyncCheckpointWriter
+
+    state, step, _ = _state_and_step()
+    state, _ = step(state, _batch(), jax.random.PRNGKey(1))
+    host = jax.device_get(state)
+
+    sync_dir = tmp_path / "sync"
+    save_checkpoint(sync_dir, host, epoch=2, meta={"loss": 0.5})
+
+    w = AsyncCheckpointWriter()
+    async_dir = tmp_path / "async"
+    w.save(async_dir, host, 1, meta={"loss": 0.9}, keep=1)
+    w.save(async_dir, host, 2, meta={"loss": 0.5}, keep=1)  # waits for 1
+    w.wait()
+    assert list_checkpoints(async_dir) == [2]               # keep=1 pruned
+
+    fresh, _, _ = _state_and_step()
+    a, am = restore_latest(async_dir, fresh)
+    fresh2, _, _ = _state_and_step()
+    s, sm = restore_latest(sync_dir, fresh2)
+    assert am == sm
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(s)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_async_writer_propagates_errors(tmp_path):
+    from vitx.train.checkpoint import AsyncCheckpointWriter
+
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file where the ckpt dir should go")
+    w = AsyncCheckpointWriter()
+    w.save(blocker, {"x": np.zeros((2,))}, 1)
+    with pytest.raises(Exception):
+        w.wait()
+    w.wait()   # exception is consumed; a drained writer is reusable
+
+
+def test_trainer_async_checkpoint_e2e(tmp_path):
+    """--async-checkpoint end to end: checkpoints land, resume matches."""
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    ckpt = tmp_path / "c"
+    train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "2",
+        "--batch-size", "32", "--checkpoint-dir", str(ckpt),
+        "--compute-dtype", "float32", "--async-checkpoint",
+    ])
+    assert list_checkpoints(ckpt) == [0, 1]
+    rc = eval_main(["--preset", "tiny", "--data", "synthetic",
+                    "--checkpoint", str(ckpt), "--batch-size", "32"])
+    assert rc == 0

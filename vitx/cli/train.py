@@ -53,6 +53,10 @@ def build_argparser():
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log-dir", default=None)
+    p.add_argument("--async-checkpoint", action="store_true",
+                   help="serialize epoch checkpoints on a background "
+                        "thread (one in flight, drained before exit) — "
+                        "overlaps disk time with the next epoch")
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
@@ -464,6 +468,7 @@ def main(argv=None):
         early_stop_min_delta=args.early_stop_delta,
         steps_per_dispatch=args.steps_per_dispatch,
         accum_steps=args.accum_steps,
+        async_checkpoint=args.async_checkpoint,
         pp_microbatches=args.pp_microbatches)
     mesh = None
     if args.sp and args.tp <= 1:

@@ -111,6 +111,51 @@ def save_checkpoint(ckpt_dir, state, epoch: int, meta: dict | None = None,
     return path
 
 
+class AsyncCheckpointWriter:
+    """Overlap checkpoint serialization with training.
+
+    ``save(...)`` takes a HOST snapshot of the state (the caller passes the
+    result of ``jax.device_get`` — the only part that must happen before the
+    next train step mutates the donated device buffers) and enqueues the
+    npz/orbax write on one background thread. At most ONE save is in flight:
+    a second ``save`` blocks until the first lands (bounded host memory —
+    two host copies of the state, the snapshot being written and the new
+    one). ``wait()`` drains the queue and re-raises any writer-thread
+    exception; call it before process exit (the Trainer does, in its
+    ``finally``) or a preemption could lose the final epoch.
+
+    The write itself is ``save_checkpoint`` unchanged — atomic tmp+rename,
+    keep-pruning, both backends — so readers can't observe a torn file.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._exc = None
+
+    def save(self, ckpt_dir, state_host, epoch: int, **kw):
+        import threading
+
+        self.wait()
+
+        def run():
+            try:
+                save_checkpoint(ckpt_dir, state_host, epoch, **kw)
+            except BaseException as e:  # re-raised on the caller's thread
+                self._exc = e
+
+        self._thread = threading.Thread(
+            target=run, name=f"ckpt-writer-{epoch}", daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+
 def list_checkpoints(ckpt_dir) -> list[int]:
     ckpt_dir = pathlib.Path(ckpt_dir)
     if not ckpt_dir.is_dir():

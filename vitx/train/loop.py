@@ -107,6 +107,13 @@ class TrainerConfig:
     # run otherwise burns the rest of its epochs producing NaNs; the last
     # epoch-boundary checkpoint stays intact for a lower-lr resume.
     nan_abort: bool = True
+    # Overlap checkpoint serialization with the next epoch's training: the
+    # device->host snapshot still happens at the epoch boundary (the donated
+    # step mutates device buffers), but npz/orbax serialization + pruning
+    # run on a background thread (checkpoint.py::AsyncCheckpointWriter; one
+    # save in flight, drained before exit). Worth it when the state is big
+    # relative to the epoch (ViT-B fp32 state is ~1.4 GB ≈ seconds of disk).
+    async_checkpoint: bool = False
     seed: int = 0
 
 
@@ -138,6 +145,11 @@ class Trainer:
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
+        from vitx.train.checkpoint import AsyncCheckpointWriter
+
+        # constructed unconditionally: wait() is a no-op when unused, and
+        # the sync path never touches it
+        self._ckpt_writer = AsyncCheckpointWriter()
         if tcfg.train_filter is None and cfg.lora_rank:
             # LoRA MEANS frozen base weights (Hu et al. 2021) — default the
             # freeze policy rather than silently full-fine-tuning adapters
@@ -448,12 +460,21 @@ class Trainer:
                     if self._preempted:
                         # epoch was cut short — resume must re-run it
                         meta["partial"] = True
-                    save_checkpoint(
-                        tcfg.checkpoint_dir, jax.device_get(self.state), epoch,
-                        meta=meta, keep=tcfg.keep_checkpoints,
-                        # pruning must not delete the best-accuracy epoch
-                        # (the one early stopping exists to preserve)
-                        protect=best_epoch)
+                    # jax.device_get snapshots to host BEFORE the next
+                    # epoch's donated steps mutate the device buffers; the
+                    # async writer overlaps only the serialization
+                    host_state = jax.device_get(self.state)
+                    save_kw = dict(meta=meta, keep=tcfg.keep_checkpoints,
+                                   # pruning must not delete the
+                                   # best-accuracy epoch (the one early
+                                   # stopping exists to preserve)
+                                   protect=best_epoch)
+                    if tcfg.async_checkpoint:
+                        self._ckpt_writer.save(tcfg.checkpoint_dir,
+                                               host_state, epoch, **save_kw)
+                    else:
+                        save_checkpoint(tcfg.checkpoint_dir, host_state,
+                                        epoch, **save_kw)
                 self.history.append({"epoch": epoch, **stats})
                 msg = ", ".join(f"{k}={v:.4f}" for k, v in stats.items()
                                 if isinstance(v, (int, float)))
@@ -468,6 +489,9 @@ class Trainer:
                           f"(best {best_acc:.4f} at epoch {best_epoch})")
                     break
         finally:
+            # drain the async checkpoint writer FIRST: a preemption exit
+            # must not lose the final epoch's in-flight save
+            self._ckpt_writer.wait()
             if writer:
                 writer.close()
             for sig, h in old_handlers.items():
