@@ -34,7 +34,8 @@ def build_argparser():
                         "positional grid is bilinearly resized, the "
                         "standard higher-resolution fine-tune")
     p.add_argument("--data", default="synthetic",
-                   help="'synthetic', 'cifar10:<dir>' or 'folder:<dir>'")
+                   help="'synthetic', 'cifar10:<dir>', 'folder:<dir>' or "
+                        "'shards:<dir>' (tar shards, vitx/data/shards.py)")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -239,6 +240,27 @@ def make_datasets(spec: str, cfg: ViTConfig, seed: int):
                 return train_ds, eval_ds
         return (FolderDataset(path, train=True, image_size=cfg.image_size),
                 FolderDataset(path, train=False, image_size=cfg.image_size))
+    if kind == "shards":
+        import pathlib
+
+        from vitx.data.shards import ShardDataset
+
+        root = pathlib.Path(path)
+        # predefined split shard directories beat the internal split
+        for tr_name, te_name in (("train", "val"), ("train", "test")):
+            tr, te = root / tr_name, root / te_name
+            if tr.is_dir() and te.is_dir():
+                train_ds = ShardDataset(tr, test_size=None,
+                                        image_size=cfg.image_size)
+                eval_ds = ShardDataset(te, test_size=None,
+                                       image_size=cfg.image_size)
+                if train_ds.classes != eval_ds.classes:
+                    raise ValueError(
+                        f"{tr} and {te} disagree on classes: "
+                        f"{train_ds.classes} vs {eval_ds.classes}")
+                return train_ds, eval_ds
+        return (ShardDataset(path, train=True, image_size=cfg.image_size),
+                ShardDataset(path, train=False, image_size=cfg.image_size))
     raise ValueError(f"unknown --data spec {spec!r}")
 
 

@@ -3,6 +3,7 @@ from vitx.data.cifar import CIFAR10
 from vitx.data.synthetic import SyntheticDataset
 from vitx.data.loader import BatchLoader
 from vitx.data.pipeline import make_preprocess
+from vitx.data.shards import ShardDataset, write_shards
 
 __all__ = [
     "FolderDataset",
@@ -10,4 +11,6 @@ __all__ = [
     "SyntheticDataset",
     "BatchLoader",
     "make_preprocess",
+    "ShardDataset",
+    "write_shards",
 ]

@@ -1,0 +1,166 @@
+"""Sharded tar-archive dataset: production-scale image IO.
+
+The reference's data layer opens one file per image through PIL
+(``src/BrainTumorDataset.py:34-39``) — fine for thousands of images, but at
+production scale per-file opens thrash the filesystem (and object stores
+charge per request). The standard fix is WebDataset-style POSIX tar shards:
+~1k images per ``.tar``, read with large sequential IO.
+
+This module keeps vitx's random-access dataset contract on top of shards:
+
+- ``write_shards``: pack any vitx dataset (or (bytes, label) pairs) into
+  ``shard-%05d.tar`` files using the WebDataset member convention —
+  ``<key>.<img-ext>`` for the encoded image, ``<key>.cls`` holding the
+  integer class — plus a ``classes.json`` sidecar with the class names.
+- ``ShardDataset``: scans every tar ONCE at construction to build a
+  byte-range index (member data offset + size via tarfile's TarInfo), then
+  serves ``get_example(i)`` by ``seek + read`` on a per-thread persistent
+  file handle — no tarfile object in the hot path, safe under
+  ``BatchLoader``'s decode thread pool. Supports the same split semantics
+  as FolderDataset: an eager stratified sklearn split (test_size=0.2,
+  random_state=42 — reference BrainTumorDataset.py:24-28 parity) or
+  ``test_size=None`` for predefined train/val shard directories.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pathlib
+import tarfile
+import threading
+
+import numpy as np
+
+_IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+
+
+def write_shards(dataset, out_dir, *, shard_size: int = 1000,
+                 image_format: str = "png") -> list[pathlib.Path]:
+    """Pack ``dataset`` (vitx contract: __len__, get_example, .classes) into
+    tar shards under ``out_dir``. Returns the shard paths. Images are
+    re-encoded to ``image_format`` ("png" lossless / "jpeg")."""
+    from PIL import Image
+
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    classes = list(getattr(dataset, "classes",
+                           [str(i) for i in range(
+                               getattr(dataset, "num_classes", 0))]))
+    (out_dir / "classes.json").write_text(json.dumps(classes))
+
+    paths, tf, shard_i = [], None, -1
+    for i in range(len(dataset)):
+        if i % shard_size == 0:
+            if tf is not None:
+                tf.close()
+            shard_i += 1
+            p = out_dir / f"shard-{shard_i:05d}.tar"
+            paths.append(p)
+            tf = tarfile.open(p, "w")
+        img, label = dataset.get_example(i)
+        buf = io.BytesIO()
+        Image.fromarray(np.asarray(img, np.uint8)).save(buf,
+                                                        format=image_format)
+        key = f"{i:08d}"
+        for name, payload in ((f"{key}.{image_format}", buf.getvalue()),
+                              (f"{key}.cls", str(int(label)).encode())):
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+    if tf is not None:
+        tf.close()
+    return paths
+
+
+class ShardDataset:
+    """Random-access image dataset over a directory of tar shards.
+
+    ``shard_dir`` holds ``*.tar`` files (+ optional ``classes.json``).
+    Construction scans each shard sequentially once (tar headers only —
+    cheap) and records (shard, data offset, size, label) per image; reads
+    then bypass tarfile entirely.
+    """
+
+    def __init__(self, shard_dir, *, train: bool = True,
+                 test_size: float | None = 0.2, random_state: int = 42,
+                 image_size: int | None = None):
+        self.shard_dir = pathlib.Path(shard_dir)
+        self.image_size = image_size
+        self.shards = sorted(self.shard_dir.glob("*.tar"))
+        if not self.shards:
+            raise ValueError(f"no .tar shards under {shard_dir}")
+
+        entries = []          # (shard_idx, offset, size) keyed by member key
+        labels = []
+        for si, shard in enumerate(self.shards):
+            images, cls = {}, {}
+            with tarfile.open(shard) as tf:
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    stem = m.name.split(".", 1)[0]
+                    ext = "." + m.name.split(".", 1)[1].lower() \
+                        if "." in m.name else ""
+                    if ext in _IMG_EXTS:
+                        images[stem] = (si, m.offset_data, m.size)
+                    elif ext == ".cls":
+                        f = tf.extractfile(m)
+                        cls[stem] = int(f.read().decode().strip())
+            missing = sorted(set(images) ^ set(cls))
+            if missing:
+                raise ValueError(
+                    f"{shard}: unpaired members (image without .cls or "
+                    f"vice versa): {missing[:5]}")
+            for stem in sorted(images):
+                entries.append(images[stem])
+                labels.append(cls[stem])
+        labels = np.asarray(labels, np.int32)
+
+        cj = self.shard_dir / "classes.json"
+        if cj.is_file():
+            self.classes = list(json.loads(cj.read_text()))
+        else:
+            self.classes = [str(c) for c in range(int(labels.max()) + 1)]
+        self.class_encoding = dict(enumerate(self.classes))
+
+        idx_all = np.arange(len(entries))
+        if test_size is None:
+            sel = idx_all
+        else:
+            from sklearn.model_selection import train_test_split
+
+            idx_tr, idx_te = train_test_split(
+                idx_all, test_size=test_size, stratify=labels,
+                random_state=random_state)
+            sel = np.sort(idx_tr if train else idx_te)
+        self._entries = [entries[i] for i in sel]
+        self.labels = labels[sel]
+        self._local = threading.local()
+
+    def __len__(self):
+        return len(self._entries)
+
+    def _handle(self, si: int):
+        handles = getattr(self._local, "handles", None)
+        if handles is None:
+            handles = self._local.handles = {}
+        h = handles.get(si)
+        if h is None:
+            h = handles[si] = open(self.shards[si], "rb")
+        return h
+
+    def get_example(self, i: int):
+        """-> (uint8 HWC RGB image, int label) via one seek + read."""
+        from PIL import Image
+
+        si, offset, size = self._entries[i]
+        h = self._handle(si)
+        h.seek(offset)
+        img = Image.open(io.BytesIO(h.read(size)))
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        if self.image_size is not None:
+            img = img.resize((self.image_size, self.image_size),
+                             Image.BILINEAR)
+        return np.asarray(img, np.uint8), int(self.labels[i])
