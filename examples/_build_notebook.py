@@ -445,6 +445,37 @@ C.append(code(
     "fig.tight_layout(); plt.show()"))
 
 C.append(md(
+    "## FlexiViT: one checkpoint, any patch size\n\n"
+    "PI-resize (Beyer et al. 2023): the patchify kernel is pseudo-inverse-"
+    "resized so the SAME fine-tuned weights run at a different patch size "
+    "(each operating point its own static-shape XLA program). Upsampling "
+    "preserves token values exactly on correspondingly-resized patches — "
+    "below, predictions agree between the original model and its 2× "
+    "patch-size resize. CLI: `vitx.cli.eval --patch-size P`, and "
+    "`--init-from` transfers across patch sizes the same way."))
+
+C.append(code(
+    "from vitx.nn.flexivit import resize_patch_embed\n"
+    "P = cfg.patch_size\n"
+    "params2, cfg2 = resize_patch_embed(trainer.state.params, cfg,\n"
+    "                                   patch_size=2 * P)\n"
+    "print(f'patch {P} -> {cfg2.patch_size}, input {cfg.image_size} -> '\n"
+    "      f'{cfg2.image_size}px, grid {cfg2.grid_size} (unchanged)')\n"
+    "xb = pre(np.stack([eval_ds.get_example(i)[0] for i in range(64)]),\n"
+    "         jax.random.PRNGKey(0), train=False)\n"
+    "B, H, W, Cc = xb.shape; g = H // P\n"
+    "xp = xb.reshape(B, g, P, g, P, Cc).transpose(0, 1, 3, 2, 4, 5)\n"
+    "xp = xp.reshape(B * g * g, P, P, Cc)\n"
+    "xp = jax.vmap(lambda t: jax.image.resize(t, (2*P, 2*P, Cc),\n"
+    "                                         'bilinear'))(xp)\n"
+    "xp = xp.reshape(B, g, g, 2*P, 2*P, Cc).transpose(0, 1, 3, 2, 4, 5)\n"
+    "xp = xp.reshape(B, g*2*P, g*2*P, Cc)\n"
+    "pred1 = np.asarray(forward(trainer.state.params, xb, cfg)).argmax(-1)\n"
+    "pred2 = np.asarray(forward(params2, xp, cfg2)).argmax(-1)\n"
+    "print(f'prediction agreement at 2x patch size: '\n"
+    "      f'{float((pred1 == pred2).mean()):.3f}')"))
+
+C.append(md(
     "## Pointers\n\n"
     "- `examples/quickstart.py` — the 30-second training script\n"
     "- `examples/attention_rollout.py` — rollout overlay as a CLI\n"
@@ -454,7 +485,13 @@ C.append(md(
     "- `vitx.cli.pretrain --export-vit` → `vitx.cli.train --init-from` — "
     "the MAE pretrain→fine-tune loop at CLI scale\n"
     "- `vitx/parallel` — the same Trainer scaled over a `jax.sharding.Mesh` "
-    "(pass `mesh=make_mesh(dp=..., tp=...)`)"))
+    "(pass `mesh=make_mesh(dp=..., tp=...)`)\n"
+    "- `python -m vitx.cli.tune` — batch×remat×unroll throughput sweep on "
+    "the current device\n"
+    "- `vitx.data.write_shards` / `--data shards:<dir>` — tar-shard IO for "
+    "production-scale datasets\n"
+    "- `--layerscale 1e-5` (CaiT), `--qk-norm` (ViT-22B) — deep/large-model "
+    "training stability knobs"))
 
 nb["cells"] = C
 nb["metadata"]["kernelspec"] = {

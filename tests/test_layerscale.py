@@ -99,23 +99,37 @@ def test_gains_receive_gradients_and_model_trains():
     assert float(loss_fn(params)) < 0.5 * l0
 
 
+def _with_const_ls(params, cfg, value):
+    b = dict(params["blocks"])
+    b["ls1"] = jnp.full((cfg.depth, cfg.embed_dim), value, jnp.float32)
+    b["ls2"] = jnp.full((cfg.depth, cfg.embed_dim), value, jnp.float32)
+    return {**params, "blocks": b}
+
+
 def test_rollout_and_tome_paths_apply_gains():
     """The instrumented paths (rollout, ToMe) must see the same gains as the
-    plain forward: unit gains == off-model on each path."""
+    plain forward: unit gains == off-model on each path, AND a non-unit gain
+    must change the output (unit-only checks can't detect a dropped gain
+    application — both sides would be the identity)."""
     params = init_params(jax.random.PRNGKey(5), CFG_OFF)
     x = _images()
     pl = _with_unit_ls(params, CFG_OFF)
+    ph = _with_const_ls(params, CFG_OFF, 0.5)
 
     lo, wo = forward_with_rollout(params, x, CFG_OFF)
     ll, wl = forward_with_rollout(pl, x, CFG_LS)
     np.testing.assert_array_equal(np.asarray(lo), np.asarray(ll))
     np.testing.assert_array_equal(np.asarray(wo), np.asarray(wl))
+    lh, _ = forward_with_rollout(ph, x, CFG_LS)
+    assert np.max(np.abs(np.asarray(lh) - np.asarray(lo))) > 1e-3
 
     cfg_t_off = CFG_OFF.replace(tome_r=1)
     cfg_t_ls = CFG_LS.replace(tome_r=1)
     to = np.asarray(forward(params, x, cfg_t_off))
     tl = np.asarray(forward(pl, x, cfg_t_ls))
     np.testing.assert_array_equal(to, tl)
+    th = np.asarray(forward(ph, x, cfg_t_ls))
+    assert np.max(np.abs(th - to)) > 1e-3
 
 
 def test_int8_runtime_applies_gains():
@@ -129,6 +143,10 @@ def test_int8_runtime_applies_gains():
         quantize_for_runtime(_with_unit_ls(params, CFG_OFF), CFG_LS),
         x, CFG_LS))
     np.testing.assert_array_equal(base, unit)
+    half = np.asarray(forward_int8(
+        quantize_for_runtime(_with_const_ls(params, CFG_OFF, 0.5), CFG_LS),
+        x, CFG_LS))
+    assert np.max(np.abs(half - base)) > 1e-3    # the gain is really applied
 
 
 def test_pt_export_rejects_layerscale_params():

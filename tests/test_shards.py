@@ -83,6 +83,14 @@ def test_threaded_reads_are_safe(tmp_path):
     assert not errs
 
 
+def test_write_refuses_stale_shards(tmp_path):
+    """Re-packing into a non-empty shard dir is refused: a smaller second
+    pack would leave stale trailing shards silently mixed into the index."""
+    write_shards(_source(n=12), tmp_path, shard_size=4)
+    with pytest.raises(ValueError, match="already holds"):
+        write_shards(_source(n=8), tmp_path, shard_size=4)
+
+
 def test_unpaired_member_rejected(tmp_path):
     p = tmp_path / "shard-00000.tar"
     with tarfile.open(p, "w") as tf:

@@ -30,7 +30,8 @@ def main(argv=None):
     p.add_argument("--checkpoint", required=True,
                    help="checkpoint directory (resumes from newest epoch)")
     p.add_argument("--data", default="synthetic",
-                   help="'synthetic', 'cifar10:<dir>' or 'folder:<dir>'")
+                   help="'synthetic', 'cifar10:<dir>', 'folder:<dir>' or "
+                        "'shards:<dir>' (tar shards, vitx/data/shards.py)")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--no-normalize", action="store_true")
     p.add_argument("--predict", default=None, metavar="OUT.jsonl",
@@ -120,10 +121,14 @@ def main(argv=None):
 
         params, cfg = resize_patch_embed(params, cfg,
                                          patch_size=args.patch_size)
-        # the input resolution scaled proportionally — rebuild the eval
-        # split at the new image size (the device preprocess below resizes
-        # to cfg.image_size either way)
-        _, eval_ds = make_datasets(args.data, cfg, seed=0)
+        # the input resolution scaled proportionally — retarget the eval
+        # split's decode size (every vitx dataset decodes at .image_size;
+        # cheaper than re-scanning folder trees / shard headers)
+        if (hasattr(eval_ds, "image_size")
+                and getattr(eval_ds, "_cache", None) is None):
+            eval_ds.image_size = cfg.image_size
+        else:
+            _, eval_ds = make_datasets(args.data, cfg, seed=0)
         print(f"PI-resized patchify to patch {cfg.patch_size} "
               f"(input {cfg.image_size}px)", file=sys.stderr)
     if args.export_quantized:

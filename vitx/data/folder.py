@@ -22,6 +22,24 @@ _IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".gif",
              ".webp"}
 
 
+def split_indices(labels, *, train: bool, test_size: float | None,
+                  random_state: int) -> np.ndarray:
+    """The reference's eager stratified split (BrainTumorDataset.py:24-28),
+    shared by every random-access dataset (folder, shards): sorted selection
+    indices for the requested side, or everything when ``test_size`` is
+    None. ONE implementation so the reference-parity semantics
+    (test_size=0.2, random_state=42) cannot drift between datasets."""
+    idx_all = np.arange(len(labels))
+    if test_size is None:
+        return idx_all
+    from sklearn.model_selection import train_test_split
+
+    idx_tr, idx_te = train_test_split(
+        idx_all, test_size=test_size, stratify=labels,
+        random_state=random_state)
+    return np.sort(idx_tr if train else idx_te)
+
+
 class FolderDataset:
     """data_dir/<class_name>/*.img ; train/test selected at construction.
 
@@ -54,16 +72,8 @@ class FolderDataset:
             raise ValueError(f"no images under {data_dir}")
         labels = np.array(labels, np.int32)
 
-        idx_all = np.arange(len(paths))
-        if test_size is None:
-            sel = idx_all
-        else:
-            from sklearn.model_selection import train_test_split
-
-            idx_tr, idx_te = train_test_split(
-                idx_all, test_size=test_size, stratify=labels,
-                random_state=random_state)
-            sel = np.sort(idx_tr if train else idx_te)
+        sel = split_indices(labels, train=train, test_size=test_size,
+                            random_state=random_state)
         self.paths = [paths[i] for i in sel]
         self.labels = labels[sel]
 

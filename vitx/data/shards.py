@@ -44,6 +44,15 @@ def write_shards(dataset, out_dir, *, shard_size: int = 1000,
 
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    stale = sorted(out_dir.glob("*.tar"))
+    if stale:
+        # refuse rather than risk a mixed dataset: re-packing fewer images
+        # over an old pack would leave stale trailing shards that
+        # ShardDataset silently indexes
+        raise ValueError(
+            f"{out_dir} already holds {len(stale)} .tar shard(s) "
+            f"(e.g. {stale[0].name}); write into a fresh directory or "
+            f"remove them first")
     classes = list(getattr(dataset, "classes",
                            [str(i) for i in range(
                                getattr(dataset, "num_classes", 0))]))
@@ -124,16 +133,10 @@ class ShardDataset:
             self.classes = [str(c) for c in range(int(labels.max()) + 1)]
         self.class_encoding = dict(enumerate(self.classes))
 
-        idx_all = np.arange(len(entries))
-        if test_size is None:
-            sel = idx_all
-        else:
-            from sklearn.model_selection import train_test_split
+        from vitx.data.folder import split_indices
 
-            idx_tr, idx_te = train_test_split(
-                idx_all, test_size=test_size, stratify=labels,
-                random_state=random_state)
-            sel = np.sort(idx_tr if train else idx_te)
+        sel = split_indices(labels, train=train, test_size=test_size,
+                            random_state=random_state)
         self._entries = [entries[i] for i in sel]
         self.labels = labels[sel]
         self._local = threading.local()
