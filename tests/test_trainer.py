@@ -845,3 +845,32 @@ def test_class_weighted_loss_torch_parity_and_cli(tmp_path, capsys):
         "--class-weights", "1.0,2.0",
     ])
     assert rc == 1
+
+
+def test_training_is_bit_deterministic(tmp_path):
+    """Two identically-seeded CLI runs produce BIT-IDENTICAL checkpoints —
+    pins the whole chain (threaded loader order, device preprocess rngs,
+    dropout/mixup keys, optimizer) as reproducible."""
+    import jax
+
+    from vitx.cli.train import main as train_main
+    from vitx.train.checkpoint import restore_latest
+    from vitx.train.step import make_optimizer
+
+    args = ["--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+            "--batch-size", "32", "--compute-dtype", "float32",
+            "--randaug", "5", "--mixup-alpha", "0.8", "--seed", "7"]
+    train_main(args + ["--checkpoint-dir", str(tmp_path / "a")])
+    train_main(args + ["--checkpoint-dir", str(tmp_path / "b")])
+
+    opt = make_optimizer(lr=1e-4)
+    from vitx.core.config import PRESETS
+    from vitx.train.step import create_train_state
+
+    cfg = PRESETS["tiny"].replace(compute_dtype="float32")
+    tmpl = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    sa, _ = restore_latest(tmp_path / "a", tmpl)
+    tmpl2 = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    sb, _ = restore_latest(tmp_path / "b", tmpl2)
+    for x, y in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

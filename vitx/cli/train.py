@@ -341,6 +341,7 @@ def main(argv=None):
                     else "lora" if args.lora_rank else None)
 
     optimizer = None
+    lr_schedule = None
     if args.schedule == "cosine":
         from vitx.train.step import make_optimizer, warmup_cosine
 
@@ -350,9 +351,10 @@ def main(argv=None):
         # is cut off at the 1/k point
         total_updates = max(
             1, args.epochs * len(train_loader) // args.accum_steps)
+        lr_schedule = warmup_cosine(args.lr, total_updates,
+                                    args.warmup_steps // args.accum_steps)
         optimizer = make_optimizer(
-            schedule=warmup_cosine(args.lr, total_updates,
-                                   args.warmup_steps // args.accum_steps),
+            schedule=lr_schedule,
             weight_decay=args.weight_decay, grad_clip=args.grad_clip,
             ema_decay=args.ema_decay, accum_steps=args.accum_steps,
             llrd=args.llrd, llrd_depth=cfg.depth,
@@ -520,7 +522,8 @@ def main(argv=None):
                       tp=args.tp > 1, zero1=args.zero == 1,
                       zero2=args.zero == 2, sp=args.sp, ep=args.ep > 1,
                       zero3=args.zero == 3, init_state=init_state,
-                      optimizer=optimizer, train_step=train_step)
+                      optimizer=optimizer, train_step=train_step,
+                      lr_schedule=lr_schedule)
     from vitx.train.loop import NonFiniteLossError
 
     try:

@@ -141,7 +141,8 @@ class Trainer:
                  train_step=None, eval_step=None, init_state=None,
                  mesh=None, tp: bool = False, zero1: bool = False,
                  zero2: bool = False, zero3: bool = False,
-                 sp: bool = False, ep: bool = False, optimizer=None):
+                 sp: bool = False, ep: bool = False, optimizer=None,
+                 lr_schedule=None):
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
@@ -150,6 +151,9 @@ class Trainer:
         # constructed unconditionally: wait() is a no-op when unused, and
         # the sync path never touches it
         self._ckpt_writer = AsyncCheckpointWriter()
+        # optional step -> lr callable, logged per epoch (observability
+        # only — the jitted step embeds the schedule via the optimizer)
+        self._lr_schedule = lr_schedule
         if tcfg.train_filter is None and cfg.lora_rank:
             # LoRA MEANS frozen base weights (Hu et al. 2021) — default the
             # freeze policy rather than silently full-fine-tuning adapters
@@ -427,6 +431,14 @@ class Trainer:
                                           em["precision_weighted"], epoch)
                         writer.add_scalar("Val/recall_weighted",
                                           em["recall_weighted"], epoch)
+                if writer and self._lr_schedule is not None:
+                    # the schedule's horizon is in OPTIMIZER UPDATES: under
+                    # gradient accumulation optax.MultiSteps ticks it once
+                    # per accum_steps micro-batches (cli/train.py)
+                    cur = int(jax.device_get(self.state.step)) \
+                        // max(1, tcfg.accum_steps)
+                    writer.add_scalar("LR", float(self._lr_schedule(cur)),
+                                      epoch)
 
                 if tcfg.profile_epoch == epoch and tcfg.log_dir:
                     jax.profiler.stop_trace()
