@@ -158,6 +158,46 @@ def main(argv=None):
         mean=None if args.no_normalize else (0.5, 0.5, 0.5),
         std=None if args.no_normalize else (0.5, 0.5, 0.5),
         random_flip=False)
+
+    if meta.get("loss_type") == "bce":
+        # multi-label checkpoint (trained with --loss bce): the confusion-
+        # matrix machinery below is single-label; report micro/macro F1 +
+        # mAP from gathered logits instead (vitx/metrics/multilabel.py)
+        if args.predict or args.calibrate or args.tta:
+            print("error: --predict/--calibrate/--tta are single-label "
+                  "surfaces; this checkpoint was trained with --loss bce",
+                  file=sys.stderr)
+            return 1
+        from vitx.metrics.multilabel import multilabel_metrics
+        from vitx.nn.vit import forward as _fwd
+        from vitx.train.step import sigmoid_bce_loss
+
+        fwd = jax.jit(lambda p, x: _fwd(p, x, cfg))
+        scores, targets = [], []
+        loss_sum = 0.0
+        for batch in BatchLoader(eval_ds, args.batch_size):
+            img = pre(batch["image"], None, train=False)
+            lg = fwd(params, img)
+            keep = np.asarray(batch["mask"]).astype(bool)
+            loss_sum += float(sigmoid_bce_loss(
+                lg, batch["label"], batch["mask"])) * int(keep.sum())
+            scores.append(np.asarray(lg)[keep])
+            targets.append(np.asarray(batch["label"])[keep])
+        report = multilabel_metrics(np.concatenate(scores),
+                                    np.concatenate(targets))
+        report["loss"] = loss_sum / max(report["num_examples"], 1)
+        out = {}
+        for k, v in report.items():
+            if isinstance(v, int):
+                out[k] = v
+            elif np.isscalar(v):
+                out[k] = round(float(v), 6)
+            else:
+                arr = np.round(np.asarray(v, np.float64), 6)
+                out[k] = [None if np.isnan(x) else x for x in arr.tolist()]
+        print(json.dumps(out))
+        return 0
+
     eval_step = make_eval_step(cfg)
 
     # --predict and --calibrate share ONE extra jitted logits pass per

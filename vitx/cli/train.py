@@ -39,6 +39,11 @@ def build_argparser():
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--loss", default="ce", choices=["ce", "bce"],
+                   help="'ce' = single-label softmax cross-entropy (the "
+                        "reference task); 'bce' = MULTI-LABEL sigmoid BCE "
+                        "over (B, C) multi-hot labels — eval reports "
+                        "micro/macro F1 + mAP (try --data synthetic-ml)")
     p.add_argument("--optimizer", default="adamw",
                    choices=["adamw", "sgd", "lion", "adafactor"],
                    help="adamw = reference semantics; sgd = momentum 0.9 + "
@@ -216,6 +221,15 @@ def make_datasets(spec: str, cfg: ViTConfig, seed: int):
                       num_channels=cfg.num_channels)
         return (SyntheticDataset(num_examples=2048, seed=seed, **common),
                 SyntheticDataset(num_examples=512, seed=seed + 1, **common))
+    if spec == "synthetic-ml":
+        from vitx.data.synthetic import SyntheticMultiLabelDataset
+
+        common = dict(image_size=cfg.image_size, num_classes=cfg.num_classes,
+                      num_channels=cfg.num_channels)
+        return (SyntheticMultiLabelDataset(num_examples=2048, seed=seed,
+                                           **common),
+                SyntheticMultiLabelDataset(num_examples=512, seed=seed + 1,
+                                           **common))
     kind, _, path = spec.partition(":")
     if kind == "cifar10":
         return CIFAR10(path, train=True), CIFAR10(path, train=False)
@@ -454,6 +468,15 @@ def main(argv=None):
             label_smoothing=args.label_smoothing)
         train_step = lambda s, b, r: dstep(s, b, teacher_params, r)
 
+    if args.loss == "bce":
+        if args.label_smoothing or args.class_weights:
+            raise SystemExit("--loss bce does not compose with "
+                             "--label-smoothing / --class-weights "
+                             "(single-label softmax knobs)")
+        if args.distill_from or args.distill_token:
+            raise SystemExit("--loss bce does not compose with "
+                             "distillation (the distill step computes "
+                             "single-label CE on the class head)")
     class_weights = None
     if args.class_weights:
         import numpy as np
@@ -478,6 +501,7 @@ def main(argv=None):
         class_weights = tuple(float(x) for x in w)
 
     tcfg = TrainerConfig(
+        loss=args.loss,
         epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,
         class_weights=class_weights,
         grad_clip=args.grad_clip, label_smoothing=args.label_smoothing,

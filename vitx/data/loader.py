@@ -53,13 +53,16 @@ class BatchLoader:
     def _assemble(self, pool, idx):
         examples = list(pool.map(self.dataset.get_example, idx))
         images = np.stack([e[0] for e in examples])
+        # labels: (B,) ints for single-label, (B, C) multi-hot for
+        # multi-label datasets — padding rows are zeros either way
         labels = np.array([e[1] for e in examples], np.int32)
         pad = self.batch_size - len(idx)
         mask = np.ones(self.batch_size, np.int32)
         if pad:
             images = np.concatenate(
                 [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
-            labels = np.concatenate([labels, np.zeros(pad, np.int32)])
+            labels = np.concatenate(
+                [labels, np.zeros((pad,) + labels.shape[1:], np.int32)])
             mask[len(idx):] = 0
         return {"image": images, "label": labels, "mask": mask}
 

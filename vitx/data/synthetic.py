@@ -41,16 +41,57 @@ class SyntheticDataset:
             return self._cache[i]
         return self._generate(i)
 
-    def _generate(self, i: int):
-        label = int(self.labels[i])
-        rng = np.random.default_rng((self._seed, i))
+    def _wave(self, label: int):
         S = self.image_size
         yy, xx = np.mgrid[0:S, 0:S].astype(np.float32) / S
         angle = np.pi * label / self.num_classes
         freq = 3.0 + 2.0 * label
-        wave = np.sin(2 * np.pi * freq *
+        return np.sin(2 * np.pi * freq *
                       (np.cos(angle) * xx + np.sin(angle) * yy))
+
+    def _generate(self, i: int):
+        label = int(self.labels[i])
+        rng = np.random.default_rng((self._seed, i))
+        S = self.image_size
+        wave = self._wave(label)
         img = 0.5 + 0.35 * wave[..., None] + \
             self.noise * rng.standard_normal((S, S, self.num_channels))
         img = np.clip(img, 0.0, 1.0)
         return (img * 255).astype(np.uint8), label
+
+
+class SyntheticMultiLabelDataset(SyntheticDataset):
+    """Multi-label variant: each image SUPERIMPOSES the gratings of a random
+    1..max_active subset of classes; the label is the (C,) multi-hot set.
+    The task is genuinely multi-label — gratings are (near-)orthogonal
+    spatial frequencies, so each class's presence is independently
+    detectable. Drives ``--loss bce`` (sigmoid BCE + micro/macro F1 + mAP).
+    """
+
+    def __init__(self, *, max_active: int = 3, **kw):
+        if kw.get("cache"):
+            raise ValueError("cache=True is not supported for the "
+                             "multi-label variant")
+        super().__init__(**kw)
+        n = len(self.labels)
+        rng = np.random.default_rng(self._seed + 0x31)
+        hot = np.zeros((n, self.num_classes), np.int32)
+        for i in range(n):
+            k = int(rng.integers(1, min(max_active, self.num_classes) + 1))
+            hot[i, rng.choice(self.num_classes, size=k, replace=False)] = 1
+        self.labels = hot                                  # (N, C) multi-hot
+
+    def _generate(self, i: int):
+        hot = self.labels[i]
+        rng = np.random.default_rng((self._seed, i, 0x31))
+        S = self.image_size
+        active = np.flatnonzero(hot)
+        # 1/sqrt(k) superposition: per-class amplitude shrinks slower than
+        # the mean's 1/k while the total stays in the clip range — keeps
+        # every active grating individually detectable
+        wave = np.sum([self._wave(int(c)) for c in active],
+                      axis=0) / np.sqrt(len(active))
+        img = 0.5 + 0.35 * wave[..., None] + \
+            self.noise * rng.standard_normal((S, S, self.num_channels))
+        img = np.clip(img, 0.0, 1.0)
+        return (img * 255).astype(np.uint8), hot

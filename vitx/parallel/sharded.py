@@ -351,7 +351,8 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                              sam_rho: float | None = None,
                              class_weights=None, grad_shardings=None,
                              train_filter: str | None = None,
-                             sp: bool = False, ep: bool = False):
+                             sp: bool = False, ep: bool = False,
+                             loss: str = "ce"):
     """Jitted SPMD train step. State donated; grads psum over ``data``.
 
     Shardings are inferred from the placed inputs (pjit committed-input
@@ -369,7 +370,7 @@ def make_parallel_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
                       mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha,
                       sam_rho=sam_rho, class_weights=class_weights,
                       grad_shardings=grad_shardings,
-                      train_filter=train_filter)
+                      train_filter=train_filter, loss=loss)
 
     def wrapped(state, batch, rng):
         return step_fn(state, batch, rng)

@@ -49,6 +49,11 @@ class TrainerConfig:
     # torch CrossEntropyLoss(weight=...) parity). The train CLI's
     # --class-weights balanced computes n/(C*count_c) from the train split.
     class_weights: tuple | None = None
+    # "ce" (single-label softmax cross-entropy, the reference task) or
+    # "bce" (multi-label sigmoid BCE over (B, C) multi-hot labels —
+    # step.py::sigmoid_bce_loss; eval reports micro/macro F1 + mAP via
+    # vitx/metrics/multilabel.py instead of a confusion matrix).
+    loss: str = "ce"
     # "adamw" (reference semantics), "sgd" (momentum 0.9, decoupled wd),
     # "lion" (Chen 2023), or "adafactor" (factored second moments,
     # sublinear optimizer memory) — see make_optimizer.
@@ -146,6 +151,7 @@ class Trainer:
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
+        self._tp = tp
         from vitx.train.checkpoint import AsyncCheckpointWriter
 
         # constructed unconditionally: wait() is a no-op when unused, and
@@ -241,7 +247,7 @@ class Trainer:
                 cutmix_alpha=tcfg.cutmix_alpha,
                 sam_rho=tcfg.sam_rho,
                 class_weights=tcfg.class_weights,
-                train_filter=tcfg.train_filter)
+                train_filter=tcfg.train_filter, loss=tcfg.loss)
             self.eval_step = eval_step or make_parallel_eval_step(
                 cfg, mesh, tp=tp, sp=sp, ep=ep)
         else:
@@ -253,7 +259,8 @@ class Trainer:
                                    cutmix_alpha=tcfg.cutmix_alpha,
                                    sam_rho=tcfg.sam_rho,
                                    class_weights=tcfg.class_weights,
-                                   train_filter=tcfg.train_filter))
+                                   train_filter=tcfg.train_filter,
+                                   loss=tcfg.loss))
             self.eval_step = eval_step or make_eval_step(cfg)
         self.preprocess = preprocess
         if tcfg.steps_per_dispatch > 1 and mesh is not None:
@@ -355,7 +362,13 @@ class Trainer:
     def evaluate(self, eval_loader):
         """Accumulate ONE confusion matrix on device over the loader, then a
         single host transfer (vs the reference's per-batch host sync,
-        train.py:29-44). Uses the EMA shadow params when enabled."""
+        train.py:29-44). Uses the EMA shadow params when enabled.
+
+        tcfg.loss == "bce" (multi-label): ranking metrics (mAP) need the
+        full score array, so eval gathers per-batch logits to host and
+        reports micro/macro F1 + mAP (vitx/metrics/multilabel.py)."""
+        if self.tcfg.loss == "bce":
+            return self._evaluate_multilabel(eval_loader)
         cm = None
         loss_sum = None
         params = self.eval_params()
@@ -377,6 +390,44 @@ class Trainer:
         metrics["loss"] = float(jax.device_get(loss_sum)) / \
             max(float(cm_host.sum()), 1.0)
         metrics["confusion_matrix"] = cm_host
+        return metrics
+
+    def _evaluate_multilabel(self, eval_loader):
+        from functools import partial
+
+        from vitx.metrics.multilabel import multilabel_metrics
+        from vitx.nn.vit import forward
+        from vitx.train.step import sigmoid_bce_loss
+
+        params = self.eval_params()
+        cfg = self.cfg
+        if self.mesh is not None:
+            from vitx.parallel.sharded import tp_safe_cfg
+
+            # tp shards block weights: route around the fused kernels the
+            # same way the parallel train/eval steps do
+            cfg = tp_safe_cfg(cfg, self._tp)
+        fwd = jax.jit(partial(forward, cfg=cfg))
+        scores, targets = [], []
+        loss_sum, n = 0.0, 0
+        for batch in self._prefetch(eval_loader):
+            prepped = self._prep(batch, None, train=False, placed=True)
+            logits = fwd(params, prepped["image"])
+            m = np.asarray(prepped.get(
+                "mask", np.ones(logits.shape[0], np.int32))) > 0
+            k = int(m.sum())
+            loss_sum += float(sigmoid_bce_loss(
+                logits, prepped["label"],
+                prepped.get("mask", None))) * k
+            n += k
+            scores.append(np.asarray(jax.device_get(logits))[m])
+            targets.append(np.asarray(jax.device_get(
+                prepped["label"]))[m])
+        if not scores:
+            return {}
+        metrics = multilabel_metrics(np.concatenate(scores),
+                                     np.concatenate(targets))
+        metrics["loss"] = loss_sum / max(n, 1)
         return metrics
 
     def fit(self, train_loader, eval_loader=None):
@@ -427,10 +478,16 @@ class Trainer:
                     if writer:
                         # reference's literal tag (train.py:106)
                         writer.add_scalar("val?acc", em["accuracy"], epoch)
-                        writer.add_scalar("Val/precision_weighted",
-                                          em["precision_weighted"], epoch)
-                        writer.add_scalar("Val/recall_weighted",
-                                          em["recall_weighted"], epoch)
+                        if "precision_weighted" in em:
+                            writer.add_scalar("Val/precision_weighted",
+                                              em["precision_weighted"],
+                                              epoch)
+                            writer.add_scalar("Val/recall_weighted",
+                                              em["recall_weighted"], epoch)
+                        if "mAP" in em:    # multi-label (tcfg.loss="bce")
+                            writer.add_scalar("Val/mAP", em["mAP"], epoch)
+                            writer.add_scalar("Val/f1_micro",
+                                              em["f1_micro"], epoch)
                 if writer and self._lr_schedule is not None:
                     # the schedule's horizon is in OPTIMIZER UPDATES: under
                     # gradient accumulation optax.MultiSteps ticks it once
@@ -451,6 +508,9 @@ class Trainer:
                     meta = {"loss": stats.get("loss", 0.0),
                             "step": int(self.state.step),
                             "config": _json.loads(self.cfg.to_json())}
+                    if tcfg.loss != "ce":
+                        # eval CLI switches to the multi-label report
+                        meta["loss_type"] = tcfg.loss
                     if tcfg.ema_decay is not None:
                         # consumers (eval/serve) rebuild a structure-matched
                         # optimizer template and prefer the EMA shadow

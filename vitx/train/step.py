@@ -306,6 +306,20 @@ def cross_entropy_loss(logits, labels, mask=None, label_smoothing=0.0,
     return jnp.sum(nll * mask) / jnp.maximum(denom, 1e-9)
 
 
+def sigmoid_bce_loss(logits, targets, mask=None):
+    """Multi-label loss: mean sigmoid binary cross-entropy over classes,
+    masked mean over rows — torch ``BCEWithLogitsLoss`` parity. ``targets``
+    is (B, C) multi-hot (soft targets from mixup are fine: BCE is affine in
+    the target)."""
+    per = optax.sigmoid_binary_cross_entropy(
+        logits.astype(jnp.float32), targets.astype(jnp.float32))
+    per = jnp.mean(per, axis=-1)              # mean over classes, per row
+    if mask is None:
+        return jnp.mean(per)
+    m = mask.astype(jnp.float32)
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1e-9)
+
+
 def _cutmix_weight_map(rng, height, width, alpha):
     """Per-pixel keep-weight map for CutMix (Yun et al. 2019): 1 outside a
     random rectangle of expected area ``1 - Beta(alpha, alpha)``, 0 inside.
@@ -346,7 +360,8 @@ def _mix_weight_map(rng, image_shape, mixup_alpha, cutmix_alpha):
 
 def loss_fn(params, batch, cfg: ViTConfig, rng, *,
             label_smoothing: float = 0.0, mixup_alpha: float | None = None,
-            cutmix_alpha: float | None = None, class_weights=None):
+            cutmix_alpha: float | None = None, class_weights=None,
+            loss: str = "ce"):
     """Training loss. ``label_smoothing`` / ``mixup_alpha`` /
     ``cutmix_alpha`` implement the DeiT-style recipe knobs (mixup: Zhang et
     al. 2018 — convex input/target mixing with Beta(alpha, alpha) weights;
@@ -360,6 +375,15 @@ def loss_fn(params, batch, cfg: ViTConfig, rng, *,
         # MXU tile padding that XLA's full-batch weight-grad matmuls don't —
         # net ~1 ms/layer slower under grad. Keep it for eval/serving only.
         cfg = cfg.replace(fuse_mlp="off")
+    if loss == "bce":
+        # multi-label: (B, C) multi-hot targets through sigmoid BCE; the
+        # single-label-only knobs are rejected up front (a silent softmax
+        # smoothing applied to BCE targets would be a different objective)
+        if label_smoothing or class_weights is not None:
+            raise ValueError("loss='bce' does not compose with "
+                             "label_smoothing / class_weights")
+    elif loss != "ce":
+        raise ValueError(f"unknown loss {loss!r} (have 'ce', 'bce')")
     image = batch["image"]
     mask = batch.get("mask")
     if (mixup_alpha or cutmix_alpha) and rng is not None:
@@ -371,18 +395,26 @@ def loss_fn(params, batch, cfg: ViTConfig, rng, *,
                  + (1.0 - w) * image[perm].astype(jnp.float32)
                  ).astype(image.dtype)
         logits = forward(params, image, cfg, rng=rng, deterministic=False)
-        loss = (lam * cross_entropy_loss(
-                    logits, batch["label"], mask, label_smoothing,
-                    class_weights)
-                + (1.0 - lam) * cross_entropy_loss(
-                    logits, batch["label"][perm], mask, label_smoothing,
-                    class_weights))
-        return loss, logits
+        if loss == "bce":
+            # BCE is affine in the target: mixing the multi-hot targets is
+            # exactly the mixed-loss form used below for CE
+            t = batch["label"].astype(jnp.float32)
+            mixed = lam * t + (1.0 - lam) * t[perm]
+            return sigmoid_bce_loss(logits, mixed, mask), logits
+        loss_v = (lam * cross_entropy_loss(
+                      logits, batch["label"], mask, label_smoothing,
+                      class_weights)
+                  + (1.0 - lam) * cross_entropy_loss(
+                      logits, batch["label"][perm], mask, label_smoothing,
+                      class_weights))
+        return loss_v, logits
     logits = forward(params, image, cfg, rng=rng,
                      deterministic=rng is None)
-    loss = cross_entropy_loss(logits, batch["label"], mask, label_smoothing,
-                              class_weights)
-    return loss, logits
+    if loss == "bce":
+        return sigmoid_bce_loss(logits, batch["label"], mask), logits
+    loss_v = cross_entropy_loss(logits, batch["label"], mask,
+                                label_smoothing, class_weights)
+    return loss_v, logits
 
 
 def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
@@ -391,7 +423,7 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
                cutmix_alpha: float | None = None,
                sam_rho: float | None = None,
                class_weights=None, grad_shardings=None,
-               train_filter: str | None = None):
+               train_filter: str | None = None, loss: str = "ce"):
     """One SGD step. batch: {"image": (B,H,W,C), "label": (B,)}.
 
     ``train_filter`` ("lora" / "head", see ``make_trainable_mask``): frozen
@@ -421,7 +453,7 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
     step_rng = jax.random.fold_in(rng, state.step) if rng is not None else None
     base_loss = partial(loss_fn, label_smoothing=label_smoothing,
                         mixup_alpha=mixup_alpha, cutmix_alpha=cutmix_alpha,
-                        class_weights=class_weights)
+                        class_weights=class_weights, loss=loss)
     mask_fn = make_trainable_mask(train_filter)
     if mask_fn is not None:
         mask = mask_fn(state.params)
@@ -456,8 +488,14 @@ def train_step(state: TrainState, batch, rng, *, cfg: ViTConfig, optimizer,
         params = optax.apply_updates(state.params, updates)
     new_state = TrainState(step=state.step + 1, params=params,
                            opt_state=opt_state)
-    correct = (jnp.argmax(logits, axis=-1) == batch["label"])\
-        .astype(jnp.float32)
+    if batch["label"].ndim == 2:
+        # multi-label: per-element accuracy of the 0.5-threshold decisions
+        correct = jnp.mean(((logits > 0)
+                            == (batch["label"] > 0.5)).astype(jnp.float32),
+                           axis=-1)
+    else:
+        correct = (jnp.argmax(logits, axis=-1) == batch["label"])\
+            .astype(jnp.float32)
     if "mask" in batch:
         m = batch["mask"].astype(jnp.float32)
         acc = jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1.0)
@@ -497,13 +535,15 @@ def make_train_step(cfg: ViTConfig, optimizer, *,
                     mixup_alpha: float | None = None,
                     cutmix_alpha: float | None = None,
                     sam_rho: float | None = None,
-                    class_weights=None, train_filter: str | None = None):
+                    class_weights=None, train_filter: str | None = None,
+                    loss: str = "ce"):
     """Jitted train step with the state donated (in-place on device)."""
     return jax.jit(
         partial(train_step, cfg=cfg, optimizer=optimizer,
                 label_smoothing=label_smoothing, mixup_alpha=mixup_alpha,
                 cutmix_alpha=cutmix_alpha, sam_rho=sam_rho,
-                class_weights=class_weights, train_filter=train_filter),
+                class_weights=class_weights, train_filter=train_filter,
+                loss=loss),
         donate_argnums=(0,),
     )
 
