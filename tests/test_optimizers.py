@@ -139,3 +139,67 @@ def test_cli_adafactor_roundtrip(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["accuracy"] == pytest.approx(train_out["val_accuracy"])
+
+
+@pytest.mark.parametrize("name", ["adamw", "sgd", "lion", "adafactor"])
+def test_wd_exclude_decays_matrix_weights_only(name):
+    """With wd_exclude, a zero-gradient update must move ONLY the matrix
+    weights (pure decay term); biases, LN scales/biases, cls/pos embeddings
+    stay bit-identical. Without it, adamw decays everything (the reference
+    train.py:66 semantics the default preserves)."""
+    from vitx.train.step import weight_decay_mask
+
+    opt = make_optimizer(lr=0.1, weight_decay=0.5, optimizer=name,
+                         wd_exclude=True)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    zero_g = jax.tree.map(jnp.zeros_like, state.params)
+    updates, _ = opt.update(zero_g, state.opt_state, state.params)
+    mask = weight_decay_mask(state.params)
+
+    def check(path, u, m):
+        moved = bool(jnp.any(u != 0))
+        name_ = str(path[-1].key)
+        if m:
+            assert moved, f"decayed leaf did not move: {name_}"
+        else:
+            assert not moved, f"excluded leaf moved under wd_exclude: {name_}"
+    jax.tree_util.tree_map_with_path(check, updates, mask)
+
+    # mask sanity on this tree: matrix weights in, everything else out
+    flat = {str(p[-1].key): v for p, v in
+            jax.tree_util.tree_flatten_with_path(mask)[0]}
+    assert flat["wqkv"] and flat["w1"] and flat["kernel"] and flat["w2"]
+    assert not (flat["pos_embed"] or flat["cls_token"] or flat["bo"]
+                or flat["ln1_scale"] or flat["ln_bias"] or flat["b1"])
+
+
+def test_wd_exclude_default_off_decays_everything():
+    opt = make_optimizer(lr=0.1, weight_decay=0.5)   # default: no mask
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    zero_g = jax.tree.map(jnp.zeros_like, state.params)
+    updates, _ = opt.update(zero_g, state.opt_state, state.params)
+    # every nonzero param decays (zero-init leaves like biases stay zero)
+    moved = jax.tree.map(
+        lambda u, p: bool(jnp.any(u != 0)) or not bool(jnp.any(p != 0)),
+        updates, state.params)
+    assert all(jax.tree.leaves(moved))
+
+
+def test_cli_wd_exclude_roundtrip(tmp_path, capsys):
+    """--wd-exclude trains, checkpoints and restores through eval (the
+    mask is state-shape-neutral, so the default optimizer template fits)."""
+    from vitx.cli.eval import main as eval_main
+    from vitx.cli.train import main as train_main
+
+    train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--lr", "3e-3", "--wd-exclude",
+        "--checkpoint-dir", str(tmp_path / "c"),
+        "--compute-dtype", "float32",
+    ])
+    train_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = eval_main(["--data", "synthetic", "--checkpoint",
+                    str(tmp_path / "c"), "--batch-size", "32"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["accuracy"] == pytest.approx(train_out["val_accuracy"])

@@ -57,6 +57,12 @@ def build_argparser():
                         "bfloat16 halves that buffer (25%% of adamw "
                         "optimizer memory) with negligible drift")
     p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--wd-exclude", action="store_true",
+                   help="apply weight decay to matrix weights only (the "
+                        "timm/DeiT no-decay rule: biases, LayerNorm "
+                        "scales/biases, LayerScale gains and token/"
+                        "positional embeddings are exempt); default decays "
+                        "everything like the reference")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--log-dir", default=None)
     p.add_argument("--async-checkpoint", action="store_true",
@@ -373,7 +379,7 @@ def main(argv=None):
             ema_decay=args.ema_decay, accum_steps=args.accum_steps,
             llrd=args.llrd, llrd_depth=cfg.depth,
             optimizer=args.optimizer, trainable=train_filter,
-            mu_dtype=args.mu_dtype)
+            mu_dtype=args.mu_dtype, wd_exclude=args.wd_exclude)
 
     init_state = None
     if args.init_from:
@@ -404,7 +410,7 @@ def main(argv=None):
                 accum_steps=args.accum_steps,
                 llrd=args.llrd, llrd_depth=cfg.depth,
                 optimizer=args.optimizer, trainable=train_filter,
-                mu_dtype=args.mu_dtype)
+                mu_dtype=args.mu_dtype, wd_exclude=args.wd_exclude)
         init_state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 opt_state=optimizer.init(params))
 
@@ -461,7 +467,7 @@ def main(argv=None):
                 accum_steps=args.accum_steps,
                 llrd=args.llrd, llrd_depth=cfg.depth,
                 optimizer=args.optimizer, trainable=train_filter,
-                mu_dtype=args.mu_dtype)
+                mu_dtype=args.mu_dtype, wd_exclude=args.wd_exclude)
         dstep = make_distill_train_step(
             cfg, teacher_cfg, optimizer, alpha=args.distill_alpha,
             tau=args.distill_tau, hard=args.distill_hard,
@@ -511,6 +517,7 @@ def main(argv=None):
         eval_every=args.eval_every, log_every=args.log_every,
         ema_decay=args.ema_decay, llrd=args.llrd, seed=args.seed,
         optimizer=args.optimizer, mu_dtype=args.mu_dtype,
+        wd_exclude=args.wd_exclude,
         train_filter=train_filter,
         early_stop_patience=args.early_stop,
         early_stop_min_delta=args.early_stop_delta,

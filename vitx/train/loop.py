@@ -36,6 +36,10 @@ class TrainerConfig:
     epochs: int = 10
     lr: float = 1e-4                  # reference default (train.py:137)
     weight_decay: float = 1e-4        # reference default (train.py:66)
+    # Decay matrix weights only (step.py::weight_decay_mask — the timm
+    # no-decay rule for biases/norms/gains/token embeddings). Default off:
+    # the reference decays every parameter.
+    wd_exclude: bool = False
     grad_clip: float | None = None
     # DeiT-style recipe knobs (vitx/train/step.py::loss_fn)
     label_smoothing: float = 0.0
@@ -175,7 +179,8 @@ class Trainer:
                            accum_steps=tcfg.accum_steps,
                            optimizer=tcfg.optimizer,
                            trainable=tcfg.train_filter,
-                           mu_dtype=tcfg.mu_dtype)
+                           mu_dtype=tcfg.mu_dtype,
+                           wd_exclude=tcfg.wd_exclude)
         rng = jax.random.PRNGKey(tcfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.state = (init_state if init_state is not None

@@ -146,6 +146,32 @@ def get_ema_params(opt_state):
     return None
 
 
+# Leaves that weight decay applies to under ``wd_exclude`` — the matrix
+# weights only (timm's param-group rule): patch-embed kernels, the block
+# projections, the head/MAP matrices, the MoE expert weights and the LoRA
+# factors. Everything else — biases, LayerNorm scales/biases, LayerScale
+# gains, QK-Norm scales, CLS/distill/register tokens, pos_embed, the MAP
+# probe, the MoE router scale — is regularization-exempt (decaying a scale
+# or a token embedding toward zero fights the very statistics LN restores;
+# the standard ViT recipes all exclude them).
+_WD_DECAY_LEAVES = frozenset({
+    "kernel",                          # patch/conv stem kernels
+    "wqkv", "wo", "w1", "w2", "w",     # block + head projections
+    "wq", "wk", "wv", "wo_p", "mw1", "mw2",   # MAP head matrices
+    "ew1", "ew2", "phi",               # Soft-MoE expert weights + dispatch
+})
+
+
+def weight_decay_mask(params):
+    """Bool pytree: True on the leaves weight decay should touch (matrix
+    weights), False on biases/norms/gains/token embeddings — the timm/DeiT
+    "no weight decay" param-group rule, as an optax mask."""
+    def pick(path, _leaf):
+        name = str(path[-1].key)
+        return name in _WD_DECAY_LEAVES or name.startswith("lora_")
+    return jax.tree_util.tree_map_with_path(pick, params)
+
+
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
                    schedule=None, grad_clip: float | None = None,
                    accum_steps: int = 1, fused: bool | str = "auto",
@@ -153,7 +179,8 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
                    llrd: float | None = None, llrd_depth: int | None = None,
                    optimizer: str = "adamw",
                    trainable: str | None = None,
-                   mu_dtype: str | None = None):
+                   mu_dtype: str | None = None,
+                   wd_exclude: bool = False):
     """AdamW (train.py:66 semantics) with optional schedule / grad clipping /
     gradient accumulation (`accum_steps` micro-batches per update).
 
@@ -175,6 +202,13 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
     depth) — see ``layerwise_lr_decay``. Stateless: checkpoints made with
     and without it are interchangeable.
 
+    ``wd_exclude``: apply weight decay to MATRIX weights only (the
+    timm/DeiT no-decay rule, ``weight_decay_mask``): biases, LayerNorm
+    scales/biases, LayerScale gains and token/positional embeddings are
+    exempt. Off by default — the reference decays everything (train.py:66)
+    and the parity trajectories pin that. State-shape-neutral: checkpoints
+    made with and without it restore interchangeably.
+
     ``fused``: use the single-pass Pallas AdamW kernel (vitx/kernels/adamw.py).
     Default OFF: measured on v5e (round 2), the per-leaf kernel launches run
     at 12.6 ms/update vs 6.2 ms for optax's XLA-fused chain at ViT-B size —
@@ -190,7 +224,9 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
         raise ValueError("mu_dtype applies to the adamw moments only")
     use_fused = (fused is True and accum_steps == 1 and ema_decay is None
                  and llrd is None and optimizer == "adamw"
-                 and trainable in (None, "all") and mu_dtype is None)
+                 and trainable in (None, "all") and mu_dtype is None
+                 and not wd_exclude)
+    wd_mask = weight_decay_mask if wd_exclude else None
     tx = []
     if grad_clip is not None:
         tx.append(optax.clip_by_global_norm(grad_clip))
@@ -208,20 +244,22 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-4,
         # decoupled, matching how adamw/lion treat their weight_decay
         base = optax.chain(
             optax.trace(decay=0.9),
-            optax.add_decayed_weights(weight_decay),
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),
             optax.scale_by_learning_rate(lr_or_sched))
     elif optimizer == "lion":
-        base = optax.lion(lr_or_sched, weight_decay=weight_decay)
+        base = optax.lion(lr_or_sched, weight_decay=weight_decay,
+                          mask=wd_mask)
     elif optimizer == "adafactor":
         # relative-step-size machinery OFF (explicit lr like the others, so
         # schedules/LLRD compose identically); factored stats stay on —
         # that's the memory win
         base = optax.adafactor(
             lr_or_sched, multiply_by_parameter_scale=False,
-            clipping_threshold=None, weight_decay_rate=weight_decay or None)
+            clipping_threshold=None, weight_decay_rate=weight_decay or None,
+            weight_decay_mask=wd_mask)
     else:
         base = optax.adamw(lr_or_sched, weight_decay=weight_decay,
-                           mu_dtype=mu_dtype)
+                           mu_dtype=mu_dtype, mask=wd_mask)
     mask_fn = make_trainable_mask(trainable)
     if mask_fn is not None:
         # freeze policy (LoRA / head-only fine-tune): moments, weight decay
