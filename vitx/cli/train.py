@@ -125,6 +125,18 @@ def build_argparser():
                    help="LayerScale (CaiT): init value for the learned "
                         "per-channel residual-branch gains (1e-1 for depth "
                         "<= 18, 1e-5/1e-6 for 24/36). 0 = off")
+    p.add_argument("--mlp-act", default=None,
+                   choices=["gelu", "gelu_tanh", "relu", "swiglu"],
+                   help="block MLP form: GELU (exact erf), tanh-approx "
+                        "GELU (the perf presets' default), ReLU (reference "
+                        "parity), or SwiGLU (gated FFN, Shazeer 2020 / "
+                        "EVA-02 — adds a w3 gate projection per block)")
+    p.add_argument("--pos-embed", default=None,
+                   choices=["learned", "sincos2d", "rope"],
+                   help="positional information: learned table (default), "
+                        "fixed 2D sin-cos (MAE-style; no parameter), or 2D "
+                        "axial rotary embeddings in every attention layer "
+                        "(EVA-02-style)")
     p.add_argument("--qk-norm", action="store_true",
                    help="per-head LayerNorm on queries/keys before the "
                         "logits (ViT-22B): bounds attention logits, "
@@ -332,6 +344,10 @@ def main(argv=None):
         cfg = cfg.replace(patch_drop=args.patch_drop)
     if args.layerscale:
         cfg = cfg.replace(layerscale_init=args.layerscale)
+    if args.mlp_act:
+        cfg = cfg.replace(mlp_act=args.mlp_act)
+    if args.pos_embed:
+        cfg = cfg.replace(pos_embed=args.pos_embed)
     if args.qk_norm:
         cfg = cfg.replace(qk_norm=True)
     if args.head_type:

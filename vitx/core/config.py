@@ -46,7 +46,13 @@ class ViTConfig:
     num_heads: int = 12
     mlp_ratio: int = 4
     # Reference encoder blocks use ReLU (transformer.py:55-60); standard ViT
-    # uses GELU. Parity presets set "relu".
+    # uses GELU. Parity presets set "relu"; perf presets "gelu_tanh";
+    # "swiglu" = the gated FFN (Shazeer 2020 / EVA-02): hidden =
+    # SiLU(x@w1 + b1) * (x@w3 + b3) with an extra per-block gate projection
+    # w3 (params/FLOPs grow by one up-projection — FLOP-match by choosing a
+    # smaller mlp_ratio). Composed XLA path (the gate multiply fuses into
+    # the up-projections); the fused Linear->act->Linear kernel is
+    # auto-disabled.
     mlp_act: str = "gelu"
     # Reference attention has NO QKV bias (transformer.py:12-17) but DOES have
     # an output-projection bias (transformer.py:38).
@@ -82,6 +88,36 @@ class ViTConfig:
     # kept; inference always runs the full token set. 0 = off; FLIP found
     # 0.5 loses little accuracy at scale.
     patch_drop: float = 0.0
+
+    # --- positional information ---
+    # "learned": a trained (1, pos_len, E) table added to the prefix+patch
+    #   tokens (the reference's nn.Parameter, vit.py:35-38). The default;
+    #   every parity/interop path assumes it.
+    # "sincos2d": the FIXED 2D sine-cosine table (MAE, He et al. 2022
+    #   Appendix A; same math as the original "Attention is All You Need"
+    #   encoding, factorized row x column with E/2 dims per axis). Not a
+    #   parameter — computed from the grid geometry at trace time (XLA
+    #   constant-folds it), so there is no pos_embed leaf, nothing to
+    #   checkpoint, and retargeting image_size/patch_size regenerates the
+    #   right table for free. Prefix (CLS/distill) rows are zero.
+    # "rope": 2D AXIAL rotary embeddings (RoPE; EVA-02 / Heo et al. 2024
+    #   "Rotary Position Embedding for Vision Transformer"): nothing is
+    #   added to the tokens — every attention layer rotates q and k by
+    #   position-dependent angles (first half of head_dim by the patch ROW,
+    #   second half by the COLUMN), making attention logits depend on
+    #   RELATIVE offsets only. Position information reaches every layer
+    #   (additive tables decay through the residual stream) and resolution
+    #   retargeting regenerates angles exactly. Prefix/register tokens get
+    #   zero angles (identity rotation). Runs the composed-QKV attention
+    #   path (rotation happens between the QKV projection and the flash
+    #   kernel, which stays enabled); the fused LN->QKV->attn kernel
+    #   computes QKV in-kernel and is auto-disabled.
+    pos_embed: str = "learned"
+    # RoPE frequency base: angle(i) = pos * base**(-4i/head_dim) per axis.
+    # 100.0 (EVA-02's choice for image grids) — grids are ~14-24 positions,
+    # not thousands of text tokens, so a much shorter wavelength ladder
+    # than the LLM 10000 default.
+    rope_base: float = 100.0
 
     # --- stem ---
     # "patch": space-to-depth + matmul patchify (the reference's Conv2d
@@ -248,8 +284,28 @@ class ViTConfig:
                 f"embed_dim {self.embed_dim} not divisible by num_heads "
                 f"{self.num_heads}"
             )
-        if self.mlp_act not in ("gelu", "gelu_tanh", "relu"):
+        if self.mlp_act not in ("gelu", "gelu_tanh", "relu", "swiglu"):
             raise ValueError(f"unknown mlp_act {self.mlp_act!r}")
+        if self.mlp_act == "swiglu":
+            # SwiGLU (Shazeer 2020; EVA-02's FFN): hidden =
+            # SiLU(x@w1) * (x@w3) — an extra (E, M) gate projection per
+            # block (params/FLOPs grow by one up-projection; pick a smaller
+            # mlp_ratio to FLOP-match, the paper uses 2/3 * 4E).
+            if self.parity == "bug_exact":
+                raise ValueError(
+                    "mlp_act='swiglu' is a beyond-reference extension; "
+                    "bug_exact parity reproduces the reference model, "
+                    "whose FeedForward is Linear->act->Linear")
+            if self.moe_experts:
+                raise ValueError(
+                    "mlp_act='swiglu' + moe_experts is unsupported: the "
+                    "Soft-MoE expert MLPs are ungated Linear->act->Linear")
+            if self.fuse_mlp == "on":
+                raise ValueError(
+                    "fuse_mlp='on' + mlp_act='swiglu' is unsupported: the "
+                    "fused kernel computes Linear->act->Linear; leave "
+                    "fuse_mlp='auto' (swiglu auto-routes to the composed "
+                    "path)")
         if self.head_type not in ("reference", "standard", "map"):
             raise ValueError(f"unknown head_type {self.head_type!r}")
         if self.global_pool not in ("cls", "gap"):
@@ -260,6 +316,44 @@ class ViTConfig:
                 "bug_exact parity reproduces the reference model: its head "
                 "reads token 0 (vit.py:80) — head_type='map' and "
                 "global_pool='gap' are beyond-reference extensions")
+        if self.pos_embed not in ("learned", "sincos2d", "rope"):
+            raise ValueError(f"unknown pos_embed {self.pos_embed!r}; "
+                             "have 'learned', 'sincos2d', 'rope'")
+        if self.pos_embed != "learned":
+            if self.parity == "bug_exact":
+                raise ValueError(
+                    "pos_embed is a beyond-reference extension; bug_exact "
+                    "parity reproduces the reference model, which has a "
+                    "learned positional table (vit.py:35-38)")
+            if self.pos_embed == "sincos2d" and self.embed_dim % 4:
+                raise ValueError(
+                    "pos_embed='sincos2d' factorizes embed_dim into "
+                    "row/column sin+cos quarters — embed_dim must be "
+                    f"divisible by 4, got {self.embed_dim}")
+            if self.pos_embed == "rope":
+                if self.head_dim % 4:
+                    raise ValueError(
+                        "pos_embed='rope' splits head_dim into row/column "
+                        "rotation-pair quarters — head_dim must be "
+                        f"divisible by 4, got {self.head_dim}")
+                if self.tome_r:
+                    raise ValueError(
+                        "tome_r + pos_embed='rope' is unsupported: merged "
+                        "tokens have no single grid position to rotate by")
+                if self.patch_drop:
+                    raise ValueError(
+                        "patch_drop + pos_embed='rope' is unsupported: the "
+                        "per-sample token subset would need per-sample "
+                        "rotation tables")
+                if self.fuse_mha == "on":
+                    raise ValueError(
+                        "fuse_mha='on' + pos_embed='rope' is unsupported: "
+                        "the fused block kernel computes QKV in-kernel with "
+                        "no rotation; leave fuse_mha='auto' (rope "
+                        "auto-routes to the composed path, flash kernel "
+                        "still enabled)")
+        if self.rope_base <= 1.0:
+            raise ValueError(f"rope_base must be > 1, got {self.rope_base}")
         if self.stem not in ("patch", "conv"):
             raise ValueError(f"unknown stem {self.stem!r}")
         if self.stem == "conv" and (

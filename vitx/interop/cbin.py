@@ -36,6 +36,12 @@ def write_model_bin(path, params, cfg: ViTConfig):
         raise ValueError("vitc has no register tokens")
     if cfg.qk_norm:
         raise ValueError("vitc has no QK-Norm")
+    if cfg.pos_embed != "learned":
+        raise ValueError("vitc expects a learned positional table; "
+                         "sincos2d/rope models have no pos_embed leaf")
+    if cfg.mlp_act not in _ACT:
+        raise ValueError(f"vitc implements {sorted(_ACT)} MLPs only, "
+                         f"not {cfg.mlp_act!r}")
 
     def f32(x):
         return np.ascontiguousarray(np.asarray(x), dtype="<f4")

@@ -117,6 +117,12 @@ def export_reference_state_dict(params: dict, cfg: ViTConfig,
     if cfg.distill_token:
         raise ValueError("the reference layout has no distillation token; "
                          "export requires distill_token=False")
+    if cfg.pos_embed != "learned":
+        raise ValueError("the reference layout stores a learned positional "
+                         "table; sincos2d/rope models have none to export")
+    if cfg.mlp_act == "swiglu":
+        raise ValueError("the reference FeedForward is Linear->act->Linear; "
+                         "swiglu gate weights (w3) have no export slot")
     if "kernel" not in params["patch_embed"]:
         raise ValueError("export requires stem='patch' params (the "
                          "reference has no conv-stem equivalent)")

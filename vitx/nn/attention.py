@@ -67,6 +67,7 @@ def multi_head_attention(
     scale: float | None = None,
     qk_scales=None,
     qk_eps: float = 1e-5,
+    rope=None,
 ):
     """Fused multi-head self-attention over tokens.
 
@@ -85,6 +86,11 @@ def multi_head_attention(
         scales — enables QK-Norm (ViT-22B): per-head LN (no bias) on q and
         k before the logits. Composes with the flash kernel (normalization
         happens before the kernel call).
+      rope: optional (cos, sin) pair of (T, D) rotation tables (2D axial
+        RoPE, vitx/nn/vit.py::rope_tables) applied to q and k after the
+        projection (and after QK-Norm, which normalizes the raw
+        projections — rotation is an isometry, so the order only affects
+        which statistics the LN sees). Composes with the flash kernel.
 
     Returns:
       (out, probs) — out is (B, T, E); probs is (B, H, T, T) fp32 or None.
@@ -124,6 +130,12 @@ def multi_head_attention(
     if qk_scales is not None:
         q = _qk_layer_norm(q, qk_scales[0], qk_eps)
         k = _qk_layer_norm(k, qk_scales[1], qk_eps)
+    if rope is not None:
+        from vitx.nn.vit import apply_rope
+
+        cos, sin = rope
+        q = apply_rope(q, cos.astype(q.dtype), sin.astype(q.dtype))
+        k = apply_rope(k, cos.astype(k.dtype), sin.astype(k.dtype))
 
     if use_flash and return_probs and probs_mode == "mean":
         from vitx.kernels.flash_attention import (

@@ -136,6 +136,9 @@ def init_dino_params(rng, dcfg: DINOConfig) -> Params:
     starts as an exact copy — see ``create_dino_train_state``)."""
     enc_cfg = dcfg.encoder
     ke, kh = jax.random.split(rng)
+    if enc_cfg.pos_embed != "learned":
+        raise ValueError("DINO pretraining requires pos_embed='learned'"
+                         " (its encoder gathers/resizes the positional table)")
     enc = init_params(ke, enc_cfg)
     enc.pop("head")
     enc.setdefault("final_norm", {

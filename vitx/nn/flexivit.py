@@ -100,7 +100,9 @@ def resize_patch_embed(params: Params, cfg: ViTConfig, *, patch_size: int,
         cfg.num_channels))
     out["patch_embed"] = pe
 
-    if new_cfg.grid_size != cfg.grid_size:
+    if new_cfg.grid_size != cfg.grid_size and cfg.pos_embed == "learned":
+        # sincos2d/rope carry no table leaf — their positional information
+        # regenerates from new_cfg's grid automatically (vit.py)
         from vitx.interop.pretrained import resize_pos_embed
 
         out = resize_pos_embed(out, cfg, new_cfg)

@@ -65,7 +65,10 @@ def quantize_for_runtime(params: Params, cfg: ViTConfig) -> Params:
     L, E = cfg.depth, cfg.embed_dim
     out = dict(params)
     blocks = dict(params["blocks"])
-    for name in ("wqkv", "wo", "w1", "w2"):
+    names = ["wqkv", "wo", "w1", "w2"]
+    if cfg.mlp_act == "swiglu":
+        names.append("w3")           # the gate up-projection, (L, E, M)
+    for name in names:
         w = np.asarray(blocks[name], np.float32).reshape(L, E, -1) \
             if name != "w2" else np.asarray(blocks[name], np.float32)
         q, s = quantize_leaf(w, f"blocks/{name}")
@@ -83,16 +86,18 @@ def encode_int8(rt: Params, images, cfg: ViTConfig):
     """Unrolled encoder over a ``quantize_for_runtime`` tree. Mirrors the
     production ``encode`` math exactly up to int8 weight rounding (pinned
     by test_int8_infer.py against the float forward)."""
-    from vitx.nn.vit import _append_registers, _join_cls, patch_embed
+    from vitx.nn.vit import (_append_registers, _join_cls, add_pos_embed,
+                             patch_embed, rope_tables)
 
     cdt = cfg.cdtype()
     H, D = cfg.num_heads, cfg.head_dim
     tokens = patch_embed(rt, images, cfg)
     B = tokens.shape[0]
     x = _join_cls(rt, tokens, cfg, B)
-    x = x + rt["pos_embed"].astype(cdt)
+    x = add_pos_embed(rt, x, cfg)
     x = _append_registers(rt, x, cfg, B)
     T = x.shape[1]
+    rope = rope_tables(cfg, cdt) if cfg.pos_embed == "rope" else None
 
     blocks = rt["blocks"]
     for l in range(cfg.depth):
@@ -105,6 +110,11 @@ def encode_int8(rt: Params, images, cfg: ViTConfig):
         q = qkv[:, :, 0].transpose(0, 2, 1, 3)        # (B, H, T, D)
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
         v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+        if rope is not None:
+            from vitx.nn.vit import apply_rope
+
+            q = apply_rope(q, *rope)
+            k = apply_rope(k, *rope)
         logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
                             preferred_element_type=jnp.float32) \
             * (1.0 / D ** 0.5)
@@ -120,8 +130,15 @@ def encode_int8(rt: Params, images, cfg: ViTConfig):
 
         h = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"],
                        eps=cfg.layer_norm_eps)
-        h = activation(_qmm(h, bp["w1"], jnp.float32)
-                       + bp["b1"].astype(jnp.float32), cfg.mlp_act)
+        if cfg.mlp_act == "swiglu":
+            u = _qmm(h, bp["w1"], jnp.float32) \
+                + bp["b1"].astype(jnp.float32)
+            gt = _qmm(h, bp["w3"], jnp.float32) \
+                + bp["b3"].astype(jnp.float32)
+            h = jax.nn.silu(u) * gt
+        else:
+            h = activation(_qmm(h, bp["w1"], jnp.float32)
+                           + bp["b1"].astype(jnp.float32), cfg.mlp_act)
         m = (_qmm(h.astype(cdt), bp["w2"], jnp.float32)
              + bp["b2"].astype(jnp.float32)).astype(cdt)
         if bp.get("ls2") is not None:

@@ -125,20 +125,32 @@ def activation(x, name: str):
     raise ValueError(f"unknown activation {name!r}")
 
 
-def mlp(x, w1, b1, w2, b2, *, act: str):
+def mlp(x, w1, b1, w2, b2, *, act: str, w3=None, b3=None):
     """Position-wise MLP: Linear -> act -> Linear.
 
     The reference's FeedForward (transformer.py:55-60) with the expansion
     factor folded into the weight shapes. Computed on a flattened (B*T, E)
     view (measured identical to the einsum form on v5e — XLA flattens the
     batch dims either way; kept 2-D for layout predictability).
+
+    act="swiglu" (Shazeer 2020 "GLU Variants Improve Transformer";
+    EVA-02's FFN): hidden = SiLU(x@w1 + b1) * (x@w3 + b3) — a gated hidden
+    state from the extra ``w3`` projection, then ``w2`` down as usual.
+    Both up-projections are plain (B*T, E) x (E, M) MXU matmuls and the
+    gate multiply fuses into them, so the only cost vs GELU is w3's FLOPs.
     """
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     h = jnp.dot(x2, w1.astype(x.dtype),
                 preferred_element_type=jnp.float32).astype(x.dtype)
     h = h + b1.astype(x.dtype)
-    h = activation(h, act)
+    if act == "swiglu":
+        g = jnp.dot(x2, w3.astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        g = g + b3.astype(x.dtype)
+        h = jax.nn.silu(h) * g
+    else:
+        h = activation(h, act)
     o = jnp.dot(h, w2.astype(x.dtype),
                 preferred_element_type=jnp.float32).astype(x.dtype)
     o = o + b2.astype(x.dtype)

@@ -93,6 +93,9 @@ def init_mae_params(rng, mcfg: MAEConfig) -> Params:
     """Encoder (a headless ViT pytree) + decoder parameter pytrees."""
     enc_cfg = mcfg.encoder
     ke, kd = jax.random.split(rng)
+    if enc_cfg.pos_embed != "learned":
+        raise ValueError("MAE pretraining requires pos_embed='learned'"
+                         " (its encoder gathers/resizes the positional table)")
     enc = init_params(ke, enc_cfg)
     enc.pop("head")                      # MAE pretrains without a classifier
     enc.setdefault("final_norm", {       # encoder output is always normalized

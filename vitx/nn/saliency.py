@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from vitx.core.config import ViTConfig
 from vitx.nn.layers import layer_norm
 from vitx.nn.vit import (_append_registers, _encoder_block, _join_cls,
-                         classify, classify_dist, patch_embed, run_blocks)
+                         add_pos_embed, classify, classify_dist,
+                         patch_embed, run_blocks)
 
 
 def _embed(params, images, cfg: ViTConfig):
@@ -36,7 +37,7 @@ def _embed(params, images, cfg: ViTConfig):
     tokens = patch_embed(params, images, cfg)
     B = tokens.shape[0]
     x = _join_cls(params, tokens, cfg, B)
-    x = x + params["pos_embed"].astype(x.dtype)
+    x = add_pos_embed(params, x, cfg)
     return _append_registers(params, x, cfg, B)
 
 

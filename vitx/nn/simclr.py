@@ -119,6 +119,9 @@ def init_simclr_params(rng, scfg: SimCLRConfig) -> Params:
     recomputed per step (see module docstring)."""
     enc_cfg = scfg.encoder
     ke, kh = jax.random.split(rng)
+    if enc_cfg.pos_embed != "learned":
+        raise ValueError("SimCLR pretraining requires pos_embed='learned'"
+                         " (its encoder gathers/resizes the positional table)")
     enc = init_params(ke, enc_cfg)
     enc.pop("head")
     enc.setdefault("final_norm", {

@@ -194,13 +194,14 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
     which original tokens each final token contains (the paper's source
     tracking; see ``tome_patch_assignment`` for the visualization form)."""
     from vitx.nn.layers import mlp
-    from vitx.nn.vit import _append_registers, _join_cls, patch_embed
+    from vitx.nn.vit import (_append_registers, _join_cls, add_pos_embed,
+                             patch_embed)
 
     cdt = cfg.cdtype()
     tokens = patch_embed(params, images, cfg)
     B = tokens.shape[0]
     x = _join_cls(params, tokens, cfg, B)
-    x = x + params["pos_embed"].astype(cdt)
+    x = add_pos_embed(params, x, cfg)   # rope is validated out (config.py)
     x = _append_registers(params, x, cfg, B)
 
     from vitx.nn.vit import _use_fused_mlp
@@ -267,7 +268,7 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
             h = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"],
                            eps=cfg.layer_norm_eps)
             mlp_out = mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"],
-                          act=cfg.mlp_act)
+                          act=cfg.mlp_act, w3=bp.get("w3"), b3=bp.get("b3"))
         if "ls2" in bp:
             mlp_out = mlp_out * bp["ls2"].astype(mlp_out.dtype)
         x = x + mlp_out

@@ -67,6 +67,13 @@ def init_blocks(rng, cfg: ViTConfig, depth: int | None = None) -> Params:
         "w2": stack_init(keys[3], (M, E)),
         "b2": jnp.zeros((L, E), pdt),
     }
+    if cfg.mlp_act == "swiglu":
+        # SwiGLU gate projection (Shazeer 2020 / EVA-02). fold_in, not a
+        # wider split: widening would shift keys[0..3] and perturb every
+        # pinned init (golden/parity tests)
+        blocks["w3"] = _trunc_normal(jax.random.fold_in(rng, 0x519),
+                                     (L, E, M), std, pdt)
+        blocks["b3"] = jnp.zeros((L, M), pdt)
     if cfg.qkv_bias:
         blocks["bqkv"] = jnp.zeros((L, 3, H, D), pdt)
     if cfg.qk_norm:
@@ -126,9 +133,16 @@ def init_params(rng, cfg: ViTConfig) -> Params:
     params: Params = {
         "patch_embed": embed,
         "cls_token": _trunc_normal(next(k), (1, 1, E), std, pdt),
-        # registers (if any) carry no positional rows: pos_len, not seq_len
-        "pos_embed": _trunc_normal(next(k), (1, cfg.pos_len, E), std, pdt),
     }
+    if cfg.pos_embed == "learned":
+        # registers (if any) carry no positional rows: pos_len, not seq_len.
+        # sincos2d/rope carry NO leaf at all — their tables are pure
+        # functions of the grid geometry, computed at trace time
+        # (sincos_pos_embed / rope_tables below).
+        params["pos_embed"] = _trunc_normal(next(k), (1, cfg.pos_len, E),
+                                            std, pdt)
+    else:
+        next(k)  # keep downstream key assignments stable across pos modes
     if cfg.num_registers:
         # Darcet et al. 2023: learned tokens attended to but never read
         params["reg_tokens"] = _trunc_normal(
@@ -277,6 +291,9 @@ def _use_fused_mha(cfg: ViTConfig, bp, return_probs: bool) -> bool:
         return False
     if cfg.qk_norm:
         return False     # the kernel computes QKV in-kernel, unnormalized
+    if cfg.pos_embed == "rope":
+        return False     # q/k rotate between projection and attention;
+        # the composed path applies it, the flash kernel stays enabled
     if cfg.fuse_mha == "on":
         return True
     # "flash" is a strict subset of the fused block's math (it IS the
@@ -288,6 +305,9 @@ def _use_fused_mha(cfg: ViTConfig, bp, return_probs: bool) -> bool:
 
 
 def _use_fused_mlp(cfg: ViTConfig) -> bool:
+    if cfg.mlp_act == "swiglu":
+        return False     # the kernel computes Linear->act->Linear; the
+        # gated form is two up-projections XLA already fuses well
     if cfg.fuse_mlp == "off":
         return False
     if cfg.fuse_mlp == "on":
@@ -369,6 +389,10 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
             qk_scales=((bp["lnq_scale"], bp["lnk_scale"])
                        if cfg.qk_norm else None),
             qk_eps=cfg.layer_norm_eps,
+            # 2D axial RoPE: tables are pure functions of the static
+            # geometry — built here in the scan body, XLA hoists/folds them
+            rope=(rope_tables(cfg, h.dtype)
+                  if cfg.pos_embed == "rope" else None),
         )
     if "ls1" in bp:
         # LayerScale (CaiT): diagonal branch gain; commutes with dropout/
@@ -402,7 +426,7 @@ def _encoder_block(x, pending, bp, cfg: ViTConfig, *, rng, deterministic,
         x, h = add_layer_norm(x, attn_out, bp["ln2_scale"], bp["ln2_bias"],
                               eps=cfg.layer_norm_eps)
         mlp_out = mlp(h, bp["w1"], bp["b1"], bp["w2"], bp["b2"],
-                      act=cfg.mlp_act)
+                      act=cfg.mlp_act, w3=bp.get("w3"), b3=bp.get("b3"))
     if "ls2" in bp:
         mlp_out = mlp_out * bp["ls2"].astype(mlp_out.dtype)
     mlp_out = dropout(mlp_out, cfg.dropout, r_mlp, deterministic=deterministic)
@@ -559,6 +583,74 @@ def _join_cls(params: Params, tokens, cfg: ViTConfig, B: int):
     return jnp.concatenate([cls, tokens], axis=1)
 
 
+def sincos_pos_embed(cfg: ViTConfig):
+    """The fixed 2D sine-cosine positional table (cfg.pos_embed="sincos2d";
+    MAE Appendix A semantics): (1, pos_len, E) fp32, prefix rows zero.
+
+    Factorized per axis: E/2 dims encode the patch ROW, E/2 the COLUMN;
+    each half is [sin(p*w), cos(p*w)] over E/4 frequencies
+    w_i = 1/10000^(4i/E). Built from iota under jit, so XLA constant-folds
+    the whole table into the compiled program — zero runtime cost and
+    nothing to store, resize or checkpoint.
+    """
+    E, g = cfg.embed_dim, cfg.grid_size
+    q = E // 4
+    omega = 1.0 / (10000.0 ** (jnp.arange(q, dtype=jnp.float32) / q))
+    pos = jnp.arange(g, dtype=jnp.float32)
+    a = pos[:, None] * omega[None, :]                      # (g, E/4)
+    axis = jnp.concatenate([jnp.sin(a), jnp.cos(a)], -1)   # (g, E/2)
+    rows = jnp.repeat(axis, g, axis=0)                     # row-major grid
+    cols = jnp.tile(axis, (g, 1))
+    table = jnp.concatenate([rows, cols], -1)              # (N, E)
+    prefix = jnp.zeros((cfg.num_prefix_tokens, E), jnp.float32)
+    return jnp.concatenate([prefix, table], 0)[None]       # (1, pos_len, E)
+
+
+def rope_tables(cfg: ViTConfig, dtype=jnp.float32):
+    """(cos, sin) rotation tables for 2D axial RoPE (cfg.pos_embed="rope";
+    EVA-02 / Heo et al. 2024), each (seq_len, head_dim).
+
+    Angles: head_dim/2 per token — the first quarter's frequencies are
+    scaled by the patch ROW, the second quarter's by the COLUMN
+    (w_i = rope_base^(-4i/head_dim)); duplicated to head_dim so
+    ``apply_rope``'s rotate-half pairs dim i with dim i + head_dim/2.
+    Prefix (CLS/distill) and register tokens get zero angles — the
+    identity rotation. Constant-folded by XLA like ``sincos_pos_embed``.
+    """
+    D, g = cfg.head_dim, cfg.grid_size
+    q = D // 4
+    freqs = cfg.rope_base ** (-jnp.arange(q, dtype=jnp.float32) / q)
+    pos = jnp.arange(g, dtype=jnp.float32)
+    a = pos[:, None] * freqs[None, :]                      # (g, D/4)
+    rows = jnp.repeat(a, g, axis=0)                        # (N, D/4)
+    cols = jnp.tile(a, (g, 1))
+    half = jnp.concatenate([rows, cols], -1)               # (N, D/2)
+    pre = jnp.zeros((cfg.num_prefix_tokens, D // 2), jnp.float32)
+    reg = jnp.zeros((cfg.num_registers, D // 2), jnp.float32)
+    ang = jnp.concatenate([pre, half, reg], 0)             # (T, D/2)
+    ang = jnp.concatenate([ang, ang], -1)                  # (T, D)
+    return jnp.cos(ang).astype(dtype), jnp.sin(ang).astype(dtype)
+
+
+def apply_rope(t, cos, sin):
+    """Rotate (B, H, T, D) q/k by the (T, D) tables: pairs (i, i + D/2)
+    rotate together (the rotate-half formulation)."""
+    D = t.shape[-1]
+    rot = jnp.concatenate([-t[..., D // 2:], t[..., :D // 2]], -1)
+    return t * cos[None, None] + rot * sin[None, None]
+
+
+def add_pos_embed(params: Params, x, cfg: ViTConfig):
+    """Add positional information to the prefix+patch tokens (B, pos_len, E)
+    — the learned table, the fixed sincos2d table, or nothing (rope encodes
+    position inside every attention layer instead)."""
+    if cfg.pos_embed == "rope":
+        return x
+    if cfg.pos_embed == "sincos2d":
+        return x + sincos_pos_embed(cfg).astype(x.dtype)
+    return x + params["pos_embed"].astype(x.dtype)
+
+
 def _append_registers(params: Params, x, cfg: ViTConfig, B: int):
     """Append the register tokens (Darcet et al. 2023) after the patch
     tokens — POST pos-embed, so they carry no positional rows. No-op when
@@ -597,11 +689,10 @@ def embed_tokens(params: Params, images, cfg: ViTConfig):
     positional embedding + register tokens, NO dropout. The stage-0 input
     of the pipeline-parallel forward (vitx/parallel/pipeline.py) and the
     first half of ``encode``."""
-    cdt = cfg.cdtype()
     tokens = patch_embed(params, images, cfg)
     B = tokens.shape[0]
     x = _join_cls(params, tokens, cfg, B)
-    x = x + params["pos_embed"].astype(cdt)
+    x = add_pos_embed(params, x, cfg)
     return _append_registers(params, x, cfg, B)
 
 
@@ -819,12 +910,11 @@ def forward_with_rollout(params: Params, images, cfg: ViTConfig):
     exactly (same 0.5A + 0.5I augmentation and row renormalization); see
     tests/test_model.py::test_fused_rollout_matches_materialized.
     """
-    cdt = cfg.cdtype()
     tokens = patch_embed(params, images, cfg)
     B, T = tokens.shape[0], cfg.seq_len
 
     x = _join_cls(params, tokens, cfg, B)
-    x = x + params["pos_embed"].astype(cdt)
+    x = add_pos_embed(params, x, cfg)
     x = _append_registers(params, x, cfg, B)
 
     eye = jnp.eye(T, dtype=jnp.float32)

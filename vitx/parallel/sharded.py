@@ -51,6 +51,11 @@ def _block_specs(cfg: ViTConfig, tp: bool) -> dict:
         "w2": P(None, m, None),
         "b2": P(),
     }
+    if cfg.mlp_act == "swiglu":
+        # the gate projection shards like w1 (column-parallel hidden dim);
+        # the elementwise gate multiply then stays local to each shard
+        specs["w3"] = P(None, None, m)
+        specs["b3"] = P(None, m)
     if cfg.layerscale_init:
         # (L, E) per-channel residual gains: tiny; replicate
         specs["ls1"] = P()
@@ -115,9 +120,11 @@ def param_pspecs(cfg: ViTConfig, tp: bool = False, ep: bool = False) -> dict:
     specs = {
         "patch_embed": embed,
         "cls_token": P(),
-        "pos_embed": P(),
         "blocks": _block_specs(cfg, tp),
     }
+    if cfg.pos_embed == "learned":
+        # sincos2d/rope carry no pos_embed leaf (vit.py::init_params)
+        specs["pos_embed"] = P()
     if cfg.moe_experts:
         specs["moe_blocks"] = _moe_block_specs(cfg, tp, ep)
     if cfg.distill_token:

@@ -33,7 +33,7 @@ SUFFIX = ".quant.npz"
 # patch-embed / conv-stem kernels, head w/w1/w2 (both head types, distill
 # head included). Token/positional embeddings and all biases/norms pass
 # through untouched.
-_WEIGHT_NAMES = frozenset({"wqkv", "wo", "w1", "w2", "w", "kernel"})
+_WEIGHT_NAMES = frozenset({"wqkv", "wo", "w1", "w2", "w3", "w", "kernel"})
 
 
 def _path_str(path) -> str:

@@ -156,7 +156,7 @@ def get_ema_params(opt_state):
 # the standard ViT recipes all exclude them).
 _WD_DECAY_LEAVES = frozenset({
     "kernel",                          # patch/conv stem kernels
-    "wqkv", "wo", "w1", "w2", "w",     # block + head projections
+    "wqkv", "wo", "w1", "w2", "w3", "w",   # block + head projections
     "wq", "wk", "wv", "wo_p", "mw1", "mw2",   # MAP head matrices
     "ew1", "ew2", "phi",               # Soft-MoE expert weights + dispatch
 })
