@@ -54,6 +54,25 @@ def _devloop_seconds(body, iters, *args):
     return best
 
 
+def _flops_per_image(cfg):
+    """Analytic forward FLOPs/image (2*MACs) for MFU accounting.
+
+    Counts the matmul terms only (patchify, QKV/proj, QK^T+PV, MLP, head) —
+    elementwise work is noise at these shapes. ViT-B/16 @224 evaluates to
+    ~36.6 GFLOPs fwd (the widely quoted 17.6 G is MACs, see ROADMAP.md)."""
+    T, E, L = cfg.seq_len, cfg.embed_dim, cfg.depth
+    M = cfg.mlp_ratio * E
+    patch = 2 * cfg.num_patches * E * (cfg.patch_size ** 2 * 3)
+    qkvproj = 2 * T * E * 3 * E + 2 * T * E * E
+    attn = 2 * 2 * T * T * E
+    mlp = 2 * 2 * T * E * M
+    head = 2 * E * 4 * E + 2 * 4 * E * cfg.num_classes
+    return patch + L * (qkvproj + attn + mlp) + head
+
+
+PEAK_TFLOPS = 197.0          # v5e bf16 peak per chip (2 MXUs)
+
+
 def _train_step_ms(cfg, B=128, iters=10):
     """Steady-state train-step time via a scanned, donated 10-step dispatch."""
     from functools import partial as _partial
@@ -266,16 +285,50 @@ def main():
     train_ips = B_tr * 10 / best
     del step
 
+    # --- MFU: achieved matmul TF/s over the chip's 197 TF/s bf16 peak ---
+    fl = _flops_per_image(cfg_train)
+    mfu_infer = fl * infer_ips / (PEAK_TFLOPS * 1e12)
+    mfu_train = 3 * fl * train_ips / (PEAK_TFLOPS * 1e12)  # fwd+bwd ~ 3x fwd
+
     baseline_ips = 372.5               # reference GPU record, BASELINE.md
-    print(json.dumps({
+    result = {
         "metric": "ViT-B/16 @224 images/sec/chip (batch-256 bf16 inference, "
                   "flash-attn; train fwd+bwd+AdamW batch 128)",
         "value": round(infer_ips, 1),
         "unit": "images/sec",
+        # Comparison basis (VERDICT r3 item 7): the reference's ONLY record
+        # is ~372.5 img/s *training* an E=8/8-head/8-block toy on its
+        # author's CUDA GPU (BASELINE.md). Nothing it published matches our
+        # configs, so both ratios are labeled for what they are: vitx
+        # ViT-B/16 (86M params) inference and train vs that toy-train rate.
         "vs_baseline": round(infer_ips / baseline_ips, 2),
+        "vs_baseline_basis": "vitx ViT-B/16 b256 bf16 INFERENCE vs "
+                             "reference E=8-toy GPU TRAIN (372.5 img/s, its "
+                             "only published number)",
+        "train_vs_baseline": round(train_ips / baseline_ips, 2),
         "train_images_per_sec": round(train_ips, 1),
         "infer_step_ms": round(dt_inf * 1e3, 2),
-    }))
+        "mfu_train": round(mfu_train, 3),
+        "mfu_infer": round(mfu_infer, 3),
+        "peak_tflops_basis": PEAK_TFLOPS,
+    }
+
+    # --- driver-corroborated per-config rows (VERDICT r3 item 8): fold the
+    # small-body configs 1/2/5/6 into the driver-run artifact so BENCH_r*
+    # pins them, not just the builder-side BENCH_configs.jsonl. Each is
+    # guarded: a failure records the error instead of killing the headline.
+    if "--headline-only" not in sys.argv:
+        from vitx.cli import bench as cfg_bench
+
+        for i in (1, 2, 5, 6):
+            try:
+                row = cfg_bench.BENCHES[i]()
+                row.pop("config", None)
+                result[f"config_{i}"] = row
+            except Exception as e:   # noqa: BLE001 — record, don't die
+                result[f"config_{i}"] = f"failed: {type(e).__name__}: {e}"
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

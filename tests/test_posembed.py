@@ -173,6 +173,13 @@ def test_rope_disables_fused_mha_but_not_flash():
     out_none, _ = multi_head_attention(x, wqkv, None, wo, None,
                                        num_heads=H, impl="reference")
     assert float(jnp.max(jnp.abs(out_ref - out_none))) > 1e-5
+    # ...and the COMPOSED path is checked for parity, not just difference:
+    # the flash kernel (interpret-mode on CPU) consuming the same rotated
+    # q/k must reproduce the reference attention output (ADVICE r3)
+    out_flash, _ = multi_head_attention(x, wqkv, None, wo, None,
+                                        num_heads=H, impl="flash",
+                                        rope=rope)
+    assert float(jnp.max(jnp.abs(out_flash - out_ref))) < 1e-4
 
 
 def test_posembed_validation():

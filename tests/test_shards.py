@@ -36,6 +36,51 @@ def test_write_and_roundtrip_pixels(tmp_path):
         np.testing.assert_array_equal(img, np.asarray(ref_img, np.uint8))
 
 
+def test_raw_shards_roundtrip_and_resize(tmp_path):
+    """image_format="raw" (.npy members, the host-decode-ceiling escape
+    hatch): bit-exact pixel round-trip without PIL in the hot path, and the
+    image_size retarget still resizes when the stored size differs."""
+    src = _source(n=21, size=24)
+    write_shards(src, tmp_path, shard_size=8, image_format="raw")
+    with tarfile.open(sorted(tmp_path.glob("*.tar"))[0]) as tf:
+        names = [m.name for m in tf if m.isfile()]
+    assert any(n.endswith(".npy") for n in names)
+
+    ds = ShardDataset(tmp_path, test_size=None)
+    for i in (0, 11, 20):
+        img, label = ds.get_example(i)
+        ref_img, ref_label = src.get_example(i)
+        assert label == ref_label
+        np.testing.assert_array_equal(img, np.asarray(ref_img, np.uint8))
+
+    ds32 = ShardDataset(tmp_path, test_size=None, image_size=32)
+    img, _ = ds32.get_example(0)
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+
+
+def test_pack_cli_raw_to_train(tmp_path, capsys):
+    """pack CLI: synthetic -> raw shards -> train --data shards:<dir>."""
+    from vitx.cli.pack import main as pack_main
+    from vitx.cli.train import main as train_main
+
+    rc = pack_main(["--data", "synthetic", "--out", str(tmp_path / "d"),
+                    "--format", "raw", "--image-size", "64",
+                    "--shard-size", "512"])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    import json
+
+    rows = [json.loads(ln) for ln in lines]
+    assert {r["split"] for r in rows} == {"train", "val"}
+    assert all(r["format"] == "raw" for r in rows)
+    train_main([
+        "--preset", "tiny", "--data", f"shards:{tmp_path/'d'}",
+        "--epochs", "1", "--batch-size", "64",
+        "--compute-dtype", "float32",
+    ])
+
+
 def test_stratified_split_matches_folder_semantics(tmp_path):
     """train/test selection = the same sklearn stratified split the
     reference dataset (and FolderDataset) uses: disjoint, exhaustive,

@@ -380,8 +380,131 @@ def bench_10():
     return out
 
 
+def _e2e_dataset_dirs(n_images=5120, classes=4, src_size=256, out_size=224):
+    """Build (once, cached under <repo>/.bench_data) the on-disk datasets the
+    end-to-end pipeline bench feeds from:
+
+    - ``jpeg/``: class-foldered 256x256 quality-87 JPEGs (the reference's
+      input form, src/BrainTumorDataset.py — per-file open + PIL decode).
+    - ``raw224/``: the same images packed as pre-decoded uint8 tar shards at
+      224 (vitx.cli.pack --format raw) — the production input form.
+    """
+    import pathlib
+
+    from PIL import Image
+
+    from vitx.data.folder import FolderDataset
+    from vitx.data.shards import write_shards
+    from vitx.data.synthetic import SyntheticDataset
+
+    root = pathlib.Path(__file__).parents[2] / ".bench_data" / \
+        f"e2e_{n_images}_{src_size}_{out_size}"
+    jpeg, raw = root / "jpeg", root / "raw224"
+    done = root / ".done"
+    if not done.exists():
+        src = SyntheticDataset(num_examples=n_images, image_size=src_size,
+                               num_classes=classes, seed=0, noise=0.06)
+        for i in range(n_images):
+            img, label = src.get_example(i)
+            d = jpeg / f"class_{label}"
+            d.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(img).save(d / f"{i:06d}.jpg", quality=87)
+        write_shards(FolderDataset(jpeg, test_size=None, image_size=out_size),
+                     raw, shard_size=1024, image_format="raw")
+        done.touch()
+    return jpeg, raw
+
+
+def bench_11():
+    """END-TO-END input pipeline (VERDICT r3 item 1): real data flowing
+    disk -> BatchLoader -> device_prefetch -> device preprocess -> step, vs
+    the device-resident synthetic batches every other bench feeds.
+
+    Three loader-fed measurements at ViT-B/16 shapes on the real chip:
+    - train b128 (bench_4's config) through the actual Trainer epoch loop,
+    - batched inference b256 (bench_3's config) through device_prefetch,
+    each from BOTH disk forms (JPEG folder / raw uint8 shards), plus
+    host-only loader throughput (no device) for the decode-ceiling number.
+
+    Context that makes the numbers interpretable: this host has
+    ``os.cpu_count()`` cores (ONE in the round-4 environment). Measured
+    single-core rates: JPEG 256 decode+resize+asarray ~0.5-0.7k img/s,
+    raw .npy member load ~15k img/s. The synthetic-fed train step runs
+    1161 img/s — so JPEG CANNOT keep up on one core (the honest ceiling,
+    reported here), while raw shards leave >10x headroom. The reference
+    sidesteps decode cost with 4-16 DataLoader worker PROCESSES
+    (src/train.py:161-162) — same fix, more cores; vitx's equivalent on a
+    production host is threads (PIL releases the GIL) + raw shards."""
+    import os
+
+    from vitx.data.folder import FolderDataset
+    from vitx.data.loader import BatchLoader
+    from vitx.data.pipeline import device_prefetch, make_preprocess
+    from vitx.data.shards import ShardDataset
+    from vitx.train.loop import Trainer, TrainerConfig
+
+    jpeg_dir, raw_dir = _e2e_dataset_dirs()
+    out = {"config": "11:e2e-input-pipeline", "host_cpus": os.cpu_count()}
+
+    ds_jpeg = FolderDataset(jpeg_dir, test_size=None, image_size=224)
+    ds_raw = ShardDataset(raw_dir, test_size=None)
+    n = len(ds_jpeg)
+
+    # --- host-only loader throughput (decode ceiling, no device) ---
+    for tag, ds in (("jpeg", ds_jpeg), ("raw", ds_raw)):
+        loader = BatchLoader(ds, 128, shuffle=True, drop_last=True,
+                             num_threads=8)
+        for b in loader:          # first epoch touches the page cache
+            pass
+        t0 = time.perf_counter()
+        cnt = 0
+        for b in loader:
+            cnt += b["image"].shape[0]
+        dt = time.perf_counter() - t0
+        out[f"loader_{tag}_img_s"] = round(cnt / dt, 1)
+
+    # --- end-to-end train: the real Trainer epoch (epoch 0 = compile+warm,
+    # epoch 1 = measured), device-side normalize/flip preprocess ---
+    cfg = get_config("base16", num_classes=4)
+    pre = make_preprocess(out_size=None, random_flip=True)
+    for tag, ds in (("raw", ds_raw), ("jpeg", ds_jpeg)):
+        loader = BatchLoader(ds, 128, shuffle=True, drop_last=True,
+                             num_threads=8)
+        tr = Trainer(cfg, TrainerConfig(epochs=2, log_every=10**9),
+                     preprocess=pre)
+        tr._train_epoch(loader, 0, None)
+        stats = tr._train_epoch(loader, 1, None)
+        out[f"train_e2e_{tag}_img_s"] = round(stats["images_per_sec"], 1)
+        del tr
+
+    # --- end-to-end batched inference b256 through device_prefetch ---
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    fwd = jax.jit(partial(forward, cfg=cfg))
+
+    def run_infer(ds):
+        loader = BatchLoader(ds, 256, drop_last=True, num_threads=8)
+        acc = None
+        t0 = time.perf_counter()
+        cnt = 0
+        for b in device_prefetch(iter(loader), size=2):
+            x = pre(b["image"], None, train=False).astype(cfg.cdtype())
+            acc = fwd(params, x)
+            cnt += 256
+        acc.block_until_ready()
+        _sync(acc)
+        return cnt / (time.perf_counter() - t0)
+
+    for tag, ds in (("raw", ds_raw), ("jpeg", ds_jpeg)):
+        run_infer(ds)                        # compile + warm
+        out[f"infer_e2e_{tag}_img_s"] = round(run_infer(ds), 1)
+
+    out["n_images"] = n
+    return out
+
+
 BENCHES = {1: bench_1, 2: bench_2, 3: bench_3, 4: bench_4, 5: bench_5,
-           6: bench_6, 7: bench_7, 8: bench_8, 9: bench_9, 10: bench_10}
+           6: bench_6, 7: bench_7, 8: bench_8, 9: bench_9, 10: bench_10,
+           11: bench_11}
 
 
 def main(argv=None):

@@ -32,14 +32,26 @@ import threading
 
 import numpy as np
 
-_IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+_IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp",
+             ".npy"}   # .npy = pre-decoded uint8 (image_format="raw")
 
 
 def write_shards(dataset, out_dir, *, shard_size: int = 1000,
                  image_format: str = "png") -> list[pathlib.Path]:
     """Pack ``dataset`` (vitx contract: __len__, get_example, .classes) into
     tar shards under ``out_dir``. Returns the shard paths. Images are
-    re-encoded to ``image_format`` ("png" lossless / "jpeg")."""
+    re-encoded to ``image_format`` ("png" lossless / "jpeg" / "raw").
+
+    ``image_format="raw"`` stores the decoded uint8 array as an ``.npy``
+    member (~3.3x a quality-90 JPEG for natural images). This is the
+    host-decode-ceiling escape hatch: serving a raw member is one
+    seek+read+frombuffer (~15k img/s/core measured at 256x256) where JPEG
+    decode+resize is ~0.5-1k img/s/core — on few-core hosts the decode,
+    not the device, otherwise bounds end-to-end training (the reference
+    hides this behind 4-16 DataLoader worker PROCESSES, train.py:161-162;
+    a thread pool cannot exceed the machine's cores either way). Pack at
+    the training resolution (``dataset.image_size``) so the hot path does
+    zero resampling."""
     from PIL import Image
 
     out_dir = pathlib.Path(out_dir)
@@ -69,10 +81,15 @@ def write_shards(dataset, out_dir, *, shard_size: int = 1000,
             tf = tarfile.open(p, "w")
         img, label = dataset.get_example(i)
         buf = io.BytesIO()
-        Image.fromarray(np.asarray(img, np.uint8)).save(buf,
-                                                        format=image_format)
+        if image_format == "raw":
+            ext = "npy"
+            np.save(buf, np.ascontiguousarray(img, np.uint8))
+        else:
+            ext = image_format
+            Image.fromarray(np.asarray(img, np.uint8)).save(
+                buf, format=image_format)
         key = f"{i:08d}"
-        for name, payload in ((f"{key}.{image_format}", buf.getvalue()),
+        for name, payload in ((f"{key}.{ext}", buf.getvalue()),
                               (f"{key}.cls", str(int(label)).encode())):
             ti = tarfile.TarInfo(name)
             ti.size = len(payload)
@@ -112,7 +129,8 @@ class ShardDataset:
                     ext = "." + m.name.split(".", 1)[1].lower() \
                         if "." in m.name else ""
                     if ext in _IMG_EXTS:
-                        images[stem] = (si, m.offset_data, m.size)
+                        images[stem] = (si, m.offset_data, m.size,
+                                        ext == ".npy")
                     elif ext == ".cls":
                         f = tf.extractfile(m)
                         cls[stem] = int(f.read().decode().strip())
@@ -155,12 +173,24 @@ class ShardDataset:
 
     def get_example(self, i: int):
         """-> (uint8 HWC RGB image, int label) via one seek + read."""
-        from PIL import Image
-
-        si, offset, size = self._entries[i]
+        si, offset, size, is_raw = self._entries[i]
         h = self._handle(si)
         h.seek(offset)
-        img = Image.open(io.BytesIO(h.read(size)))
+        data = h.read(size)
+        if is_raw:
+            # pre-decoded uint8 member: frombuffer, no PIL in the hot path
+            arr = np.load(io.BytesIO(data))
+            if (self.image_size is not None
+                    and arr.shape[0] != self.image_size):
+                from PIL import Image
+
+                arr = np.asarray(Image.fromarray(arr).resize(
+                    (self.image_size, self.image_size), Image.BILINEAR),
+                    np.uint8)
+            return arr, int(self.labels[i])
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data))
         if img.mode != "RGB":
             img = img.convert("RGB")
         if self.image_size is not None:
