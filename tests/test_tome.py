@@ -222,6 +222,73 @@ def test_tome_training_uses_full_tokens():
     assert losses[0] == losses[1]
 
 
+def test_tome_train_merges_and_learns():
+    """cfg.tome_train (Bolya 2023 §4): the train step runs the MERGING
+    encoder — its loss differs from full-token training — gradients flow
+    through the merges (the batch overfits), and eval-time semantics are
+    untouched (deterministic forward == the plain eval-ToMe path)."""
+    from vitx.train.step import (create_train_state, make_optimizer,
+                                 make_train_step)
+
+    batch = {"image": jax.random.normal(jax.random.PRNGKey(2),
+                                        (4, 32, 32, 3)),
+             "label": jax.random.randint(jax.random.PRNGKey(3), (4,), 0, 4)}
+    cfg_t = CFG.replace(tome_r=4, tome_train=True, dropout=0.0)
+    cfg_f = CFG.replace(tome_r=4, dropout=0.0)
+
+    losses = {}
+    for name, cfg in (("tome", cfg_t), ("full", cfg_f)):
+        opt = make_optimizer(lr=1e-3)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+        step = make_train_step(cfg, opt)
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        losses[name] = float(m["loss"])
+    # the merging encoder is a different computation from full tokens
+    assert losses["tome"] != losses["full"]
+
+    # learns: overfits the batch through the merges
+    opt = make_optimizer(lr=3e-3)
+    state = create_train_state(jax.random.PRNGKey(0), cfg_t, opt)
+    step = make_train_step(cfg_t, opt)
+    for _ in range(150):
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert float(m["loss"]) < 0.1
+
+    # eval path identical to a plain tome_r config at the same params
+    a = forward(state.params, batch["image"], cfg_t)
+    b = forward(state.params, batch["image"], cfg_f)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tome_train_stochastic_pieces_compose():
+    """dropout + stochastic depth run inside the merging encoder: the
+    train-mode forward is rng-dependent, the deterministic forward is not
+    (and drop_path keeps expectation semantics at rate 0)."""
+    cfg = CFG.replace(tome_r=4, tome_train=True, dropout=0.1,
+                      drop_path=0.2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    from vitx.nn.tome import encode_tome as et
+
+    t1 = et(params, x, cfg, rng=jax.random.PRNGKey(5), deterministic=False)
+    t2 = et(params, x, cfg, rng=jax.random.PRNGKey(6), deterministic=False)
+    t3 = et(params, x, cfg, rng=jax.random.PRNGKey(5), deterministic=False)
+    assert float(jnp.max(jnp.abs(t1 - t2))) > 1e-6     # rng is live
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t3))
+    d1 = et(params, x, cfg)
+    d2 = et(params, x, cfg, rng=jax.random.PRNGKey(7), deterministic=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_tome_train_validation():
+    with pytest.raises(ValueError, match="tome_train requires tome_r"):
+        CFG.replace(tome_train=True)
+    with pytest.raises(ValueError, match="patch_drop"):
+        CFG.replace(tome_r=4, tome_train=True, patch_drop=0.5)
+    with pytest.raises(ValueError, match="distill_token"):
+        CFG.replace(tome_r=4, tome_train=True, distill_token=True)
+
+
 def test_fused_tome_attention_matches_composed():
     """The fused ToMe attention kernel (per-key log-size score bias + QKV
     bias + head-mean-key output in one pallas_call) must match the composed

@@ -426,15 +426,30 @@ def bench_11():
     each from BOTH disk forms (JPEG folder / raw uint8 shards), plus
     host-only loader throughput (no device) for the decode-ceiling number.
 
-    Context that makes the numbers interpretable: this host has
-    ``os.cpu_count()`` cores (ONE in the round-4 environment). Measured
-    single-core rates: JPEG 256 decode+resize+asarray ~0.5-0.7k img/s,
-    raw .npy member load ~15k img/s. The synthetic-fed train step runs
-    1161 img/s — so JPEG CANNOT keep up on one core (the honest ceiling,
-    reported here), while raw shards leave >10x headroom. The reference
-    sidesteps decode cost with 4-16 DataLoader worker PROCESSES
-    (src/train.py:161-162) — same fix, more cores; vitx's equivalent on a
-    production host is threads (PIL releases the GIL) + raw shards."""
+    Context that makes the numbers interpretable (all chip-measured, round
+    4). Two independent ceilings sit between disk and the 1161 img/s
+    synthetic-fed train step:
+
+    1. HOST DECODE (the framework-addressable one). This host has ONE core.
+       JPEG decode+resize: loader measures ~316 img/s — JPEG cannot feed
+       the step on one core. Raw uint8 shards (vitx.cli.pack --format raw)
+       measure ~2253 img/s through the same BatchLoader — 1.9x the required
+       rate, ON ONE CORE, and thread-scalable on real hosts (PIL-free
+       path). This is the decode-ceiling fix, demonstrated.
+    2. TUNNEL H2D (an environment artifact, not a framework property). The
+       axon tunnel's true host->device bandwidth, measured with a forced
+       data dependency (``h2d_mb_s`` below; plain block_until_ready LIES on
+       this backend and suggests 1.4 GB/s), is ~16-40 MB/s + ~60 ms fixed
+       latency. A b128@224 uint8 batch is 19.3 MB -> ~0.7 s/transfer, so
+       NO loader can push past ~190-280 img/s end to end here. A real TPU
+       host feeds chips over PCIe/DMA at >10 GB/s — 150 KB/img would
+       sustain >60k img/s; the loader-side 2253 img/s (and its core-count
+       scaling) is the number that transfers to production.
+
+    The e2e rows below are therefore tunnel-bound by (2); the loader rows
+    prove (1) is solved. The reference hides decode cost behind 4-16
+    DataLoader worker PROCESSES (src/train.py:161-162) — same fix, more
+    cores; its 370 img/s record never faced (2) because its GPU was local."""
     import os
 
     from vitx.data.folder import FolderDataset
@@ -445,6 +460,22 @@ def bench_11():
 
     jpeg_dir, raw_dir = _e2e_dataset_dirs()
     out = {"config": "11:e2e-input-pipeline", "host_cpus": os.cpu_count()}
+
+    # --- true H2D bandwidth probe (forced-dependency methodology: a
+    # device-put batch is not actually resident on this backend until a
+    # computation consumes it — sum + scalar fetch forces the transfer) ---
+    arrs = [np.random.default_rng(i).integers(0, 255, (128, 224, 224, 3))
+            .astype(np.uint8) for i in range(3)]
+    x = jax.device_put(arrs[0])
+    float(jnp.sum(x.astype(jnp.float32)))          # warm
+    best = float("inf")
+    for a in arrs:
+        t0 = time.perf_counter()
+        x = jax.device_put(a)
+        float(jnp.sum(x.astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    out["h2d_mb_s"] = round(arrs[0].nbytes / best / 1e6, 1)
+    out["h2d_img_s_cap_b128_224"] = round(128 / best, 1)
 
     ds_jpeg = FolderDataset(jpeg_dir, test_size=None, image_size=224)
     ds_raw = ShardDataset(raw_dir, test_size=None)
@@ -502,9 +533,39 @@ def bench_11():
     return out
 
 
+def bench_12():
+    """ViT-B/16 @224 batch-128 TRAIN with training-time ToMe
+    (cfg.tome_train, Bolya 2023 §4) vs bench_4's 1161 img/s full-token step
+    and bench_9's patch-dropout operating points (1509 / 2253 img/s at
+    p=0.25/0.5). Same single-device scan methodology as the root bench.py
+    train number. Two operating points mirroring bench_6:
+
+    - r=13 constant (the paper's ViT-B rate; last block runs 54 tokens),
+    - schedule (35, 34) -> 128 tokens by block 2, lane-exact after.
+
+    Unlike patch dropout (random subset, inference unchanged), ToMe-train
+    merges by similarity with deterministic semantics shared with the
+    eval-time ToMe path — train with it, serve with it, no distribution
+    shift between the two. Compile note: unrolled per-block shapes ->
+    first compile is minutes through the remote-compile tunnel; cached."""
+    opt = make_optimizer(lr=1e-4)
+    B = 128
+    batch = {"image": _images(jax.random.PRNGKey(1), B, 224),
+             "label": jnp.zeros((B,), jnp.int32)}
+    out = {"config": "12:vit-b16-train-128-tome-train"}
+    for tag, r in (("r13", 13), ("sched_35_34", (35, 34))):
+        cfg = get_config("base16", tome_r=r, tome_train=True)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+        dt = _train_scan_seconds(cfg, opt, state, batch,
+                                 rng=jax.random.PRNGKey(7))
+        out[f"{tag}_step_ms"] = round(dt * 1e3, 2)
+        out[f"{tag}_images_per_sec"] = round(B / dt, 1)
+    return out
+
+
 BENCHES = {1: bench_1, 2: bench_2, 3: bench_3, 4: bench_4, 5: bench_5,
            6: bench_6, 7: bench_7, 8: bench_8, 9: bench_9, 10: bench_10,
-           11: bench_11}
+           11: bench_11, 12: bench_12}
 
 
 def main(argv=None):

@@ -121,6 +121,18 @@ def build_argparser():
                    help="fraction of patch tokens randomly dropped per "
                         "sample during training (FLIP/PatchDropout; cuts "
                         "encoder FLOPs, inference unaffected)")
+    p.add_argument("--tome-r", default=0,
+                   help="ToMe token merging during TRAINING (requires "
+                        "--tome-train): constant r, per-block schedule "
+                        "'23,23,22', or 'toN' (resolved via "
+                        "aligned_schedule). The checkpoint itself stays "
+                        "full-token-servable; eval-time merging is the "
+                        "eval CLI's --tome-r.")
+    p.add_argument("--tome-train", action="store_true",
+                   help="run the ToMe merging encoder in the train step "
+                        "(Bolya 2023 §4) — cuts train FLOPs like "
+                        "--patch-drop but with the deterministic merge "
+                        "semantics the eval-time ToMe path uses")
     p.add_argument("--layerscale", type=float, default=0.0, metavar="INIT",
                    help="LayerScale (CaiT): init value for the learned "
                         "per-channel residual-branch gains (1e-1 for depth "
@@ -342,6 +354,17 @@ def main(argv=None):
         cfg = cfg.replace(drop_path=args.drop_path)
     if args.patch_drop:
         cfg = cfg.replace(patch_drop=args.patch_drop)
+    if args.tome_train or args.tome_r:
+        from vitx.nn.tome import aligned_schedule, parse_tome_r
+
+        if not (args.tome_train and args.tome_r):
+            raise SystemExit("--tome-r and --tome-train go together for "
+                             "training-time token merging (eval-time "
+                             "merging is the eval CLI's --tome-r)")
+        tr = parse_tome_r(args.tome_r)
+        if isinstance(tr, str):          # "toN"
+            tr = aligned_schedule(cfg, int(tr[2:]))
+        cfg = cfg.replace(tome_r=tr, tome_train=True)
     if args.layerscale:
         cfg = cfg.replace(layerscale_init=args.layerscale)
     if args.mlp_act:

@@ -173,6 +173,15 @@ class ViTConfig:
     # 3, after which every T x T attention tile is lane-exact on TPU (a
     # constant r=13 leaves every block's scores padded to 256 lanes).
     tome_r: Any = 0
+    # Apply ToMe during TRAINING too (Bolya et al. 2023 §4): the train step
+    # runs the merging encoder (gradients flow through the size-weighted
+    # merges; the pair matching is non-differentiable routing, like
+    # pooling), cutting train FLOPs the same way patch_drop does but
+    # keeping inference/eval semantics identical to the eval-time ToMe
+    # path. Requires tome_r; excluded with patch_drop (two token-subset
+    # mechanisms) and distill_token (forward_heads runs the full-token
+    # encoder).
+    tome_train: bool = False
 
     # LoRA adapters (Hu et al. 2021): rank-r low-rank deltas on the block
     # weight matrices, trained with the base weights FROZEN — the
@@ -470,7 +479,19 @@ class ViTConfig:
                         f"{l} merges r={r} with {remaining} patches left "
                         f"(needs r <= {remaining // 2})")
                 remaining -= r
-
+        if self.tome_train:
+            if not self.tome_r:
+                raise ValueError("tome_train requires tome_r (a constant "
+                                 "or per-block schedule) to be set")
+            if self.patch_drop:
+                raise ValueError(
+                    "tome_train + patch_drop is unsupported: both are "
+                    "train-time token-subset mechanisms — pick one")
+            if self.distill_token:
+                raise ValueError(
+                    "tome_train + distill_token is unsupported: the "
+                    "distillation step (forward_heads) runs the full-token "
+                    "encoder")
     # -- derived --
     @property
     def grid_size(self) -> int:
@@ -596,6 +617,20 @@ PRESETS: dict[str, ViTConfig] = {
     "base16": ViTConfig(
         image_size=224, patch_size=16, num_classes=1000,
         embed_dim=768, depth=12, num_heads=12,
+        remat="none", scan_unroll=12, mlp_act="gelu_tanh",
+    ),
+    # ViT-Base/16 with head_dim=128 (H=6 instead of 12): identical params,
+    # FLOPs and embed_dim — only the head partition changes. D=64 half-fills
+    # the MXU's 128 lanes in every per-head (T, T, D) attention matmul;
+    # D=128 fills them. Chip-measured (v5e-1, round 4, same methodology as
+    # bench_3/4): flash fwd 1.113 -> 0.748 ms, train b128 110.9 -> 99.4 ms
+    # (1155 -> 1288 img/s, +11.6%), infer b256 3874 -> 4124 img/s. The
+    # trade: 6 coarser heads instead of 12 (ViT-22B ships D=128 at scale;
+    # AIAYN-descended ViTs default D=64) — a new-training choice, not a
+    # drop-in for D=64 checkpoints.
+    "base16_hd128": ViTConfig(
+        image_size=224, patch_size=16, num_classes=1000,
+        embed_dim=768, depth=12, num_heads=6,
         remat="none", scan_unroll=12, mlp_act="gelu_tanh",
     ),
     # BASELINE.json config 5: ViT-Large/16 @384.

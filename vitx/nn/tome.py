@@ -183,17 +183,24 @@ def merge_tokens(x, sizes, metric, r: int, n_prefix: int, n_reg: int,
 
 
 def encode_tome(params: Params, images, cfg: ViTConfig,
-                return_sources: bool = False):
+                return_sources: bool = False, *, rng=None,
+                deterministic: bool = True):
     """ToMe encoder: unrolled blocks, ``cfg.tome_schedule[l]`` patch tokens
     merged after block ``l``'s attention (a constant ``tome_r`` or an
-    explicit per-block schedule). Inference-only (deterministic). Returns
-    final tokens (B, T', E) with the [prefix | merged patches | registers]
-    layout preserved.
+    explicit per-block schedule). Returns final tokens (B, T', E) with the
+    [prefix | merged patches | registers] layout preserved.
+
+    Training mode (``cfg.tome_train``; Bolya et al. 2023 §4): called with
+    ``rng``/``deterministic=False`` it applies the same stochastic pieces
+    as the full-token encoder — embedding dropout, per-branch dropout and
+    the linearly-scheduled stochastic depth — so gradients flow through
+    the merged token set (the pair matching is non-differentiable routing;
+    the size-weighted averages carry the gradients, like pooling).
 
     With ``return_sources`` also returns a (B, T', T0) 0/1 partition map of
     which original tokens each final token contains (the paper's source
     tracking; see ``tome_patch_assignment`` for the visualization form)."""
-    from vitx.nn.layers import mlp
+    from vitx.nn.layers import drop_path, dropout, mlp
     from vitx.nn.vit import (_append_registers, _join_cls, add_pos_embed,
                              patch_embed)
 
@@ -203,6 +210,13 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
     x = _join_cls(params, tokens, cfg, B)
     x = add_pos_embed(params, x, cfg)   # rope is validated out (config.py)
     x = _append_registers(params, x, cfg, B)
+    block_rngs = None
+    if rng is not None:
+        rng, r_emb = jax.random.split(rng)
+        x = dropout(x, cfg.dropout, r_emb, deterministic=deterministic)
+        block_rngs = jax.random.split(rng, cfg.depth)
+    dp_rates = (jnp.linspace(0.0, cfg.drop_path, cfg.depth)
+                if cfg.drop_path else None)
 
     from vitx.nn.vit import _use_fused_mlp
 
@@ -244,8 +258,21 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
             bp["ln1_scale"].astype(jnp.float32),
             bp["ln1_bias"].astype(jnp.float32),
             jnp.log(sizes), eps=cfg.layer_norm_eps)
+        r_attn = r_mlp = r_dp1 = r_dp2 = None
+        if block_rngs is not None:
+            if cfg.drop_path:
+                r_attn, r_mlp, r_dp1, r_dp2 = jax.random.split(
+                    block_rngs[l], 4)
+            else:
+                r_attn, r_mlp = jax.random.split(block_rngs[l])
         if "ls1" in bp:
             attn_out = attn_out * bp["ls1"].astype(attn_out.dtype)
+        if r_attn is not None:
+            attn_out = dropout(attn_out, cfg.dropout, r_attn,
+                               deterministic=deterministic)
+            if cfg.drop_path:
+                attn_out = drop_path(attn_out, dp_rates[l], r_dp1,
+                                     deterministic=deterministic)
         x = x + attn_out
         if r and sources is not None:
             x, sizes, sources = merge_tokens(x, sizes, k_mean, r, n_pre,
@@ -271,6 +298,12 @@ def encode_tome(params: Params, images, cfg: ViTConfig,
                           act=cfg.mlp_act, w3=bp.get("w3"), b3=bp.get("b3"))
         if "ls2" in bp:
             mlp_out = mlp_out * bp["ls2"].astype(mlp_out.dtype)
+        if r_mlp is not None:
+            mlp_out = dropout(mlp_out, cfg.dropout, r_mlp,
+                              deterministic=deterministic)
+            if cfg.drop_path:
+                mlp_out = drop_path(mlp_out, dp_rates[l], r_dp2,
+                                    deterministic=deterministic)
         x = x + mlp_out
 
     if cfg.final_norm:

@@ -838,13 +838,15 @@ def forward(params: Params, images, cfg: ViTConfig, *, rng=None,
     With cfg.distill_token the two heads' logits are averaged (DeiT's
     inference-time fusion of the class and distillation classifiers).
     With cfg.tome_r > 0, deterministic (inference) calls run the ToMe
-    token-merging encoder (vitx/nn/tome.py); training and the probs paths
-    always run the full token set.
+    token-merging encoder (vitx/nn/tome.py); training runs the full token
+    set unless cfg.tome_train (Bolya 2023 §4 — merge during training too,
+    stochastic pieces included). The probs paths always run full tokens.
     """
-    if cfg.tome_r and deterministic:
+    if cfg.tome_r and (deterministic or cfg.tome_train):
         from vitx.nn.tome import encode_tome
 
-        x = encode_tome(params, images, cfg)
+        x = encode_tome(params, images, cfg, rng=rng,
+                        deterministic=deterministic)
     else:
         x, _ = encode(params, images, cfg, rng=rng,
                       deterministic=deterministic)
