@@ -72,19 +72,148 @@ def test_pp_matches_single_device(dp, pp, n_micro):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("dp,pp,n_micro", [(2, 4, 2), (4, 2, 4),
+                                           (2, 4, 8)])
+def test_pp_1f1b_matches_single_device(dp, pp, n_micro):
+    """The hand-scheduled 1F1B pipeline (stage-input ring + per-slot
+    recompute, pipeline.py::_pp_1f1b_grads) reproduces the single-device
+    trajectory exactly like the autodiff GPipe schedule does."""
+    ref_losses, ref_accs, ref_state = _single_device()
+
+    mesh = make_pp_mesh(dp=dp, pp=pp)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state = place_pp_state(state, CFG, mesh)
+    shardings = pp_state_sharding(state, CFG, mesh)
+    step = make_pp_train_step(CFG, opt, mesh, n_micro=n_micro,
+                              state_shardings=shardings, schedule="1f1b")
+    losses, accs = [], []
+    for i in range(3):
+        state, m = step(state, shard_batch(_batch(i), mesh), None)
+        losses.append(float(m["loss"]))
+        accs.append(float(m["accuracy"]))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+    np.testing.assert_allclose(accs, ref_accs, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(ref_state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pp_1f1b_ragged_mask_matches_gpipe():
+    """Padded ragged batches flow through the 1F1B schedule's mask-aware
+    loss exactly as through GPipe's."""
+    mesh = make_pp_mesh(dp=2, pp=4)
+    opt = make_optimizer(lr=1e-3)
+    batch = _batch(0)
+    batch["mask"] = jnp.asarray([1] * 10 + [0] * 6, jnp.int32)
+    results = {}
+    for sched in ("gpipe", "1f1b"):
+        state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+        state = place_pp_state(state, CFG, mesh)
+        shardings = pp_state_sharding(state, CFG, mesh)
+        step = make_pp_train_step(CFG, opt, mesh, n_micro=2,
+                                  state_shardings=shardings,
+                                  schedule=sched)
+        _, m = step(state, shard_batch(batch, mesh), None)
+        results[sched] = (float(m["loss"]), float(m["accuracy"]))
+    np.testing.assert_allclose(results["1f1b"], results["gpipe"],
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("schedule", ["gpipe", "1f1b"])
+def test_pp_tp_matches_single_device(schedule):
+    """pp x tp over a (2 data x 2 stage x 2 model) mesh: the manual
+    Megatron stage block (_tp_block; f/g custom-vjp collectives) under
+    both pipeline schedules reproduces single-device training."""
+    ref_losses, ref_accs, ref_state = _single_device()
+
+    mesh = make_pp_mesh(dp=2, pp=2, tp=2)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state = place_pp_state(state, CFG, mesh, tp=True)
+    shardings = pp_state_sharding(state, CFG, mesh, tp=True)
+    step = make_pp_train_step(CFG, opt, mesh, n_micro=2,
+                              state_shardings=shardings, schedule=schedule)
+    losses, accs = [], []
+    for i in range(3):
+        state, m = step(state, shard_batch(_batch(i), mesh), None)
+        losses.append(float(m["loss"]))
+        accs.append(float(m["accuracy"]))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+    np.testing.assert_allclose(accs, ref_accs, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(ref_state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pp_tp_block_leaves_stage_and_model_sharded():
+    """Under the 3-axis mesh the stacked block leaves are sharded over
+    BOTH the stage (layer dim) and model (head/hidden dim) axes."""
+    mesh = make_pp_mesh(dp=2, pp=2, tp=2)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    state = place_pp_state(state, CFG, mesh, tp=True)
+    spec = state.params["blocks"]["wqkv"].sharding.spec
+    assert spec[0] == "stage" and "model" in tuple(spec)
+    spec_w1 = state.params["blocks"]["w1"].sharding.spec
+    assert spec_w1[0] == "stage" and spec_w1[2] == "model"
+
+
+def test_pp_tp_eval_matches_single_device():
+    mesh = make_pp_mesh(dp=2, pp=2, tp=2)
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    batch = _batch(0)
+    cm_ref, loss_ref = make_eval_step(CFG)(state.params, batch)
+    state_pp = place_pp_state(state, CFG, mesh, tp=True)
+    ev = make_pp_eval_step(CFG, mesh, n_micro=2)
+    cm_pp, loss_pp = ev(state_pp.params, shard_batch(batch, mesh))
+    np.testing.assert_array_equal(np.asarray(cm_ref), np.asarray(cm_pp))
+    np.testing.assert_allclose(float(loss_ref), float(loss_pp), rtol=1e-5)
+
+
+def test_pp_tp_guards():
+    mesh = make_pp_mesh(dp=2, pp=2, tp=2)
+    opt = make_optimizer(lr=1e-3)
+    with pytest.raises(ValueError, match="manual Megatron stage block"):
+        make_pp_train_step(CFG.replace(mlp_act="swiglu"), opt, mesh)
+
+
+def test_pp_schedule_accounting():
+    """Tick/bubble accounting: GPipe runs M+S-1 ticks, 1F1B M+2S-2; both
+    bubbles vanish as M grows — and 1F1B's live activation state is the
+    (2S-1)-slot stage-input ring, independent of M."""
+    from vitx.parallel import pp_bubble_fraction, pp_schedule_ticks
+
+    assert pp_schedule_ticks("gpipe", 4, 8) == 11
+    assert pp_schedule_ticks("1f1b", 4, 8) == 14
+    assert pp_bubble_fraction("gpipe", 4, 8) == pytest.approx(3 / 11)
+    assert pp_bubble_fraction("1f1b", 4, 8) == pytest.approx(6 / 14)
+    # bubble -> 0 with M for both schedules; 1F1B can afford the large M
+    # (its activation memory does not grow with it)
+    assert pp_bubble_fraction("1f1b", 4, 64) < 0.09
+    with pytest.raises(ValueError, match="unknown pipeline schedule"):
+        pp_schedule_ticks("interleaved", 4, 8)
+
+
 def test_pp_blocks_actually_stage_sharded():
     mesh = make_pp_mesh(dp=2, pp=4)
     opt = make_optimizer(lr=1e-3)
     state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
     state = place_pp_state(state, CFG, mesh)
     wqkv = state.params["blocks"]["wqkv"]
-    assert wqkv.sharding.spec == P("stage")
+    assert wqkv.sharding.spec[0] == "stage"
+    assert all(a is None for a in tuple(wqkv.sharding.spec)[1:])
     L = CFG.depth
     shard_shapes = {s.data.shape for s in wqkv.addressable_shards}
     assert shard_shapes == {(L // 4,) + wqkv.shape[1:]}
     # adam moments follow the stage sharding
     mu_wqkv = state.opt_state[0][0].mu["blocks"]["wqkv"]
-    assert mu_wqkv.sharding.spec == P("stage")
+    assert mu_wqkv.sharding.spec[0] == "stage"
 
 
 def test_pp_zero1_moments_data_sharded():

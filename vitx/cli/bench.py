@@ -547,7 +547,15 @@ def bench_12():
     merges by similarity with deterministic semantics shared with the
     eval-time ToMe path — train with it, serve with it, no distribution
     shift between the two. Compile note: unrolled per-block shapes ->
-    first compile is minutes through the remote-compile tunnel; cached."""
+    first compile is minutes through the remote-compile tunnel; cached.
+
+    Chip-measured (v5e-1, round 4): r13 111.1 ms / 1152 img/s — a WASH vs
+    full-token (the bwd runs the composed VJP and the odd token counts pad
+    to 128 lanes; same physics as round 3's inference story) — while the
+    lane-aligned schedule measures 90.6 ms / 1413 img/s, +22% over
+    bench_4. Patch dropout stays faster (2253 at p=0.5) but trains a
+    different distribution than it serves; ToMe-train at `to128` keeps
+    train == serve."""
     opt = make_optimizer(lr=1e-4)
     B = 128
     batch = {"image": _images(jax.random.PRNGKey(1), B, 224),

@@ -237,11 +237,18 @@ def build_argparser():
                         "blocks; requires --tp > 1")
     p.add_argument("--pp", type=int, default=1,
                    help="pipeline-parallel stages (encoder blocks split "
-                        "across devices, GPipe microbatching; composes "
-                        "with --dp and --zero 1)")
+                        "across devices, microbatch pipelining; composes "
+                        "with --dp, --tp (Megatron stage blocks over a "
+                        "(data, stage, model) mesh) and --zero 1)")
     p.add_argument("--pp-microbatches", type=int, default=4,
                    help="microbatches per data shard for --pp (per-shard "
                         "batch must be divisible by this)")
+    p.add_argument("--pp-schedule", default="gpipe",
+                   choices=("gpipe", "1f1b"),
+                   help="pipeline schedule: gpipe (activation memory grows "
+                        "with microbatches) or 1f1b (O(stages) activation "
+                        "memory via per-stage recompute — lets "
+                        "--pp-microbatches grow to shrink the bubble)")
     return p
 
 
@@ -563,7 +570,8 @@ def main(argv=None):
         steps_per_dispatch=args.steps_per_dispatch,
         accum_steps=args.accum_steps,
         async_checkpoint=args.async_checkpoint,
-        pp_microbatches=args.pp_microbatches)
+        pp_microbatches=args.pp_microbatches,
+        pp_schedule=args.pp_schedule)
     mesh = None
     if args.sp and args.tp <= 1:
         raise SystemExit("--sp requires --tp > 1 (sequence parallelism "
@@ -574,6 +582,10 @@ def main(argv=None):
     if args.ep > 1 and args.pp > 1:
         raise SystemExit("--ep does not compose with --pp (MoE models use "
                          "dp/tp/ep meshes)")
+    if args.sp and args.pp > 1:
+        raise SystemExit("--sp does not compose with --pp (sequence "
+                         "parallelism lives in the pjit tp path; pp x tp "
+                         "uses the manual Megatron stage block)")
     if args.pp > 1:
         from vitx.parallel import make_pp_mesh
 
@@ -583,7 +595,7 @@ def main(argv=None):
             raise SystemExit(
                 f"--batch-size {args.batch_size} must be divisible by "
                 f"--dp {dp} x --pp-microbatches {args.pp_microbatches}")
-        mesh = make_pp_mesh(dp=dp, pp=args.pp)
+        mesh = make_pp_mesh(dp=dp, pp=args.pp, tp=args.tp)
     elif args.dp is not None or args.tp > 1 or args.ep > 1:
         from vitx.parallel import make_mesh
 

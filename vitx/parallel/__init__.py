@@ -4,6 +4,8 @@ from vitx.parallel.pipeline import (
     make_pp_mesh,
     make_pp_train_step,
     place_pp_state,
+    pp_bubble_fraction,
+    pp_schedule_ticks,
     pp_state_sharding,
 )
 from vitx.parallel.sharded import (
@@ -32,4 +34,6 @@ __all__ = [
     "place_pp_state",
     "make_pp_train_step",
     "make_pp_eval_step",
+    "pp_schedule_ticks",
+    "pp_bubble_fraction",
 ]

@@ -111,6 +111,12 @@ class TrainerConfig:
     # a "stage" axis, vitx/parallel/pipeline.py). Bubble fraction is
     # (stages-1)/(pp_microbatches+stages-1); per-shard batch must divide.
     pp_microbatches: int = 4
+    # Pipeline schedule: "gpipe" (autodiff reverse pipeline, activation
+    # memory O(microbatches)) or "1f1b" (hand-scheduled one-fwd-one-bwd,
+    # activation memory O(stages) — raise pp_microbatches past GPipe's
+    # memory ceiling to shrink the bubble; see pipeline.py::_pp_1f1b_grads
+    # for the recompute/tick trade).
+    pp_schedule: str = "gpipe"
     # Abort on a non-finite train loss at the next scalar flush (checked
     # host-side per log_every chunk — no extra device syncs). A diverged
     # run otherwise burns the rest of its epochs producing NaNs; the last
@@ -200,10 +206,10 @@ class Trainer:
                 pp_state_sharding,
             )
 
-            if tp or zero2 or zero3:
-                raise ValueError("pipeline parallelism composes with dp and "
-                                 "zero1 only (tp/zero2/zero3 use the pjit "
-                                 "paths in vitx/parallel/sharded.py)")
+            if zero2 or zero3:
+                raise ValueError("pipeline parallelism composes with dp, "
+                                 "tp and zero1 only (zero2/zero3 use the "
+                                 "pjit paths in vitx/parallel/sharded.py)")
             unsupported = [name for name, v in (
                 ("mixup_alpha", tcfg.mixup_alpha),
                 ("cutmix_alpha", tcfg.cutmix_alpha),
@@ -214,13 +220,15 @@ class Trainer:
                 raise ValueError(
                     f"pipeline-parallel training supports label_smoothing "
                     f"only; unset {unsupported}")
-            self.state = place_pp_state(self.state, cfg, mesh, zero1=zero1)
+            self.state = place_pp_state(self.state, cfg, mesh, zero1=zero1,
+                                        tp=tp)
             shardings = pp_state_sharding(self.state, cfg, mesh,
-                                          zero1=zero1)
+                                          zero1=zero1, tp=tp)
             self.train_step = train_step or make_pp_train_step(
                 cfg, self.optimizer, mesh, n_micro=tcfg.pp_microbatches,
                 state_shardings=shardings,
-                label_smoothing=tcfg.label_smoothing)
+                label_smoothing=tcfg.label_smoothing,
+                schedule=tcfg.pp_schedule)
             self.eval_step = eval_step or make_pp_eval_step(
                 cfg, mesh, n_micro=tcfg.pp_microbatches)
         elif mesh is not None:
