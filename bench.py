@@ -172,29 +172,6 @@ def components():
 
     res["mlp_ms"] = _devloop_seconds(mlp_body, 10, x, w1, w2) * 1e3
 
-    # --- weight-only int8 matmul at the weight-bound serving shape ---
-    # B=1 (T=197 rows): weight bytes dominate, the int8 kernel's regime
-    # (vitx/kernels/int8_matmul.py). Compare int8_w1_* vs float_w1_*.
-    from vitx.kernels.int8_matmul import quant_matmul
-    from vitx.quant import quantize_leaf
-
-    x1 = jax.random.normal(ks[3], (T, E), jnp.bfloat16)
-    q1, s1 = quantize_leaf(np.asarray(w1, np.float32), "head/w1")
-    q1, s1 = jnp.asarray(q1), jnp.asarray(s1.reshape(-1))
-
-    def int8_w1(acc, x1, q1, s1):
-        o = quant_matmul(fold(acc, x1), q1, s1)
-        return acc + jnp.mean(o.astype(jnp.float32))
-
-    res["int8_w1_b1_ms"] = _devloop_seconds(int8_w1, 10, x1, q1, s1) * 1e3
-
-    def float_w1(acc, x1, w1):
-        o = jnp.einsum("te,em->tm", fold(acc, x1), w1,
-                       preferred_element_type=jnp.float32)
-        return acc + jnp.mean(o.astype(jnp.float32))
-
-    res["float_w1_b1_ms"] = _devloop_seconds(float_w1, 10, x1, w1) * 1e3
-
     # --- patchify at batch 128 ---
     from vitx import init_params
     cfg = get_config("base16")

@@ -400,21 +400,12 @@ C.append(code(
     "            key=lambda kv: kv[1])\n"
     "print(f'worst per-leaf relative error: {worst[1]:.4f} ({worst[0]})')"))
 
-C.append(code(
-    "# int8 RUNTIME: weights stay int8 on device, projections run through\n"
-    "# the weight-only Pallas matmul (vitx/kernels/int8_matmul.py)\n"
-    "from vitx.nn.int8_infer import quantize_for_runtime, forward_int8\n"
-    "rt = quantize_for_runtime(trainer.state.params, cfg)\n"
-    "logits_rt = np.asarray(forward_int8(rt, x, cfg))\n"
-    "print('argmax agreement vs float forward:',\n"
-    "      (logits_rt.argmax(-1) == logits_full.argmax(-1)).mean())\n"
-    "enc = ('wqkv', 'wo', 'w1', 'w2')\n"
-    "fp32_b = sum(np.asarray(trainer.state.params['blocks'][n]).nbytes\n"
-    "             for n in enc)\n"
-    "int8_b = sum(int(rt['blocks'][n]['q'].size)\n"
-    "             + 4 * int(rt['blocks'][n]['s'].size) for n in enc)\n"
-    "print(f'resident encoder weights: {int8_b/1e3:.0f} KB int8 vs '\n"
-    "      f'{fp32_b/1e3:.0f} KB fp32 ({fp32_b/int8_b:.1f}x smaller)')"))
+C.append(md(
+    "The artifact dequantizes to float at load: a resident-int8 runtime "
+    "encoder was chip-measured slower than the float path at every "
+    "reachable shape (ViT-B b1/4/8 and ViT-L@384 b1/2/4 — the fused "
+    "MHA/MLP kernels fuse the seams an int8 path pays separately), so "
+    "int8 is a *storage* format here, not a compute path."))
 
 C.append(md(
     "## Feature space\n\n"

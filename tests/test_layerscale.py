@@ -132,23 +132,6 @@ def test_rollout_and_tome_paths_apply_gains():
     assert np.max(np.abs(th - to)) > 1e-3
 
 
-def test_int8_runtime_applies_gains():
-    from vitx.nn.int8_infer import forward_int8, quantize_for_runtime
-
-    params = init_params(jax.random.PRNGKey(6), CFG_OFF)
-    x = _images()
-    base = np.asarray(forward_int8(quantize_for_runtime(params, CFG_OFF),
-                                   x, CFG_OFF))
-    unit = np.asarray(forward_int8(
-        quantize_for_runtime(_with_unit_ls(params, CFG_OFF), CFG_LS),
-        x, CFG_LS))
-    np.testing.assert_array_equal(base, unit)
-    half = np.asarray(forward_int8(
-        quantize_for_runtime(_with_const_ls(params, CFG_OFF, 0.5), CFG_LS),
-        x, CFG_LS))
-    assert np.max(np.abs(half - base)) > 1e-3    # the gain is really applied
-
-
 def test_pt_export_rejects_layerscale_params():
     from vitx.interop.torch_ref import export_reference_state_dict
 

@@ -313,16 +313,6 @@ def test_explain_matches_rollout_and_http():
             httpd.shutdown()
 
 
-def test_explain_rejected_under_int8_runtime():
-    import pytest
-
-    params = init_params(jax.random.PRNGKey(0), CFG)
-    with InferenceServer(params, CFG, batch_size=2,
-                         int8_runtime=True) as srv:
-        with pytest.raises(RuntimeError, match="int8"):
-            srv.explain(_img(3))
-
-
 def test_explain_backpressure_503():
     """explain() has its own concurrency bound: with all slots held it
     raises ServerOverloaded (HTTP 503) instead of stacking threads."""

@@ -82,19 +82,6 @@ def test_swiglu_validation():
         export_reference_state_dict(params, cfg)
 
 
-def test_swiglu_int8_runtime_parity():
-    from vitx.nn.int8_infer import forward_int8, quantize_for_runtime
-
-    params = init_params(jax.random.PRNGKey(0), CFG)
-    rt = quantize_for_runtime(params, CFG)
-    # w3 is int8-resident like the other matmul weights
-    assert rt["blocks"]["w3"]["q"].dtype == jnp.int8
-    img = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
-    a = np.asarray(forward(params, img, CFG))
-    b = np.asarray(forward_int8(rt, img, CFG))
-    assert np.argmax(a, -1).tolist() == np.argmax(b, -1).tolist()
-
-
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_swiglu_tp_trajectory_matches_single_device():
     """w3 shards column-parallel like w1 — a (dp=4, tp=2) run must follow

@@ -7,7 +7,7 @@ Runs the five BASELINE.json benchmark configurations:
   4 ViT-Base/16 @224 full fine-tune step, data-parallel over all devices
   5 ViT-Large/16 @384 inference with attention-rollout extraction
   6 ViT-Base/16 @224 batch-256 inference with ToMe (r=13 + aligned schedule)
-  7 ViT-Base/16 @224 serving latency b1/4/8, float vs int8 runtime
+  7 ViT-Base/16 @224 serving latency b1/4/8 (float; int8 runtime retired)
   8 ViT-Large/16 @384 batch-32 inference with ToMe (r=23 + aligned schedule)
 
 Each prints a JSON line; the repo-root ``bench.py`` is the driver's
@@ -243,18 +243,23 @@ def bench_6():
 
 def bench_7():
     """Serving latency: ViT-B/16 @224 at request-sized batches (1/4/8)
-    through the predict program (forward + softmax + top-k), float weights
-    vs the int8 runtime (vitx/nn/int8_infer.py). Small-batch inference is
-    weight-HBM-bound — the regime where streaming int8 weights through the
-    weight-only Pallas matmul halves the per-forward weight traffic. Device
+    through the predict program (forward + softmax + top-k). Device
     latency only (the HTTP/batching layers add host time; see
     test_serve.py's soak for those). iters=50 per the round-3 timing rule
-    (sub-5ms bodies need >=50-iter device loops on the tunnel)."""
-    from vitx.nn.int8_infer import forward_int8, quantize_for_runtime
+    (sub-5ms bodies need >=50-iter device loops on the tunnel).
 
+    History: this bench used to race a resident-int8 runtime encoder
+    against the float path. Chip verdict, twice over: int8 LOSES at every
+    reachable shape — ViT-B b1/4/8 0.98/2.65/4.80 ms vs 0.88/1.59/2.67
+    float (round 3), and even ViT-L/16@384 — the most weight-bound config
+    this framework builds — b1/2/4 6.63/11.45/24.26 ms vs 4.03/6.72/11.72
+    float (round 4). The float path's fused MHA/MLP kernels fuse the
+    LN/bias/act seams the int8 path paid separately, and no vitx config
+    is HBM-capacity-bound, so the runtime was retired in round 4
+    (VERDICT r3 item 9); int8 .quant.npz ARTIFACTS (4x smaller on disk,
+    dequantized to float at load) remain the deployment form."""
     cfg = get_config("base16")
     params = init_params(jax.random.PRNGKey(0), cfg)
-    qparams = quantize_for_runtime(params, cfg)
     out = {"config": "7:vit-b16-serving-latency"}
 
     def body_float(acc, p, x):
@@ -262,17 +267,10 @@ def bench_7():
         v, _ = jax.lax.top_k(jax.nn.softmax(lg.astype(jnp.float32)), 5)
         return acc + jnp.mean(v)
 
-    def body_int8(acc, qp, x):
-        lg = forward_int8(qp, x * _scl(acc), cfg)
-        v, _ = jax.lax.top_k(jax.nn.softmax(lg.astype(jnp.float32)), 5)
-        return acc + jnp.mean(v)
-
     for b in (1, 4, 8):
         x = _images(jax.random.PRNGKey(b), b, 224)
         out[f"float_b{b}_ms"] = round(
             _fwd_loop_seconds(body_float, 50, params, x) * 1e3, 3)
-        out[f"int8_b{b}_ms"] = round(
-            _fwd_loop_seconds(body_int8, 50, qparams, x) * 1e3, 3)
     return out
 
 

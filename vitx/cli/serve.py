@@ -10,8 +10,7 @@ batching, one compiled forward, on-device top-k). Endpoints:
   adds ``heatmap`` (patch-grid weights, row-major), ``grid`` and
   ``method``. ``rollout`` = class-agnostic attention rollout; ``gradcam`` =
   class-specific saliency (``class`` defaults to the prediction). Runs
-  outside the batching path (debug/inspection surface; float servers only
-  — 400 under ``--int8-runtime``).
+  outside the batching path (debug/inspection surface).
 - ``GET /stats`` — JSON throughput/latency/occupancy counters.
 - ``GET /metrics`` — the same counters in Prometheus text exposition format.
 - ``GET /healthz`` — 200 once the model is compiled and serving.
@@ -148,10 +147,6 @@ def main(argv=None):
     p.add_argument("--max-delay-ms", type=float, default=5.0)
     p.add_argument("--dp", type=int, default=None,
                    help="serve over a data-parallel mesh of this many chips")
-    p.add_argument("--int8-runtime", action="store_true",
-                   help="keep encoder weights resident as int8 and serve "
-                        "through the weight-only Pallas matmul "
-                        "(vitx/nn/int8_infer.py; composes with --dp)")
     p.add_argument("--temperature", type=float, default=None,
                    help="temperature-scale the served probabilities "
                         "(fit T with vitx.eval --calibrate)")
@@ -175,8 +170,7 @@ def main(argv=None):
         mesh = make_mesh(dp=args.dp, tp=1)
     server = load_server(args.checkpoint, cfg, batch_size=args.batch_size,
                          top_k=args.top_k, max_delay_ms=args.max_delay_ms,
-                         mesh=mesh, temperature=args.temperature,
-                         int8_runtime=args.int8_runtime)
+                         mesh=mesh, temperature=args.temperature)
     httpd = ThreadingHTTPServer((args.host, args.port), make_handler(server))
     print(f"serving {args.preset} on http://{args.host}:{httpd.server_port} "
           f"(batch {args.batch_size}, top-{server.top_k})", flush=True)

@@ -28,7 +28,7 @@ TPU-native design choices:
   allocated for frozen leaves (the ZeRO-style memory win, single-chip).
 
 ``merge_lora_params`` folds the adapters into a plain dense checkpoint for
-deployment (int8 runtime, StableHLO export, reference-``.pt`` export).
+deployment (int8 artifacts, StableHLO export, reference-``.pt`` export).
 """
 
 from __future__ import annotations
@@ -112,7 +112,7 @@ def merge_block(bp: dict, cfg: ViTConfig) -> dict:
 def merge_lora_params(params: dict, cfg: ViTConfig):
     """Fold ALL adapters into the dense weights and drop them: returns
     ``(plain_params, plain_cfg)`` — an ordinary checkpoint any consumer
-    (int8 runtime, StableHLO export, ``.pt`` export, serving) can take.
+    (int8 artifacts, StableHLO export, ``.pt`` export, serving) can take.
     The merged forward is exactly the adapted forward
     (tests/test_lora.py::test_merged_params_match_runtime_merge)."""
     if not cfg.lora_rank:

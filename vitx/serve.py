@@ -116,7 +116,6 @@ class InferenceServer:
                  top_k: int = 5, max_delay_ms: float = 5.0, mesh=None,
                  max_queue: int | None = None,
                  temperature: float | None = None,
-                 int8_runtime: bool = False,
                  logits_fn=None):
         """``mesh``: a ``jax.sharding.Mesh`` (vitx.parallel.make_mesh) turns
         this into multi-chip serving — batches shard over the ``data`` axis
@@ -144,28 +143,22 @@ class InferenceServer:
         # path (vitx/export.py; load_server routes *.stablehlo here).
         # Single-device: the baked module carries no sharding annotations.
         if logits_fn is not None:
-            if int8_runtime:
-                raise ValueError("logits_fn serving and --int8-runtime are "
-                                 "mutually exclusive (the artifact already "
-                                 "bakes its compute)")
             if mesh is not None:
                 raise ValueError("logits_fn (StableHLO artifact) serving "
                                  "is single-device — re-export from the "
                                  "checkpoint for mesh serving")
             fwd = None
-        elif int8_runtime:
-            # int8_runtime: keep encoder matmul weights RESIDENT as int8
-            # and route projections through the weight-only Pallas matmul
-            # — ~2x less weight memory/traffic (vitx/nn/int8_infer.py).
-            # Composes with dp meshes: the kernel's row-parallel partition
-            # rule shards the flattened token rows, int8 weights replicate.
-            from vitx.nn.int8_infer import forward_int8, quantize_for_runtime
-
-            params = quantize_for_runtime(params, cfg)
-            fwd = forward_int8
         else:
+            # int8 .quant.npz artifacts serve by DEQUANTIZING to float at
+            # load (vitx/quant.py): a resident-int8 runtime encoder was
+            # chip-measured SLOWER than float at every reachable shape —
+            # ViT-B b1/4/8 (round 3) and even ViT-L@384 b1/2/4 (round 4:
+            # 6.6 vs 4.0 ms at b1), because the float path's fused
+            # MHA/MLP kernels fuse the LN/bias/act seams the int8 path
+            # pays separately, and no vitx config is HBM-capacity-bound.
+            # The runtime path was deleted round 4; artifacts remain the
+            # deployment form (4x smaller checkpoints).
             from vitx.nn.vit import forward as fwd
-        self.int8_runtime = int8_runtime
         self._logits_only = logits_fn is not None
 
         # temperature scaling (vitx/metrics/calibration.py, eval
@@ -232,11 +225,6 @@ class InferenceServer:
         ``method``. The HTTP front end maps this to ``POST
         /explain[?method=gradcam&class=K]``.
         """
-        if self.int8_runtime:
-            raise RuntimeError(
-                "explain() needs the float forward; int8-runtime servers "
-                "keep only the quantized encoder — serve without "
-                "--int8-runtime to use /explain")
         if self._logits_only:
             raise RuntimeError(
                 "explain() needs the vitx forward; a StableHLO artifact "
