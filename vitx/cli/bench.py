@@ -400,6 +400,13 @@ def _e2e_dataset_dirs(n_images=5120, classes=4, src_size=256, out_size=224):
     jpeg, raw = root / "jpeg", root / "raw224"
     done = root / ".done"
     if not done.exists():
+        # crash-safe rebuild: a killed previous build leaves partial
+        # JPEG trees / raw shards that write_shards rightly refuses —
+        # clear and restart rather than wedging every future run
+        import shutil
+
+        if root.exists():
+            shutil.rmtree(root)
         src = SyntheticDataset(num_examples=n_images, image_size=src_size,
                                num_classes=classes, seed=0, noise=0.06)
         for i in range(n_images):

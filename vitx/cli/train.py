@@ -121,7 +121,9 @@ def build_argparser():
                    help="fraction of patch tokens randomly dropped per "
                         "sample during training (FLIP/PatchDropout; cuts "
                         "encoder FLOPs, inference unaffected)")
-    p.add_argument("--tome-r", default=0,
+    from vitx.nn.tome import parse_tome_r
+
+    p.add_argument("--tome-r", type=parse_tome_r, default=0,
                    help="ToMe token merging during TRAINING (requires "
                         "--tome-train): constant r, per-block schedule "
                         "'23,23,22', or 'toN' (resolved via "
@@ -362,16 +364,10 @@ def main(argv=None):
     if args.patch_drop:
         cfg = cfg.replace(patch_drop=args.patch_drop)
     if args.tome_train or args.tome_r:
-        from vitx.nn.tome import aligned_schedule, parse_tome_r
-
         if not (args.tome_train and args.tome_r):
             raise SystemExit("--tome-r and --tome-train go together for "
                              "training-time token merging (eval-time "
                              "merging is the eval CLI's --tome-r)")
-        tr = parse_tome_r(args.tome_r)
-        if isinstance(tr, str):          # "toN"
-            tr = aligned_schedule(cfg, int(tr[2:]))
-        cfg = cfg.replace(tome_r=tr, tome_train=True)
     if args.layerscale:
         cfg = cfg.replace(layerscale_init=args.layerscale)
     if args.mlp_act:
@@ -396,6 +392,17 @@ def main(argv=None):
         cfg = cfg.replace(lora_rank=args.lora_rank,
                           lora_alpha=args.lora_alpha,
                           lora_targets=args.lora_targets)
+    if args.tome_train and args.tome_r:
+        # resolved HERE, after every geometry knob (--num-registers,
+        # --image-size, ...) has landed in cfg: a "toN" aligned schedule
+        # depends on the final seq_len — resolving earlier would silently
+        # miss the lane-exact target on models with registers
+        tr = args.tome_r
+        if isinstance(tr, str):          # "toN"
+            from vitx.nn.tome import aligned_schedule
+
+            tr = aligned_schedule(cfg, int(tr[2:]))
+        cfg = cfg.replace(tome_r=tr, tome_train=True)
     if args.freeze_backbone and args.lora_rank:
         print("error: --freeze-backbone conflicts with --lora-rank "
               "(LoRA already freezes the backbone and trains the "

@@ -128,7 +128,8 @@ def place_pp_state(state: TrainState, cfg: ViTConfig, mesh: Mesh,
 
 
 def _check_pp_cfg(cfg: ViTConfig, pp: int, for_train: bool,
-                  tp: bool = False):
+                  tp: int = 0):
+    """``tp``: the model-axis size (0/1 = no tensor parallelism)."""
     if cfg.depth % pp:
         raise ValueError(f"depth={cfg.depth} not divisible by pp={pp}")
     if cfg.distill_token:
@@ -140,7 +141,12 @@ def _check_pp_cfg(cfg: ViTConfig, pp: int, for_train: bool,
             "forward; set dropout=0, drop_path=0, patch_drop=0 (stochastic "
             "regularizers need per-stage rng plumbing — use the dp/ZeRO "
             "paths in vitx/parallel/sharded.py for those recipes)")
-    if tp:
+    if tp > 1:
+        if cfg.num_heads % tp or (cfg.mlp_ratio * cfg.embed_dim) % tp:
+            raise ValueError(
+                f"pp x tp needs num_heads ({cfg.num_heads}) and the MLP "
+                f"hidden dim ({cfg.mlp_ratio * cfg.embed_dim}) divisible "
+                f"by tp={tp}")
         bad = [name for name, v in (
             ("pos_embed='rope'", cfg.pos_embed == "rope"),
             ("mlp_act='swiglu'", cfg.mlp_act == "swiglu"),
@@ -555,8 +561,10 @@ def make_pp_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
     state per dispatch, see ROADMAP round-3 notes).
     """
     pp = mesh.shape[STAGE_AXIS]
-    tp = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
-    _check_pp_cfg(cfg, pp, for_train=True, tp=tp)
+    tp_size = (mesh.shape[MODEL_AXIS]
+               if MODEL_AXIS in mesh.axis_names else 1)
+    tp = tp_size > 1
+    _check_pp_cfg(cfg, pp, for_train=True, tp=tp_size)
     pp_schedule_ticks(schedule, pp, n_micro)   # validates the name
     pspecs = pp_param_pspecs(cfg, tp=tp)
 
@@ -616,8 +624,10 @@ def make_pp_eval_step(cfg: ViTConfig, mesh: Mesh, n_micro: int = 4):
     matrix, loss), both replicated — the ``eval_step`` contract
     (vitx/train/step.py) over a (data, stage) mesh."""
     pp = mesh.shape[STAGE_AXIS]
-    tp = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
-    _check_pp_cfg(cfg, pp, for_train=False, tp=tp)
+    tp_size = (mesh.shape[MODEL_AXIS]
+               if MODEL_AXIS in mesh.axis_names else 1)
+    tp = tp_size > 1
+    _check_pp_cfg(cfg, pp, for_train=False, tp=tp_size)
     if cfg.tome_r:
         raise ValueError("pp eval runs the full-token encoder; tome_r is "
                          "unsupported (use the dp path)")

@@ -15,8 +15,14 @@ per output channel, kept per-layer for the stacked (depth, ...) block
 leaves, so dequantization is a single broadcast multiply that XLA fuses
 into the weight load.
 
-Runtime int8 MXU matmuls (dequant-in-kernel) are a ROADMAP item; this
-module is the storage/serving format they would consume.
+Storage format ONLY, by measurement: a resident-int8 runtime (dequant-in-
+kernel weight-only matmuls) was built and chip-measured SLOWER than the
+float path at every reachable shape — ViT-B b1/4/8 (round 3) and
+ViT-L/16@384 b1/2/4 (round 4, 6.63 vs 4.03 ms at b1) — because the fused
+float MHA/MLP kernels absorb the LN/bias/act seams an int8 path pays
+separately, and no vitx config is HBM-capacity-bound. It was deleted in
+round 4 (see docs/architecture.md and bench_7); do not rebuild it without
+new evidence.
 """
 
 from __future__ import annotations
