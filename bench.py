@@ -107,7 +107,12 @@ def _train_step_ms(cfg, B=128, iters=10):
 
 
 def components():
-    """Per-component microbench at ViT-B/16 b128 shapes -> JSON file."""
+    """Per-component microbench at ViT-B/16 b128 shapes -> JSON file.
+
+    iters=50 on the sub-5ms kernel bodies (round-3 timing rule: at
+    iters=10 the per-dispatch tunnel jitter inflates them ~3x — the
+    round-3/early-round-4 BENCH_components kernel rows carry exactly
+    that inflation; train_step rows were always fine)."""
     enable_persistent_cache()
     import numpy as np
 
@@ -133,21 +138,21 @@ def components():
         return acc + jnp.mean(flash_attention(fold(acc, q), k, v))\
             .astype(jnp.float32)
 
-    res["attn_fwd_ms"] = _devloop_seconds(attn_fwd, 10, q, k, v) * 1e3
+    res["attn_fwd_ms"] = _devloop_seconds(attn_fwd, 50, q, k, v) * 1e3
 
     def attn_fwdbwd(acc, q, k, v):
         g = jax.grad(lambda qq: jnp.sum(
             flash_attention(qq, k, v).astype(jnp.float32)))(fold(acc, q))
         return acc + jnp.mean(g).astype(jnp.float32)
 
-    res["attn_fwdbwd_ms"] = _devloop_seconds(attn_fwdbwd, 10, q, k, v) * 1e3
+    res["attn_fwdbwd_ms"] = _devloop_seconds(attn_fwdbwd, 50, q, k, v) * 1e3
 
     def xla_attn(acc, q, k, v):
         from vitx.nn.attention import reference_attention
         o, _ = reference_attention(fold(acc, q), k, v)
         return acc + jnp.mean(o).astype(jnp.float32)
 
-    res["attn_fwd_xla_ms"] = _devloop_seconds(xla_attn, 10, q, k, v) * 1e3
+    res["attn_fwd_xla_ms"] = _devloop_seconds(xla_attn, 50, q, k, v) * 1e3
 
     # --- projection / MLP matmuls at encoder shapes ---
     x = jax.random.normal(ks[3], (B, T, E), jnp.bfloat16)
@@ -160,7 +165,7 @@ def components():
                        preferred_element_type=jnp.float32)
         return acc + jnp.mean(o.astype(jnp.float32))
 
-    res["qkv_proj_ms"] = _devloop_seconds(qkv_proj, 10, x, wqkv) * 1e3
+    res["qkv_proj_ms"] = _devloop_seconds(qkv_proj, 50, x, wqkv) * 1e3
 
     def mlp_body(acc, x, w1, w2):
         h = jnp.einsum("bte,em->btm", fold(acc, x), w1,
@@ -170,7 +175,7 @@ def components():
                        preferred_element_type=jnp.float32)
         return acc + jnp.mean(o.astype(jnp.float32))
 
-    res["mlp_ms"] = _devloop_seconds(mlp_body, 10, x, w1, w2) * 1e3
+    res["mlp_ms"] = _devloop_seconds(mlp_body, 50, x, w1, w2) * 1e3
 
     # --- patchify at batch 128 ---
     from vitx import init_params
@@ -183,7 +188,7 @@ def components():
         t = patch_embed(params, fold(acc, images), cfg)
         return acc + jnp.mean(t.astype(jnp.float32))
 
-    res["patchify_ms"] = _devloop_seconds(patch_body, 10, params, images) * 1e3
+    res["patchify_ms"] = _devloop_seconds(patch_body, 50, params, images) * 1e3
 
     # --- train-step variants ---
     for remat in ("block", "dots", "none"):
@@ -304,6 +309,26 @@ def main():
                 result[f"config_{i}"] = row
             except Exception as e:   # noqa: BLE001 — record, don't die
                 result[f"config_{i}"] = f"failed: {type(e).__name__}: {e}"
+
+        # base16_hd128 (H=6, D=128 — same params/FLOPs): the lane-fill
+        # geometry variant; filled MXU lanes in every per-head attention
+        # matmul buy ~+12% train / +6% infer over D=64 (ROADMAP round 4)
+        try:
+            cfg_hd = get_config("base16_hd128")
+            params_hd = init_params(jax.random.PRNGKey(0), cfg_hd)
+            dt_hd = _devloop_seconds(
+                lambda acc, p, im: acc + jnp.mean(forward(
+                    p, im * (jnp.bfloat16(1) + jnp.bfloat16(1e-9)
+                             * acc.astype(jnp.bfloat16)), cfg_hd)),
+                10, params_hd, images)
+            result["config_hd128"] = {
+                "infer_images_per_sec": round(B_inf / dt_hd, 1),
+                "train_step_ms": round(_train_step_ms(cfg_hd), 2),
+            }
+            result["config_hd128"]["train_images_per_sec"] = round(
+                128e3 / result["config_hd128"]["train_step_ms"], 1)
+        except Exception as e:   # noqa: BLE001
+            result["config_hd128"] = f"failed: {type(e).__name__}: {e}"
 
     print(json.dumps(result))
 

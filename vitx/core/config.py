@@ -641,6 +641,19 @@ PRESETS: dict[str, ViTConfig] = {
         embed_dim=1024, depth=24, num_heads=16,
         mlp_act="gelu_tanh",
     ),
+    # ViT-Huge/14 @224 (Dosovitskiy 2020 Table 1: E=1280, depth=32): the
+    # next scale up, 632M params. TPU-native head partition: 10 heads of
+    # D=128 instead of the paper's 16xD=80 — D=80 is not a 32-multiple
+    # (no flash-kernel tiling, half-empty MXU lanes) while D=128 fills
+    # them (see base16_hd128's chip measurements); same E and FLOPs.
+    # remat="block": 32 layers of (257, 1280) residuals at useful batches
+    # exceed HBM without it. Train on ONE v5e needs small batches; the
+    # intended scale-out is dp x (zero3 | pp) over a slice.
+    "huge14": ViTConfig(
+        image_size=224, patch_size=14, num_classes=1000,
+        embed_dim=1280, depth=32, num_heads=10,
+        mlp_act="gelu_tanh",
+    ),
     # The reference's train.py __main__ config (train.py:126-139): 256x256,
     # patch 16, embed 4, heads 4, blocks 4, fp32. (Its num_classes=100-on-
     # CIFAR10 mismatch is not reproduced; we set 10.)
