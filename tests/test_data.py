@@ -87,6 +87,40 @@ def test_loader_pads_final_batch(folder_root):
     assert batches[-1]["mask"].sum() < 8 or len(ds) % 8 == 0
 
 
+def test_loader_cache_decoded_serves_identical_batches():
+    """cache_decoded: epoch >= 1 serves from the in-RAM example cache —
+    identical content to the uncached loader, and the underlying dataset
+    is not touched again after the first full pass."""
+
+    class Counting:
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = 0
+
+        def __len__(self):
+            return len(self.inner)
+
+        def get_example(self, i):
+            self.calls += 1
+            return self.inner.get_example(i)
+
+    base = SyntheticDataset(num_examples=40, image_size=16, num_classes=4)
+    counting = Counting(base)
+    cached = BatchLoader(counting, 16, shuffle=True, seed=5,
+                         cache_decoded=True)
+    plain = BatchLoader(base, 16, shuffle=True, seed=5)
+    for epoch in (0, 1, 2):
+        cached.set_epoch(epoch)
+        plain.set_epoch(epoch)
+        for a, b in zip(cached, plain):
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["label"], b["label"])
+    # epoch 0 decoded everything (thread races may re-decode a few);
+    # epochs 1-2 hit the cache only
+    assert counting.calls <= 2 * len(base)
+    assert counting.calls >= len(base)
+
+
 def test_loader_shuffle_deterministic():
     ds = SyntheticDataset(num_examples=64, image_size=16, num_classes=4)
     l1 = BatchLoader(ds, 16, shuffle=True, seed=3)

@@ -576,9 +576,44 @@ def bench_12():
     return out
 
 
+def bench_13():
+    """ViT-Huge/14 (`huge14` preset, 642M params — E=1280/depth=32 with
+    the TPU-native 10xD=128 head partition; the paper's 16xD=80 is not
+    32-aligned): single-chip inference b32 + train b8.
+
+    Chip record (round 4): infer 70.7 ms / 452.9 img/s = 151.5 TF/s (77%
+    of the 197 TF/s peak — the D=128 lane-fill efficiency holding at 7x
+    ViT-B's params); train b8 117.5 ms (single-chip 642M train is
+    AdamW-HBM- and batch-limited — scale out with dp x (zero3 | pp),
+    which dryrun_multichip exercises)."""
+    cfg = get_config("huge14")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    out = {"config": "13:vit-h14", "params_millions": 642.3}
+    B = 32
+    x = _images(jax.random.PRNGKey(1), B, 224)
+
+    def body(acc, params, x):
+        return acc + jnp.mean(forward(params, x * _scl(acc), cfg))
+
+    dt = _fwd_loop_seconds(body, 10, params, x)
+    out["infer_b32_ms"] = round(dt * 1e3, 2)
+    out["infer_images_per_sec"] = round(B / dt, 1)
+    del params
+
+    Bt = 8
+    opt = make_optimizer(lr=1e-4)
+    state = create_train_state(jax.random.PRNGKey(2), cfg, opt)
+    batch = {"image": _images(jax.random.PRNGKey(3), Bt, 224),
+             "label": jnp.zeros((Bt,), jnp.int32)}
+    dt_t = _train_scan_seconds(cfg, opt, state, batch, iters=5)
+    out["train_b8_step_ms"] = round(dt_t * 1e3, 2)
+    out["train_images_per_sec"] = round(Bt / dt_t, 1)
+    return out
+
+
 BENCHES = {1: bench_1, 2: bench_2, 3: bench_3, 4: bench_4, 5: bench_5,
            6: bench_6, 7: bench_7, 8: bench_8, 9: bench_9, 10: bench_10,
-           11: bench_11, 12: bench_12}
+           11: bench_11, 12: bench_12, 13: bench_13}
 
 
 def main(argv=None):

@@ -72,6 +72,11 @@ def build_argparser():
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cache-decoded", action="store_true",
+                   help="keep decoded uint8 examples in host RAM after "
+                        "their first read: epoch >= 1 runs with zero disk "
+                        "IO / decode (for datasets that fit RAM — e.g. "
+                        "50k CIFAR images at 224^2 = 7.5 GB)")
     p.add_argument("--no-augment", action="store_true",
                    help="disable normalization + flips (reference parity)")
     p.add_argument("--random-crop", action="store_true",
@@ -344,8 +349,10 @@ def main(argv=None):
     # remainder batch when mixing is on
     mixing = bool(args.mixup_alpha or args.cutmix_alpha)
     train_loader = BatchLoader(train_ds, args.batch_size, shuffle=True,
-                               seed=args.seed, drop_last=mixing)
-    eval_loader = BatchLoader(eval_ds, args.batch_size)
+                               seed=args.seed, drop_last=mixing,
+                               cache_decoded=args.cache_decoded)
+    eval_loader = BatchLoader(eval_ds, args.batch_size,
+                              cache_decoded=args.cache_decoded)
     pre = make_preprocess(
         out_size=cfg.image_size,
         mean=None if args.no_augment else (0.5, 0.5, 0.5),

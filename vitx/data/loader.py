@@ -21,7 +21,15 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False,
-                 num_threads: int = 8, prefetch: int = 2):
+                 num_threads: int = 8, prefetch: int = 2,
+                 cache_decoded: bool = False):
+        """``cache_decoded``: keep every decoded (image, label) example in
+        RAM after its first read, so epoch >= 1 serves from memory with no
+        disk IO or decode at all — the standard small/medium-dataset trick
+        when host RAM exceeds the decoded dataset (e.g. 5k images at
+        224x224x3 = 0.75 GB). Decode rates being the few-core host's
+        bottleneck (docs/data.md), this removes them entirely for datasets
+        that fit; leave it off for datasets larger than RAM."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -30,6 +38,17 @@ class BatchLoader:
         self.prefetch = prefetch
         self._epoch = 0
         self._seed = seed
+        self._cache = {} if cache_decoded else None
+
+    def _get_example(self, i: int):
+        if self._cache is None:
+            return self.dataset.get_example(i)
+        ex = self._cache.get(i)
+        if ex is None:
+            # dict writes are atomic under the GIL; worst case two pool
+            # threads decode the same index once each
+            ex = self._cache[i] = self.dataset.get_example(i)
+        return ex
 
     def __len__(self):
         n = len(self.dataset)
@@ -51,7 +70,7 @@ class BatchLoader:
             yield order[start:start + self.batch_size]
 
     def _assemble(self, pool, idx):
-        examples = list(pool.map(self.dataset.get_example, idx))
+        examples = list(pool.map(self._get_example, idx))
         images = np.stack([e[0] for e in examples])
         # labels: (B,) ints for single-label, (B, C) multi-hot for
         # multi-label datasets — padding rows are zeros either way
