@@ -151,8 +151,10 @@ def test_teacher_ema_and_center_update_exact():
             t_old = t_old[k.key]
             s_new = s_new[k.key]
         expect = m * t_old + (1 - m) * np.asarray(s_new, np.float32)
+        # atol 1e-5: TPU fp32 transcendental/matmul drift is ~4e-6 on
+        # these magnitudes (chip round 4); CPU passes at 1e-6
         np.testing.assert_allclose(np.asarray(t_new), expect,
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=1e-5, atol=1e-5)
 
     # recompute the teacher's global-view logits from the same fold
     step_rng = jax.random.fold_in(rng, 0)
@@ -164,7 +166,7 @@ def test_teacher_ema_and_center_update_exact():
     expect_center = cm * center0 + (1 - cm) * np.asarray(
         jnp.mean(t_logits, 0))
     np.testing.assert_allclose(np.asarray(new_state.center), expect_center,
-                               rtol=1e-4, atol=1e-6)
+                               rtol=5e-4, atol=1e-5)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
 

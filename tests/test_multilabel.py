@@ -25,7 +25,9 @@ def test_bce_loss_torch_parity():
     ours = float(sigmoid_bce_loss(jnp.asarray(logits), jnp.asarray(targets)))
     ref = float(torch.nn.BCEWithLogitsLoss()(torch.tensor(logits),
                                              torch.tensor(targets)))
-    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+    # rtol 3e-5: fp32 log-sigmoid drift on TPU is 3e-6 plain and
+    # 1.5e-5 on the masked reduction (chip round 4)
+    np.testing.assert_allclose(ours, ref, rtol=3e-5)
 
     # masked rows excluded exactly
     mask = np.array([1, 1, 1, 1, 0, 0], np.int32)
@@ -33,7 +35,7 @@ def test_bce_loss_torch_parity():
                                     jnp.asarray(targets), jnp.asarray(mask)))
     ref_m = float(torch.nn.BCEWithLogitsLoss()(torch.tensor(logits[:4]),
                                                torch.tensor(targets[:4])))
-    np.testing.assert_allclose(ours_m, ref_m, rtol=1e-6)
+    np.testing.assert_allclose(ours_m, ref_m, rtol=3e-5)
 
 
 def test_metrics_sklearn_parity():

@@ -52,8 +52,9 @@ def test_sincos_table_matches_numpy_reference():
     assert table.shape == (1, cfg.pos_len, cfg.embed_dim)
     np.testing.assert_allclose(table[0, :cfg.num_prefix_tokens], 0.0)
     want = _numpy_sincos2d(cfg.embed_dim, cfg.grid_size)
+    # atol 1e-5: TPU sin/cos differ from numpy by ~2.5e-6 (chip round 4)
     np.testing.assert_allclose(table[0, cfg.num_prefix_tokens:], want,
-                               rtol=0, atol=1e-6)
+                               rtol=0, atol=1e-5)
 
 
 def test_sincos2d_has_no_pos_leaf_and_trains():

@@ -427,6 +427,11 @@ def test_chunked_tome_kernel_matches_composed(monkeypatch):
 
     monkeypatch.setattr(mb, "_chunk_plan",
                         lambda *a, **k: (1, 0))   # hc=1 -> nh=H chunks
+    # interpret everywhere, including on a real TPU: the forced hc=1 block
+    # at this tiny D=16 geometry is not Mosaic-lane-legal (that's what
+    # _chunk_plan's lane guard exists for); this test pins the
+    # revisited-scratch ACCUMULATION math, which interpret runs faithfully
+    monkeypatch.setattr(mb, "_use_interpret", lambda: True)
     B, T, E, H = 2, 16, 64, 4
     D = E // H
     ks = jax.random.split(jax.random.PRNGKey(1), 9)

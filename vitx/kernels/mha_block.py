@@ -245,6 +245,15 @@ def _chunk_plan(x_shape, num_heads: int, dtype, mean_probs: bool = False,
     D = E // num_heads
     itemsize = jnp.dtype(dtype).itemsize
     for hc in _divisors_desc_local(num_heads):
+        # Mosaic lane constraint (real TPU only; interpret accepts any
+        # block): a PARTIAL block's minor dim must be 128-divisible and
+        # its second-minor 8-divisible — hc == num_heads means the block
+        # equals the array and is always legal. Chip-caught in round 4:
+        # hc=1 at D=64 makes a (E, 192) block over a (E, 3*H*64) array,
+        # which the TPU lowering rejects.
+        if not _use_interpret() and hc != num_heads and (
+                (3 * hc * D) % 128 or (hc * D) % 8):
+            continue
         need = (E * 3 * hc * D * itemsize      # wqkv column block
                 + hc * D * E * itemsize        # wo row block
                 + 3 * T * E * itemsize         # x + h scratch + out
