@@ -222,6 +222,29 @@ def test_tome_training_uses_full_tokens():
     assert losses[0] == losses[1]
 
 
+def test_chunk_plan_skips_mosaic_illegal_head_chunks(monkeypatch):
+    """On a real TPU backend _chunk_plan must never hand the kernel a
+    PARTIAL head-chunk block whose minor dim (3*hc*D) is not
+    128-divisible — Mosaic rejects such blocks at lowering (chip-caught,
+    round 4: hc=1 at D=64 -> an (E, 192) block). hc == num_heads (block
+    == array) is always legal."""
+    import vitx.kernels.mha_block as mb
+
+    monkeypatch.setattr(mb, "_use_interpret", lambda: False)
+    # D=64, H=16 (ViT-L geometry), generous VMEM: candidates 16, 8, 4, 2
+    # are legal (3*hc*64 % 128 == 0 for even hc); hc=1 must be skipped
+    # even when it is the only one that fits the budget
+    B, T, E, H = 1, 2048, 1024, 16
+    hc, _ = mb._chunk_plan((B, T, E), H, jnp.bfloat16)
+    assert hc != 1
+    if hc:
+        assert (3 * hc * (E // H)) % 128 == 0 or hc == H
+    # tiny geometry (D=16): every partial chunk is lane-illegal -> the
+    # plan may only return full-array hc or "no fit" (composed fallback)
+    hc2, _ = mb._chunk_plan((2, 16, 64), 4, jnp.float32)
+    assert hc2 in (0, 4)
+
+
 def test_tome_train_merges_and_learns():
     """cfg.tome_train (Bolya 2023 §4): the train step runs the MERGING
     encoder — its loss differs from full-token training — gradients flow
