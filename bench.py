@@ -66,7 +66,17 @@ def _flops_per_image(cfg):
     qkvproj = 2 * T * E * 3 * E + 2 * T * E * E
     attn = 2 * 2 * T * T * E
     mlp = 2 * 2 * T * E * M
-    head = 2 * E * 4 * E + 2 * 4 * E * cfg.num_classes
+    if cfg.head_type == "reference":
+        # Linear(E,4E) -> GELU -> LN -> Linear(4E,C) (reference vit.py:69-74)
+        head = 2 * E * 4 * E + 2 * 4 * E * cfg.num_classes
+    elif cfg.head_type == "map":
+        # probe cross-attention (k/v over T tokens, q/o on the 1-token
+        # probe) + MLP residual + LN->Linear
+        head = (2 * T * E * E * 2 + 2 * E * E * 2 + 2 * 2 * T * E
+                + 2 * 2 * E * M + 2 * E * cfg.num_classes)
+    else:
+        # "standard": LN -> Linear(E, C) (the default presets)
+        head = 2 * E * cfg.num_classes
     return patch + L * (qkvproj + attn + mlp) + head
 
 
@@ -291,6 +301,8 @@ def main():
         "train_images_per_sec": round(train_ips, 1),
         "infer_step_ms": round(dt_inf * 1e3, 2),
         "mfu_train": round(mfu_train, 3),
+        "mfu_train_flop_basis": "3x analytic fwd FLOPs (fwd+bwd "
+                                "convention), not counted bwd FLOPs",
         "mfu_infer": round(mfu_infer, 3),
         "peak_tflops_basis": PEAK_TFLOPS,
     }

@@ -561,3 +561,28 @@ def test_aligned_schedule_and_toN_cli(tmp_path, capsys):
     import json
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["num_examples"] == 512 and 0.0 <= out["accuracy"] <= 1.0
+
+
+def test_tome_train_checkpoint_serves_full_token(tmp_path, capsys):
+    """A --tome-train checkpoint is full-token-servable (the train CLI's
+    documented promise): ToMe merging is parameter-free, so
+    resolve_artifact_config strips the persisted train-time tome knobs and
+    eval/serve default to the full-token encoder; merged inference stays an
+    explicit --tome-r at the consuming CLI (ADVICE r4)."""
+    from vitx.cli.train import main as train_main
+    from vitx.train.checkpoint import resolve_artifact_config
+
+    train_main([
+        "--preset", "tiny", "--data", "synthetic", "--epochs", "1",
+        "--batch-size", "32", "--lr", "3e-3",
+        "--tome-r", "4", "--tome-train",
+        "--checkpoint-dir", str(tmp_path / "c"),
+        "--compute-dtype", "float32",
+    ])
+    capsys.readouterr()
+    cfg = resolve_artifact_config(str(tmp_path / "c"), None, "tiny")
+    assert cfg.tome_r == 0 and not cfg.tome_train
+    # explicit --tome-r still opts back into merging on the same artifact
+    cfg_m = resolve_artifact_config(str(tmp_path / "c"), None, "tiny",
+                                    tome_r=4)
+    assert cfg_m.tome_r == 4 and not cfg_m.tome_train

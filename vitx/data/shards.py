@@ -181,7 +181,8 @@ class ShardDataset:
             # pre-decoded uint8 member: frombuffer, no PIL in the hot path
             arr = np.load(io.BytesIO(data))
             if (self.image_size is not None
-                    and arr.shape[0] != self.image_size):
+                    and arr.shape[:2] != (self.image_size,
+                                          self.image_size)):
                 from PIL import Image
 
                 arr = np.asarray(Image.fromarray(arr).resize(

@@ -232,7 +232,11 @@ def _tp_block(x, pending, bp, cfg: ViTConfig):
     if cfg.qk_norm:
         q = _qk_layer_norm(q, bp["lnq_scale"], cfg.layer_norm_eps)
         k = _qk_layer_norm(k, bp["lnk_scale"], cfg.layer_norm_eps)
-    if (jax.default_backend() == "tpu" and q.shape[3] >= 32
+    # same flash-eligibility rule as multi_head_attention: the parity impls
+    # ("reference"/"xla") opt out so pp x tp parity debugging runs the
+    # composed attention it asked for (ADVICE r4)
+    if (cfg.attn_impl in ("auto", "flash")
+            and jax.default_backend() == "tpu" and q.shape[3] >= 32
             and q.shape[2] >= 128):
         from vitx.kernels.flash_attention import flash_attention
 

@@ -470,6 +470,13 @@ def resolve_artifact_config(checkpoint, config_json=None, preset="tiny",
             saved = peek_meta(p)
         if saved and "config" in saved:
             cfg = ViTConfig.from_json(json.dumps(saved["config"]))
+            if cfg.tome_r or cfg.tome_train:
+                # ToMe merging is parameter-free: a --tome-train checkpoint
+                # is full-token-servable (the train CLI's promise), so the
+                # persisted train-time tome knobs never leak into
+                # eval/serve/probe — merged inference is an explicit
+                # --tome-r at the consuming CLI (ADVICE r4).
+                cfg = cfg.replace(tome_r=0, tome_train=False)
     if isinstance(tome_r, str):
         # "toN" (e.g. --tome-r to128): resolve against the final geometry
         from vitx.nn.tome import aligned_schedule
