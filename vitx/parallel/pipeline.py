@@ -17,7 +17,12 @@ Semantics are EXACT vs single-device training (tests/test_pipeline.py pins
 trajectory identity): a stage boundary carries ``x + pending`` (the fused
 residual pair ``run_blocks`` threads between blocks) which is bit-identical
 to re-entering the next block with ``pending = 0``, and the loss/metrics
-are masked to the last stage's real outputs then psum-reduced.
+are masked to the last stage's real outputs then psum-reduced. Stochastic
+regularizers (dropout / stochastic depth / patch dropout) train under pp
+too: per-(stage, microbatch) keys follow a documented fold_in rule (see
+``_embed_tail``) that both schedules — and the 1F1B backward slot's
+recompute — derive identically, pinned by an independent single-device
+emulation test.
 
 Composition: the mesh is (data, stage) — data parallelism over the first
 axis comes for free (batch sharded, gradient psum), and ``zero1=True``
@@ -135,12 +140,6 @@ def _check_pp_cfg(cfg: ViTConfig, pp: int, for_train: bool,
     if cfg.distill_token:
         raise ValueError("pipeline parallelism does not support "
                          "distill_token models")
-    if for_train and (cfg.dropout or cfg.drop_path or cfg.patch_drop):
-        raise ValueError(
-            "the pipeline-parallel train step runs the deterministic "
-            "forward; set dropout=0, drop_path=0, patch_drop=0 (stochastic "
-            "regularizers need per-stage rng plumbing — use the dp/ZeRO "
-            "paths in vitx/parallel/sharded.py for those recipes)")
     if tp > 1:
         if cfg.num_heads % tp or (cfg.mlp_ratio * cfg.embed_dim) % tp:
             raise ValueError(
@@ -152,7 +151,12 @@ def _check_pp_cfg(cfg: ViTConfig, pp: int, for_train: bool,
             ("mlp_act='swiglu'", cfg.mlp_act == "swiglu"),
             ("lora_rank", cfg.lora_rank),
             ("parity='bug_exact'", cfg.parity == "bug_exact"),
-            ("tome_r", cfg.tome_r)) if v]
+            ("tome_r", cfg.tome_r),
+            # the manual Megatron block is deterministic; the pp-only rng
+            # plumbing (dropout/drop_path/patch_drop) stops at tp=1
+            ("dropout", for_train and cfg.dropout),
+            ("drop_path", for_train and cfg.drop_path),
+            ("patch_drop", for_train and cfg.patch_drop)) if v]
         if bad:
             raise ValueError(
                 f"pp x tp runs the manual Megatron stage block "
@@ -268,12 +272,20 @@ def _tp_block(x, pending, bp, cfg: ViTConfig):
     return x, mlp_out
 
 
-def _stage_fwd(blocks, x, cfg: ViTConfig, tp: bool, n_local: int):
+def _stage_fwd(blocks, x, cfg: ViTConfig, tp: bool, n_local: int,
+               rng=None, dp_rates=None):
     """This stage's block slice: run_blocks (one scan) without tp, the
     unrolled manual-Megatron loop with it. Both thread the fused residual
-    pair and return x + pending (the stage-boundary value)."""
+    pair and return x + pending (the stage-boundary value).
+
+    ``rng``: the per-(stage, microbatch) key for dropout/stochastic depth
+    (None = deterministic); ``dp_rates``: this stage's slice of the global
+    drop-path schedule (the linspace keeps its single-device meaning —
+    block l's rate is independent of which stage holds it)."""
     if not tp:
-        y, _ = run_blocks(blocks, x, cfg, rng=None, deterministic=True)
+        y, _ = run_blocks(blocks, x, cfg, rng=rng,
+                          deterministic=rng is None, depth=n_local,
+                          dp_rates=dp_rates)
         return y
     pending = jnp.zeros_like(x)
     for l in range(n_local):
@@ -282,8 +294,81 @@ def _stage_fwd(blocks, x, cfg: ViTConfig, tp: bool, n_local: int):
     return x + pending
 
 
+# --- per-stage rng plumbing (the stochastic-regularizer support) -----------
+# Derivation rule, shared by both schedules and pinned by the emulation
+# test (tests/test_pipeline.py::test_pp_stochastic_*): with ``r`` the
+# per-device key (the step key folded with this device's data coordinate),
+#   embed-stage ops (patch_drop + embed dropout), microbatch m:
+#       fold_in(fold_in(r, _EMBED_TAG), m)
+#   block ops (dropout/drop_path), stage s, microbatch m:
+#       fold_in(fold_in(fold_in(r, _BLOCK_TAG), s), m)
+# Per-microbatch embed keys (rather than one full-batch draw) exist so the
+# 1F1B backward slot can re-run ONE microbatch's embed and reproduce the
+# identical masks.
+
+_EMBED_TAG = 0xE4B
+_BLOCK_TAG = 0xB10C
+
+
+def _embed_tail(x, cfg: ViTConfig, key):
+    """The stochastic token ops ``encode`` applies after ``embed_tokens``
+    (vit.py::encode): patch dropout, then embed dropout."""
+    from vitx.nn.layers import dropout
+    from vitx.nn.vit import _patch_drop
+
+    if cfg.patch_drop:
+        key, r = jax.random.split(key)
+        x = _patch_drop(x, cfg, r)
+    key, r = jax.random.split(key)
+    return dropout(x, cfg.dropout, r, deterministic=False)
+
+
+def _embed_mb(params, images_mb, cfg: ViTConfig, rng, m):
+    """Embed + stochastic tail for ONE microbatch (the 1F1B backward-slot
+    recompute): bit-identical masks to the forward's vmapped draw."""
+    x = embed_tokens(params, images_mb, cfg)
+    if rng is None:
+        return x
+    return _embed_tail(x, cfg,
+                       jax.random.fold_in(jax.random.fold_in(rng, _EMBED_TAG),
+                                          m))
+
+
+def _stochastic_embed_all(params, images, cfg: ViTConfig, n_micro: int,
+                          rng):
+    """Embed the full local batch, split into microbatches, apply the
+    per-microbatch stochastic tail -> (n_micro, mb, T', E)."""
+    tokens = embed_tokens(params, images, cfg)
+    b_local, t_len, e = tokens.shape
+    if b_local % n_micro:
+        raise ValueError(f"per-data-shard batch {b_local} not divisible by "
+                         f"n_micro={n_micro}")
+    tok = tokens.reshape(n_micro, b_local // n_micro, t_len, e)
+    if rng is None:
+        return tok
+    r_e = jax.random.fold_in(rng, _EMBED_TAG)
+    keys = jax.vmap(lambda m: jax.random.fold_in(r_e, m))(
+        jnp.arange(n_micro, dtype=jnp.uint32))
+    return jax.vmap(lambda xm, k: _embed_tail(xm, cfg, k))(tok, keys)
+
+
+def _stage_block_key(rng, stage, m):
+    if rng is None:
+        return None
+    return jax.random.fold_in(
+        jax.random.fold_in(jax.random.fold_in(rng, _BLOCK_TAG), stage), m)
+
+
+def _stage_dp_rates(cfg: ViTConfig, stage, n_local: int):
+    """This stage's slice of the global stochastic-depth linspace."""
+    if not cfg.drop_path:
+        return None
+    rates = jnp.linspace(0.0, cfg.drop_path, cfg.depth)
+    return jax.lax.dynamic_slice(rates, (stage * n_local,), (n_local,))
+
+
 def _pp_tokens(params, images, cfg: ViTConfig, pp: int, n_micro: int,
-               tp: bool = False):
+               tp: bool = False, rng=None):
     """The pipelined encoder forward, per-device view inside shard_map.
 
     Stage ``s`` holds ``cfg.depth // pp`` blocks (its local slice of the
@@ -297,15 +382,14 @@ def _pp_tokens(params, images, cfg: ViTConfig, pp: int, n_micro: int,
     Returns encoder tokens (B_local, T, E) — REAL only on the last stage.
     """
     stage = jax.lax.axis_index(STAGE_AXIS)
-    tokens = embed_tokens(params, images, cfg)   # replicated stage compute:
-    # one patch-embed matmul per stage (~3% of a 12-block stage's FLOPs);
-    # only stage 0's value is consumed, so the others carry zero gradient.
-    b_local, t_len, e = tokens.shape
-    if b_local % n_micro:
-        raise ValueError(f"per-data-shard batch {b_local} not divisible by "
-                         f"n_micro={n_micro}")
-    mb = b_local // n_micro
-    tok_mb = tokens.reshape(n_micro, mb, t_len, e)
+    # replicated stage compute: one patch-embed matmul per stage (~3% of a
+    # 12-block stage's FLOPs); only stage 0's value is consumed, so the
+    # others carry zero gradient.
+    tok_mb = _stochastic_embed_all(params, images, cfg, n_micro, rng)
+    _, mb, t_len, e = tok_mb.shape
+    b_local = n_micro * mb
+    n_local = cfg.depth // pp
+    dp_rates = _stage_dp_rates(cfg, stage, n_local)
     perm = [(i, i + 1) for i in range(pp - 1)]
     n_ticks = n_micro + pp - 1
 
@@ -314,7 +398,12 @@ def _pp_tokens(params, images, cfg: ViTConfig, pp: int, n_micro: int,
         idx = jnp.clip(t, 0, n_micro - 1)
         feed = jax.lax.dynamic_index_in_dim(tok_mb, idx, 0, keepdims=False)
         x_in = jnp.where(stage == 0, feed, x_c)
-        y = _stage_fwd(params["blocks"], x_in, cfg, tp, cfg.depth // pp)
+        # the microbatch at stage s on tick t is t-s (garbage draws during
+        # warmup/drain ticks are masked with the rest of the garbage)
+        m_here = jnp.clip(t - stage, 0, n_micro - 1)
+        y = _stage_fwd(params["blocks"], x_in, cfg, tp, n_local,
+                       rng=_stage_block_key(rng, stage, m_here),
+                       dp_rates=dp_rates)
         # last stage: microbatch t-(pp-1) finishes at tick t. Early ticks
         # write garbage to slot 0; tick pp-1's real write overwrites it.
         oidx = jnp.clip(t - (pp - 1), 0, n_micro - 1)
@@ -326,8 +415,8 @@ def _pp_tokens(params, images, cfg: ViTConfig, pp: int, n_micro: int,
     # becomes stage/data-varying after one tick; mark them varying so
     # shard_map's VMA check accepts the scan
     init = jax.lax.pcast(
-        (jnp.zeros((mb, t_len, e), tokens.dtype),
-         jnp.zeros((n_micro, mb, t_len, e), tokens.dtype)),
+        (jnp.zeros((mb, t_len, e), tok_mb.dtype),
+         jnp.zeros((n_micro, mb, t_len, e), tok_mb.dtype)),
         (DATA_AXIS, STAGE_AXIS), to="varying")
     (_, outbuf), _ = jax.lax.scan(tick, init, jnp.arange(n_ticks))
     x = outbuf.reshape(b_local, t_len, e)
@@ -337,8 +426,8 @@ def _pp_tokens(params, images, cfg: ViTConfig, pp: int, n_micro: int,
     return x
 
 
-def _pp_logits_local(params, batch, cfg, pp, n_micro, tp=False):
-    x = _pp_tokens(params, batch["image"], cfg, pp, n_micro, tp=tp)
+def _pp_logits_local(params, batch, cfg, pp, n_micro, tp=False, rng=None):
+    x = _pp_tokens(params, batch["image"], cfg, pp, n_micro, tp=tp, rng=rng)
     return classify(params, x, cfg)
 
 
@@ -351,7 +440,7 @@ def _mask_count(batch):
 
 
 def _pp_loss_local(params, batch, cfg: ViTConfig, pp: int, n_micro: int,
-                   label_smoothing: float, tp: bool = False):
+                   label_smoothing: float, tp: bool = False, rng=None):
     """This device's CONTRIBUTION to the global-mean CE (and accuracy):
     the per-shard loss sum masked to the last stage, normalized by the
     global (mask-aware) row count. The global loss is the psum of these —
@@ -362,7 +451,8 @@ def _pp_loss_local(params, batch, cfg: ViTConfig, pp: int, n_micro: int,
     GRADIENTS (``_reduce_grads`` — the same cross-device sum autodiff of a
     checked psum would produce), and psums the value only for reporting."""
     stage = jax.lax.axis_index(STAGE_AXIS)
-    logits = _pp_logits_local(params, batch, cfg, pp, n_micro, tp=tp)
+    logits = _pp_logits_local(params, batch, cfg, pp, n_micro, tp=tp,
+                              rng=rng)
     mask, count = _mask_count(batch)
     loss_mean = cross_entropy_loss(logits, batch["label"], mask,
                                    label_smoothing)
@@ -418,7 +508,7 @@ def pp_bubble_fraction(schedule: str, stages: int, n_micro: int) -> float:
 
 
 def _pp_1f1b_grads(params, batch, cfg: ViTConfig, pp: int, n_micro: int,
-                   label_smoothing: float, tp: bool = False):
+                   label_smoothing: float, tp: bool = False, rng=None):
     """1F1B schedule (Narayanan et al. 2019 "PipeDream", non-interleaved
     flush variant), hand-scheduled: one scan whose every tick runs one
     FORWARD slot and one BACKWARD slot per stage. Per-device view inside
@@ -462,13 +552,10 @@ def _pp_1f1b_grads(params, batch, cfg: ViTConfig, pp: int, n_micro: int,
                      (DATA_AXIS, STAGE_AXIS))
     n = jnp.maximum(n, 1.0)
 
-    tokens = embed_tokens(params, images, cfg)
-    b_local, t_len, e = tokens.shape
-    if b_local % n_micro:
-        raise ValueError(f"per-data-shard batch {b_local} not divisible by "
-                         f"n_micro={n_micro}")
-    mb = b_local // n_micro
-    tok_mb = tokens.reshape(n_micro, mb, t_len, e)
+    tok_mb = _stochastic_embed_all(params, images, cfg, n_micro, rng)
+    _, mb, t_len, e = tok_mb.shape
+    n_local = cfg.depth // pp
+    dp_rates = _stage_dp_rates(cfg, stage, n_local)
     im_mb = images.reshape((n_micro, mb) + images.shape[1:])
     lab_mb = labels.reshape(n_micro, mb)
     msk_mb = (mask.reshape(n_micro, mb) if mask is not None
@@ -478,12 +565,15 @@ def _pp_1f1b_grads(params, batch, cfg: ViTConfig, pp: int, n_micro: int,
     s_buf = 2 * pp - 1               # max in-flight distance (stage 0) + 1
     n_ticks = pp_schedule_ticks("1f1b", pp, n_micro)
 
-    def stage_head_loss(p, x_in, lab, msk):
+    def stage_head_loss(p, x_in, lab, msk, r_blk):
         """The uniform per-stage computation the backward slot vjps: this
         stage's blocks, plus (masked to the last stage by the COTANGENT,
         not by control flow) final-norm -> head -> mean CE and the
-        accuracy aux."""
-        y = _stage_fwd(p["blocks"], x_in, cfg, tp, cfg.depth // pp)
+        accuracy aux. ``r_blk``: the (stage, microbatch) dropout key — the
+        backward slot re-derives the SAME key its forward slot used, so
+        the recompute reproduces identical masks."""
+        y = _stage_fwd(p["blocks"], x_in, cfg, tp, n_local, rng=r_blk,
+                       dp_rates=dp_rates)
         yl = y
         if cfg.final_norm:
             fn = p["final_norm"]
@@ -505,7 +595,10 @@ def _pp_1f1b_grads(params, batch, cfg: ViTConfig, pp: int, n_micro: int,
         x_in = jnp.where(is_first, feed, x_recv)
         stash = jax.lax.dynamic_update_index_in_dim(
             stash, x_in, jnp.mod(t - stage, s_buf), 0)
-        y = _stage_fwd(params["blocks"], x_in, cfg, tp, cfg.depth // pp)
+        m_fwd = jnp.clip(t - stage, 0, n_micro - 1)
+        y = _stage_fwd(params["blocks"], x_in, cfg, tp, n_local,
+                       rng=_stage_block_key(rng, stage, m_fwd),
+                       dp_rates=dp_rates)
         x_next = jax.lax.ppermute(y, STAGE_AXIS, perm_f)
 
         # ---- backward slot ----
@@ -517,15 +610,20 @@ def _pp_1f1b_grads(params, batch, cfg: ViTConfig, pp: int, n_micro: int,
         lab = jax.lax.dynamic_index_in_dim(lab_mb, m_b, 0, keepdims=False)
         msk = jax.lax.dynamic_index_in_dim(msk_mb, m_b, 0, keepdims=False)
         cnt = jnp.sum(msk)
+        r_bwd = _stage_block_key(rng, stage, m_b)   # == the fwd slot's key
         (_, loss_m, acc_m), vjp_fn = jax.vjp(
-            lambda p, x: stage_head_loss(p, x, lab, msk), params, x_sav)
+            lambda p, x: stage_head_loss(p, x, lab, msk, r_bwd),
+            params, x_sav)
         cot_y = g_recv * (valid * (1.0 - is_last_f)).astype(g_recv.dtype)
         cot_loss = (cnt * is_last_f * valid / n).astype(loss_m.dtype)
         dparams, dx = vjp_fn((cot_y, cot_loss,
                               jnp.zeros_like(acc_m)))
-        # stage 0's input cotangent is the embedding gradient's seed
+        # stage 0's input cotangent is the embedding gradient's seed; the
+        # recompute includes the stochastic tail with microbatch m_b's key
+        # (identical masks to the forward's vmapped draw)
         imb = jax.lax.dynamic_index_in_dim(im_mb, m_b, 0, keepdims=False)
-        _, evjp = jax.vjp(lambda p: embed_tokens(p, imb, cfg), params)
+        _, evjp = jax.vjp(lambda p: _embed_mb(p, imb, cfg, rng, m_b),
+                          params)
         (dembed,) = evjp(dx * (valid * is_first).astype(dx.dtype))
         gacc = jax.tree.map(lambda a, b, c: a + b + c, gacc, dparams,
                             dembed)
@@ -535,9 +633,9 @@ def _pp_1f1b_grads(params, batch, cfg: ViTConfig, pp: int, n_micro: int,
         return (x_next, g_next, stash, gacc, loss_acc, acc_acc), None
 
     init = jax.lax.pcast(
-        (jnp.zeros((mb, t_len, e), tokens.dtype),
-         jnp.zeros((mb, t_len, e), tokens.dtype),
-         jnp.zeros((s_buf, mb, t_len, e), tokens.dtype),
+        (jnp.zeros((mb, t_len, e), tok_mb.dtype),
+         jnp.zeros((mb, t_len, e), tok_mb.dtype),
+         jnp.zeros((s_buf, mb, t_len, e), tok_mb.dtype),
          zero_g, jnp.float32(0), jnp.float32(0)),
         (DATA_AXIS, STAGE_AXIS), to="varying")
     (_, _, _, gacc, loss_l, acc_l), _ = jax.lax.scan(
@@ -572,14 +670,24 @@ def make_pp_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
     pp_schedule_ticks(schedule, pp, n_micro)   # validates the name
     pspecs = pp_param_pspecs(cfg, tp=tp)
 
-    def loss_and_grads(params, batch):
+    stochastic = bool(cfg.dropout or cfg.drop_path or cfg.patch_drop)
+
+    def loss_and_grads(params, batch, step_rng=None):
+        # per-device key: the step key folded with this device's data
+        # coordinate (stage replicas of a microbatch share embed keys; the
+        # per-stage block keys fold the stage coordinate — see the rng
+        # derivation rule above _embed_tail)
+        r = (jax.random.fold_in(step_rng,
+                                jax.lax.axis_index(DATA_AXIS))
+             if step_rng is not None else None)
         if schedule == "1f1b":
             loss_l, acc_l, grads = _pp_1f1b_grads(
-                params, batch, cfg, pp, n_micro, label_smoothing, tp=tp)
+                params, batch, cfg, pp, n_micro, label_smoothing, tp=tp,
+                rng=r)
         else:
             def loss_f(p):
                 return _pp_loss_local(p, batch, cfg, pp, n_micro,
-                                      label_smoothing, tp=tp)
+                                      label_smoothing, tp=tp, rng=r)
 
             (loss_l, acc_l), grads = jax.value_and_grad(
                 loss_f, has_aux=True)(params)
@@ -589,7 +697,6 @@ def make_pp_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
         return loss, acc, _reduce_grads(grads)
 
     def step(state: TrainState, batch, rng=None):
-        del rng   # deterministic forward (see _check_pp_cfg)
         if "mask" in batch:
             bspecs = {"image": P(DATA_AXIS), "label": P(DATA_AXIS),
                       "mask": P(DATA_AXIS)}
@@ -601,10 +708,22 @@ def make_pp_train_step(cfg: ViTConfig, optimizer, mesh: Mesh,
         # own error suggests this flag). The replication claims in
         # out_specs are made true by the explicit psums in _pp_loss /
         # _reduce_grads; test_pipeline.py pins trajectory identity.
-        loss, acc, grads = jax.shard_map(
-            loss_and_grads, mesh=mesh, in_specs=(pspecs, bspecs),
-            out_specs=(P(), P(), pspecs),
-            check_vma=False)(state.params, batch)
+        if stochastic:
+            if rng is None:
+                raise ValueError(
+                    "cfg has stochastic regularizers (dropout/drop_path/"
+                    "patch_drop): the pp train step needs an rng")
+            step_rng = jax.random.fold_in(rng, state.step)
+            loss, acc, grads = jax.shard_map(
+                loss_and_grads, mesh=mesh,
+                in_specs=(pspecs, bspecs, P()),
+                out_specs=(P(), P(), pspecs),
+                check_vma=False)(state.params, batch, step_rng)
+        else:
+            loss, acc, grads = jax.shard_map(
+                loss_and_grads, mesh=mesh, in_specs=(pspecs, bspecs),
+                out_specs=(P(), P(), pspecs),
+                check_vma=False)(state.params, batch)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
