@@ -380,3 +380,33 @@ def test_folder_predefined_split_dirs(tmp_path):
         tmp_path / "Testing" / "pituitary" / "0.png")
     with pytest.raises(ValueError, match="disagree"):
         make_datasets(f"folder:{tmp_path}", cfg, seed=0)
+
+
+def test_warp_mxu_matches_gather():
+    """The gather-free MXU warp (Catmull-Smith two-pass tent-matmul,
+    randaugment.py::_warp_mxu) matches the direct 2-D gather warp up to
+    interpolation-model differences: EXACT for identity and integer
+    translates, close elsewhere away from the 1-px soft boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    from vitx.data.randaugment import _affine_params, _warp, _warp_mxu
+
+    img = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3)),
+                      jnp.float32)
+    ident = jnp.array([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]])
+    np.testing.assert_allclose(np.asarray(_warp_mxu(img, ident))[0],
+                               np.asarray(img)[0], atol=1e-5)
+    trans = jnp.array([[[1.0, 0.0, 2.0], [0.0, 1.0, 0.0]]])
+    w = np.asarray(_warp_mxu(img, trans))[0]
+    np.testing.assert_allclose(w[:, :-2], np.asarray(img)[0][:, 2:],
+                               atol=1e-5)
+
+    # every geometric op at moderate magnitude: interior agreement with
+    # the gather warp (boundary band differs by design: soft fill edge)
+    for op in range(6):
+        m = _affine_params(jnp.asarray(op), jnp.asarray(0.35), 16, 16)
+        ref = np.asarray(_warp(img[0], m))
+        got = np.asarray(_warp_mxu(img, m[None]))[0]
+        inner = np.s_[4:-4, 4:-4]
+        assert np.abs(ref[inner] - got[inner]).mean() < 0.02, op

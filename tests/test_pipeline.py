@@ -476,3 +476,47 @@ def test_pp_1f1b_memory_flat_vs_gpipe():
     growth_1f1b = temp[("1f1b", 16)] - temp[("1f1b", 2)]
     assert growth_gpipe > 3 * max(growth_1f1b, 1), temp
     assert temp[("1f1b", 16)] < temp[("gpipe", 16)], temp
+
+
+@pytest.mark.parametrize("knob,schedule", [
+    ("gelu_tanh", "gpipe"), ("swiglu", "gpipe"), ("swiglu", "1f1b"),
+    ("rope", "gpipe"), ("rope", "1f1b"), ("qk_norm", "gpipe")])
+def test_pp_tp_knob_parity(knob, schedule):
+    """pp x tp supports the perf-preset architecture knobs (VERDICT r4
+    item 6): per-knob trajectory parity vs single-device on the
+    (2 data x 2 stage x 2 model) mesh. swiglu runs w1/w3 column-parallel
+    with a rank-local gate; rope applies the per-head-identical tables to
+    the local head slice."""
+    if knob == "gelu_tanh":
+        cfg = CFG.replace(mlp_act="gelu_tanh")
+    elif knob == "swiglu":
+        cfg = CFG.replace(mlp_act="swiglu")
+    elif knob == "rope":
+        cfg = CFG.replace(pos_embed="rope")
+    else:
+        cfg = CFG.replace(qk_norm=True)
+
+    opt = make_optimizer(lr=1e-3)
+    ref_state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    ref_step = make_train_step(cfg, opt)
+    ref_losses = []
+    for i in range(2):
+        ref_state, m = ref_step(ref_state, _batch(i), None)
+        ref_losses.append(float(m["loss"]))
+
+    mesh = make_pp_mesh(dp=2, pp=2, tp=2)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    state = place_pp_state(state, cfg, mesh, tp=True)
+    shardings = pp_state_sharding(state, cfg, mesh, tp=True)
+    step = make_pp_train_step(cfg, opt, mesh, n_micro=2,
+                              state_shardings=shardings, schedule=schedule)
+    losses = []
+    for i in range(2):
+        state, m = step(state, shard_batch(_batch(i), mesh), None)
+        losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                    jax.tree.leaves(jax.device_get(ref_state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=3e-5)

@@ -108,9 +108,43 @@ def bench_1():
     state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
     batch = {"image": x, "label": jnp.zeros((8,), jnp.int32)}
     dt_t = _train_scan_seconds(cfg, opt, state, batch, iters=100)
-    return {"config": "1:vit-tiny-64", "forward_ms": round(dt_f * 1e3, 3),
-            "train_step_ms": round(dt_t * 1e3, 3),
-            "train_images_per_sec": round(8 / dt_t, 1)}
+    out = {"config": "1:vit-tiny-64", "forward_ms": round(dt_f * 1e3, 3),
+           "train_step_ms": round(dt_t * 1e3, 3),
+           "train_images_per_sec": round(8 / dt_t, 1)}
+
+    # Dispatch-amortization rows (VERDICT r4 item 7): tiny models through
+    # the remote tunnel are DISPATCH-bound — k=1 is what a naive per-step
+    # host loop pays per step; k>1 folds k steps into one dispatch via the
+    # Trainer's --steps-per-dispatch scan (loop.py::_make_multi_step,
+    # distinct batches per step, exactly the product path). The steady-state
+    # row above (train_step_ms, a 100-iter device loop) is the k->inf limit.
+    raw = partial(train_step, cfg=cfg, optimizer=opt)
+    for k in (1, 4, 16):
+        def multi(state, batches, rng):
+            def body(st, xs):
+                b, i = xs
+                st, m = raw(st, b, jax.random.fold_in(rng, i))
+                return st, m["loss"]
+            return jax.lax.scan(
+                body, state, (batches, jnp.arange(k, dtype=jnp.uint32)))
+
+        f = jax.jit(multi, donate_argnums=(0,))
+        batches = {"image": jnp.stack([x] * k),
+                   "label": jnp.zeros((k, 8), jnp.int32)}
+        st = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+        st, _ = f(st, batches, jax.random.PRNGKey(1))   # compile
+        _sync(st.step)
+        n_disp = max(64 // k, 4)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_disp):
+                st, losses = f(st, batches, jax.random.PRNGKey(2))
+            _sync(losses)
+            best = min(best, (time.perf_counter() - t0) / (n_disp * k))
+        out[f"train_step_ms_k{k}"] = round(best * 1e3, 3)
+        out[f"train_images_per_sec_k{k}"] = round(8 / best, 1)
+    return out
 
 
 def bench_2():
@@ -611,9 +645,99 @@ def bench_13():
     return out
 
 
+def bench_14():
+    """Itemize the config-4 train step's REMAINDER (VERDICT r4 item 5):
+    the ~10 ms of the 110.9 ms ViT-B/16 b128 D=64 step that the round-4
+    roofline table left as one "patchify + head + LN seams" row. Each row
+    here is an isolated fwd+bwd devloop next to its own roofline:
+
+    - LN seams: the 2x add_layer_norm per block (fused residual+LN custom
+      VJP) — HBM-bound; roofline from (B, T, E) bf16 pass counts at
+      800 GB/s (fwd reads x+pending, writes sum+normed ~4 passes; bwd ~5).
+    - patchify/embed: space-to-depth matmul + CLS/pos fwd+bwd.
+    - head+loss: reference head (E->4E->LN->C) + softmax CE fwd+bwd.
+    AdamW carries its round-3 isolated measurement (3.57 ms, 1.12x of the
+    2.55 GB / 800 GB/s roofline; the in-step 4.78 ms includes anti-hoist
+    buffering of the schedule constants)."""
+    from vitx.nn.layers import add_layer_norm
+    from vitx.nn.vit import embed_tokens
+    from vitx.train.step import cross_entropy_loss
+
+    cfg = get_config("base16")
+    B, T, E = 128, cfg.seq_len, cfg.embed_dim
+    out = {"config": "14:train-step-remainder-itemization"}
+    HBM = 800e9
+
+    # --- LN seam: one fused add_layer_norm fwd+bwd at step shapes
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, E), jnp.bfloat16)
+    pend = jax.random.normal(jax.random.PRNGKey(1), (B, T, E), jnp.bfloat16)
+    g = jnp.ones((E,), jnp.float32)
+    bb = jnp.zeros((E,), jnp.float32)
+
+    def ln_body(acc, x, pend, g, bb):
+        def f(x, pend, g, bb):
+            s, y = add_layer_norm(x, pend, g, bb, eps=1e-6)
+            return jnp.sum(y.astype(jnp.float32)) + \
+                jnp.sum(s.astype(jnp.float32))
+        v, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(
+            x * _scl(acc), pend, g, bb)
+        return acc + v * 0 + sum(jnp.sum(gr).astype(jnp.float32)
+                                 for gr in grads) * 1e-20
+    dt_ln = _fwd_loop_seconds(ln_body, 50, x, pend, g, bb)
+    bytes_ln = (B * T * E * 2) * (4 + 5)   # fwd ~4 passes + bwd ~5 passes
+    out["ln_seam_fwdbwd_ms"] = round(dt_ln * 1e3, 3)
+    out["ln_seam_roofline_ms"] = round(bytes_ln / HBM * 1e3, 3)
+    out["ln_seam_per_step_ms"] = round(dt_ln * 1e3 * 2 * cfg.depth, 2)
+
+    # --- patchify/embed fwd+bwd
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    imgs = _images(jax.random.PRNGKey(3), B, 224)
+
+    def emb_body(acc, params, imgs):
+        def f(p):
+            t = embed_tokens(p, imgs * _scl(acc), cfg)
+            return jnp.sum(t.astype(jnp.float32))
+        v, gr = jax.value_and_grad(f)(params)
+        return acc + v * 0 + sum(
+            jnp.sum(le).astype(jnp.float32)
+            for le in jax.tree.leaves(gr)) * 1e-20
+    dt_emb = _fwd_loop_seconds(emb_body, 50, params, imgs)
+    # 3x the fwd patch-matmul FLOPs (dgrad+wgrad) at the measured
+    # (B*N, 768)-class ceiling ~150 TF/s
+    fl_emb = 3 * 2 * B * cfg.num_patches * E * (cfg.patch_size ** 2 * 3)
+    out["patchify_fwdbwd_ms"] = round(dt_emb * 1e3, 3)
+    out["patchify_roofline_ms"] = round(fl_emb / 150e12 * 1e3, 3)
+
+    # --- head + loss fwd+bwd (tokens held constant)
+    toks = jax.random.normal(jax.random.PRNGKey(4), (B, T, E), jnp.bfloat16)
+    labels = jnp.zeros((B,), jnp.int32)
+
+    def head_body(acc, params, toks, labels):
+        from vitx.nn.vit import classify
+
+        def f(p):
+            logits = classify(p, toks * _scl(acc), cfg)
+            return cross_entropy_loss(logits, labels)
+        v, gr = jax.value_and_grad(f)(params)
+        return acc + v * 0 + sum(
+            jnp.sum(le).astype(jnp.float32)
+            for le in jax.tree.leaves(gr)) * 1e-20
+    dt_head = _fwd_loop_seconds(head_body, 50, params, toks, labels)
+    out["head_loss_fwdbwd_ms"] = round(dt_head * 1e3, 3)
+
+    # --- the accounting: remainder rows + round-4 table components
+    comp = 12 * (1.591 + 2.280 + 4.012) + 4.78      # round-4 table, ms
+    rem = (out["ln_seam_per_step_ms"] + out["patchify_fwdbwd_ms"]
+           + out["head_loss_fwdbwd_ms"])
+    out["component_table_ms"] = round(comp, 1)
+    out["remainder_itemized_ms"] = round(rem, 2)
+    out["accounted_ms"] = round(comp + rem, 1)
+    return out
+
+
 BENCHES = {1: bench_1, 2: bench_2, 3: bench_3, 4: bench_4, 5: bench_5,
            6: bench_6, 7: bench_7, 8: bench_8, 9: bench_9, 10: bench_10,
-           11: bench_11, 12: bench_12, 13: bench_13}
+           11: bench_11, 12: bench_12, 13: bench_13, 14: bench_14}
 
 
 def main(argv=None):

@@ -147,8 +147,6 @@ def _check_pp_cfg(cfg: ViTConfig, pp: int, for_train: bool,
                 f"hidden dim ({cfg.mlp_ratio * cfg.embed_dim}) divisible "
                 f"by tp={tp}")
         bad = [name for name, v in (
-            ("pos_embed='rope'", cfg.pos_embed == "rope"),
-            ("mlp_act='swiglu'", cfg.mlp_act == "swiglu"),
             ("lora_rank", cfg.lora_rank),
             ("parity='bug_exact'", cfg.parity == "bug_exact"),
             ("tome_r", cfg.tome_r),
@@ -236,6 +234,14 @@ def _tp_block(x, pending, bp, cfg: ViTConfig):
     if cfg.qk_norm:
         q = _qk_layer_norm(q, bp["lnq_scale"], cfg.layer_norm_eps)
         k = _qk_layer_norm(k, bp["lnk_scale"], cfg.layer_norm_eps)
+    if cfg.pos_embed == "rope":
+        # the (T, D) rotation tables are per-head-IDENTICAL, so they apply
+        # unchanged to this rank's local head slice (after QK-Norm, as the
+        # single-device path orders it — attention.py docstring)
+        from vitx.nn.vit import apply_rope, rope_tables
+
+        cos, sin = rope_tables(cfg, q.dtype)
+        q, k = apply_rope(q, cos, sin), apply_rope(k, cos, sin)
     # same flash-eligibility rule as multi_head_attention: the parity impls
     # ("reference"/"xla") opt out so pp x tp parity debugging runs the
     # composed attention it asked for (ADVICE r4)
@@ -263,7 +269,15 @@ def _tp_block(x, pending, bp, cfg: ViTConfig):
     h2 = _tp_f(h2)
     hm = jnp.einsum("bte,em->btm", h2, bp["w1"].astype(h2.dtype),
                     preferred_element_type=jnp.float32).astype(h2.dtype)
-    hm = activation(hm + bp["b1"].astype(h2.dtype), cfg.mlp_act)
+    hm = hm + bp["b1"].astype(h2.dtype)
+    if cfg.mlp_act == "swiglu":
+        # gated FFN: w3 is column-parallel like w1 (sharded.py::_block_specs)
+        # so the SiLU gate multiply stays local to each model rank
+        g = jnp.einsum("bte,em->btm", h2, bp["w3"].astype(h2.dtype),
+                       preferred_element_type=jnp.float32).astype(h2.dtype)
+        hm = jax.nn.silu(hm) * (g + bp["b3"].astype(h2.dtype))
+    else:
+        hm = activation(hm, cfg.mlp_act)
     o2 = jnp.einsum("btm,me->bte", hm, bp["w2"].astype(h2.dtype),
                     preferred_element_type=jnp.float32).astype(h2.dtype)
     mlp_out = _tp_g(o2) + bp["b2"].astype(h2.dtype)
