@@ -932,7 +932,11 @@ def forward_with_rollout(params: Params, images, cfg: ViTConfig):
         #   rownorm(M) @ R == rownorm(M @ R)  whenever R's rows sum to 1
         # (rowsum(MR) = rowsum(M) then), which the carry maintains — so the
         # chain is one matmul + the identity add + one renormalize, saving
-        # two (B, T, T) fp32 passes per layer vs forming aug explicitly
+        # two (B, T, T) fp32 passes per layer vs forming aug explicitly.
+        # The chain stays fp32: a bf16-operand variant measured NO win at
+        # ViT-L@384 (25.26 vs 25.01 ms end-to-end, round 5 — the two cast
+        # passes cost what the faster matmul saves), and fp32 keeps the
+        # materialized-path parity exact.
         r2 = 0.5 * jnp.einsum("bij,bjk->bik", probs, rollout,
                               preferred_element_type=jnp.float32) \
             + 0.5 * rollout
