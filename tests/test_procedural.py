@@ -119,3 +119,19 @@ def test_device_cache_train_cli(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["num_examples"] == 32
+
+
+def test_device_cache_composes_with_steps_per_dispatch(tmp_path):
+    """--device-cache batches (device-resident gathers) flow through the
+    --steps-per-dispatch k-step scan (loop.py::run_multi stacks them on
+    device) — the two dispatch-overhead answers compose."""
+    from vitx.cli.train import main as train_main
+
+    rc = train_main([
+        "--preset", "tiny", "--data", "procedural:128,32",
+        "--device-cache", "--steps-per-dispatch", "2",
+        "--epochs", "2", "--batch-size", "32", "--lr", "1e-3",
+        "--compute-dtype", "float32",
+        "--checkpoint-dir", str(tmp_path / "c"),
+    ])
+    assert rc in (0, None)
