@@ -135,3 +135,17 @@ def test_device_cache_composes_with_steps_per_dispatch(tmp_path):
         "--checkpoint-dir", str(tmp_path / "c"),
     ])
     assert rc in (0, None)
+
+
+def test_device_loader_multilabel_batches():
+    """(B, C) multi-hot labels gather and pad correctly (mask broadcast
+    per row)."""
+    from vitx.data.synthetic import SyntheticMultiLabelDataset
+
+    ds = SyntheticMultiLabelDataset(num_examples=20, image_size=16,
+                                    num_classes=5, seed=0)
+    host = BatchLoader(ds, 8)
+    dev = DeviceBatchLoader(ds, 8)
+    for h, d in zip(host, dev):
+        assert np.array_equal(h["label"], np.asarray(d["label"]))
+        assert np.array_equal(h["image"], np.asarray(d["image"]))

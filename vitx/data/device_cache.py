@@ -48,7 +48,9 @@ def _gather(images, labels, idx, mask):
     # BatchLoader's zero padding bit-exactly (full batches: mask is ones)
     img = jnp.take(images, idx, axis=0)
     img = img * mask[:, None, None, None].astype(img.dtype)
-    lab = jnp.take(labels, idx, axis=0) * mask.astype(labels.dtype)
+    lab = jnp.take(labels, idx, axis=0)
+    # labels may be (B,) ints or (B, C) multi-hot — broadcast per row
+    lab = lab * mask.reshape((-1,) + (1,) * (lab.ndim - 1)).astype(lab.dtype)
     return {"image": img, "label": lab}
 
 
