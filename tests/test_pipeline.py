@@ -179,8 +179,11 @@ def test_pp_tp_eval_matches_single_device():
 def test_pp_tp_guards():
     mesh = make_pp_mesh(dp=2, pp=2, tp=2)
     opt = make_optimizer(lr=1e-3)
+    # swiglu/rope/qk_norm are SUPPORTED since round 5 (see
+    # test_pp_tp_knob_parity); lora remains outside the manual stage block
+    make_pp_train_step(CFG.replace(mlp_act="swiglu"), opt, mesh, n_micro=2)
     with pytest.raises(ValueError, match="manual Megatron stage block"):
-        make_pp_train_step(CFG.replace(mlp_act="swiglu"), opt, mesh)
+        make_pp_train_step(CFG.replace(lora_rank=2), opt, mesh, n_micro=2)
 
 
 def test_pp_schedule_accounting():
