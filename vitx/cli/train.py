@@ -68,6 +68,11 @@ def build_argparser():
                         "positional embeddings are exempt); default decays "
                         "everything like the reference")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--keep-checkpoints", type=int, default=None, metavar="N",
+                   help="prune to the N newest {epoch}.ckpt after each save "
+                        "(the best-val epoch is always protected); default "
+                        "keeps every epoch — a 150-epoch ViT-S run at fp32 "
+                        "is ~50 GB of optimizer state without this")
     p.add_argument("--log-dir", default=None)
     p.add_argument("--async-checkpoint", action="store_true",
                    help="serialize epoch checkpoints on a background "
@@ -608,6 +613,7 @@ def main(argv=None):
         mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
         sam_rho=args.sam_rho, progress=args.progress,
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
+        keep_checkpoints=args.keep_checkpoints,
         eval_every=args.eval_every, log_every=args.log_every,
         ema_decay=args.ema_decay, llrd=args.llrd, seed=args.seed,
         optimizer=args.optimizer, mu_dtype=args.mu_dtype,
