@@ -21,6 +21,11 @@ The upload is chunked: the axon tunnel moves 16-40 MB/s and a single
 multi-GB transfer both stalls and (on some hosts) buffers the whole payload;
 64 MB slices bound host memory and give transfer progress. On a real TPU
 host (PCIe, >10 GB/s) the chunking is just harmless.
+
+Mesh runs: the cache lives on the default device and the Trainer re-places
+each gathered batch onto the mesh (a device-to-device copy over ICI — no
+host bytes). Sharding the cached ARRAY itself over the data axis (each
+rank holding 1/dp of the split, gathers local) is the multi-host follow-on.
 """
 
 from __future__ import annotations
